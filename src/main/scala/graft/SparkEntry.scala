@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — SURVEY.md §2.2 is the inventory; each declared key
+  * appears in [[queries]] and (where SQL-expressible) in [[oracleSql]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggHash(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / sources
+    "scan_full"        -> Relational.scanFull,
+    "scan_project"     -> Relational.scanProject,
+    "scan_ordered"     -> Relational.scanOrdered,
+    "key_lookup"       -> Relational.keyLookup,
+    "insert_append"    -> Relational.insertAppend,
+    // filters / constraints
+    "filter_pred"      -> Relational.filterPred,
+    "constraint_check" -> Relational.constraintCheck,
+    // joins
+    "join_inner"       -> Relational.joinInner,
+    "join_broadcast"   -> Relational.joinBroadcast,
+    "join_left"        -> Relational.joinLeft,
+    "join_semi"        -> Relational.joinSemi,
+    "join_anti"        -> Relational.joinAnti,
+    "join_range"       -> Relational.joinRange,
+    "join_asof"        -> Relational.joinAsof,
+    // aggregations
+    "agg_hash"         -> Relational.aggHash,
+    "agg_distinct"     -> Relational.aggDistinct,
+    "agg_approx_distinct" -> Relational.aggApproxDistinct,
+    "agg_rollup"       -> Relational.aggRollup,
+    "agg_cube"         -> Relational.aggCube,
+    "agg_grouping_sets" -> Relational.aggGroupingSets,
+    // windows
+    "window_rank"      -> Relational.windowRank,
+    "window_running"   -> Relational.windowRunning,
+    "window_lag"       -> Relational.windowLag,
+    // sorts / set ops
+    "sort_limit_topk"  -> Relational.sortLimitTopk,
+    "set_union"        -> Relational.setUnion,
+    "set_intersect"    -> Relational.setIntersect,
+    "set_except"       -> Relational.setExcept,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (approx sketches, streaming
+    * engine-side semantics) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = RelationalOracles.sql
 }

@@ -1,0 +1,372 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+import graft.core.Numeric._
+
+/** Relational operator surface: scans, filters, joins, aggregations,
+  * windows, sorts, set ops — SURVEY.md §2.2.
+  *
+  * Generalizes the reference's two-statement surface
+  * (`/root/reference/db.cpp:428-441` — `insert`/`select` only): the
+  * full-scan `executeSelect` (`db.cpp:487-502`) becomes a pruned,
+  * pushed-down Parquet scan; the append-only `executeInsert`
+  * (`db.cpp:469-485`) becomes union + append-mode writes; everything else
+  * here is capability the reference lacks, declared Spark-first so
+  * Catalyst picks physical strategies (broadcast vs sort-merge joins,
+  * partial aggregation, AQE skew handling) that survive a 1000-executor
+  * 100 TB deployment.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
+
+  /** Full-table scan in key order — `executeSelect` semantics
+    * (`db.cpp:487-502`) over `lineitem`. All 11 columns, totally ordered.
+    */
+  val scanFull: Q = (s, d) =>
+    T.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Column pruning: 4 of 11 lineitem columns. The Parquet scan must show
+    * a 4-column ReadSchema — verified in the plan audit. */
+  val scanProject: Q = (s, d) =>
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Key-ordered scan — what the reference's B-tree *intends*
+    * (`db.cpp:64-70`; it actually stores insertion order,
+    * `spec/main_spec.rb:131-150`). At scale: sort-on-write + min/max
+    * row-group pruning give the same access path. */
+  val scanOrdered: Q = (s, d) =>
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Point lookup by key — the B-tree's raison d'être generalized to a
+    * pushed-down equality predicate (min/max row-group pruning at scale).
+    */
+  val keyLookup: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") === 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_linenumber"))
+
+  /** INSERT semantics (R3/R4, `db.cpp:392-426, 469-485`): literal rows
+    * unioned onto a scan, with the reference's constraints (id ≥ 0,
+    * username ≤ 32 chars, email ≤ 255 chars) applied as filters. */
+  val insertAppend: Q = (s, d) => {
+    val base = T.customer(s, d).select(
+      col("c_custkey").as("id"),
+      col("c_name").as("username"),
+      concat(col("c_name"), lit("@example.com")).as("email"))
+    val fresh = s.createDataFrame(Seq(
+      (900001L, "user900001", "person900001@example.com"),
+      (900002L, "user900002", "person900002@example.com"),
+      (-1L, "bad_id", "rejected@example.com"),
+      (900003L, "x" * 33, "too_long_username@example.com")
+    )).toDF("id", "username", "email")
+    base.unionByName(fresh)
+      .filter(col("id") >= 0 && length(col("username")) <= 32 &&
+        length(col("email")) <= 255)
+      .orderBy(col("id"))
+  }
+
+  // ------------------------------------------------------ filters / checks
+
+  /** TPC-H Q6 shape: conjunctive range + equality predicates, all pushed
+    * to the Parquet scan; single-row aggregate. */
+  val filterPred: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 25)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** R3's parse-time validation (`db.cpp:404-419`) as a relational op:
+    * classify rows into accepted/rejected with a reason column. */
+  val constraintCheck: Q = (s, d) =>
+    T.customer(s, d)
+      .select(
+        (col("c_custkey") - 5L).as("id"),
+        when(col("c_custkey") % 50 === 0, concat(col("c_name"), lit("x" * 30)))
+          .otherwise(col("c_name")).as("username"),
+        concat(col("c_name"), lit("@example.com")).as("email"))
+      .withColumn("reject_reason",
+        when(col("id") < 0, "ID must be positive.")
+          .when(length(col("username")) > 32, "String is too long.")
+          .when(length(col("email")) > 255, "String is too long.")
+          .otherwise(null))
+      .withColumn("accepted", col("reject_reason").isNull)
+      .orderBy(col("id"))
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi inner join fact ⋈ fact-side dim (sort-merge / shuffled-hash —
+    * Catalyst's choice; both sides large at scale). */
+  val joinInner: Q = (s, d) => {
+    val li = T.lineitem(s, d)
+    val o  = T.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderstatus"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Star-schema join orders ⋈ customer ⋈ nation ⋈ region with explicit
+    * broadcast of every dim — at 100 TB the fact side streams while dims
+    * replicate; no shuffle of the fact table at all. */
+  val joinBroadcast: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val c = broadcast(T.customer(s, d))
+    val n = broadcast(T.nation(s, d))
+    val r = broadcast(T.region(s, d))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left outer join with null-extension: every customer, order stats or
+    * zero. */
+  val joinLeft: Q = (s, d) => {
+    val c = T.customer(s, d)
+    val o = T.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** EXISTS — customers with ≥1 urgent order (left-semi: no row
+    * multiplication, right side only probed). */
+  val joinSemi: Q = (s, d) => {
+    val c = T.customer(s, d)
+    val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS — customers with no urgent order (left-anti). */
+  val joinAnti: Q = (s, d) => {
+    val c = T.customer(s, d)
+    val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Range (non-equi) join with an equi prefix: purchases within 5
+    * minutes after a signup by the same user. The equi key keeps the
+    * plan a sort-merge join + range filter instead of a broadcast
+    * nested-loop — the only shape that survives at scale. */
+  val joinRange: Q = (s, d) => {
+    val e1 = T.events(s, d).filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val e2 = T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("user_id2"), col("ts").as("purchase_ts"))
+    e1.join(e2, col("user_id") === col("user_id2") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
+  /** As-of join: each event matched to the latest order of the same
+    * customer with o_orderdate <= ts. Implemented scale-first as the
+    * union-and-carry-forward pattern (sort within key, carry the last
+    * order forward) rather than the join-then-rank pattern — the latter
+    * explodes to |events| × |orders-per-key| intermediates at 100 TB.
+    */
+  val joinAsof: Q = (s, d) => {
+    val ev = T.events(s, d).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"), lit(1).as("is_event"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"))
+    val o = T.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"), lit(0).as("is_event"),
+      col("o_orderkey"), col("o_totalprice"))
+    // Within a key, order by (t, is_event, o_orderkey): at equal t the
+    // order row sorts before the event row (asof is inclusive), and
+    // date-ties among orders resolve to the max orderkey.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(o)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** TPC-H Q1 shape: hash aggregate with partial (map-side) combine —
+    * the canonical 100 TB aggregation: shuffle carries one row per
+    * (group × partition), not per input row. */
+  val aggHash: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  val aggDistinct: Q = (s, d) =>
+    T.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_suppkey"))
+
+  /** Approximate distinct (HyperLogLog++): the 100 TB substitute for
+    * count(distinct) — no expand, mergeable sketches. No SQL oracle
+    * (approx ≠ DuckDB HLL); bounds-checked against exact in ScalaTest. */
+  val aggApproxDistinct: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP over (returnflag, linestatus) with subtotals + grand total. */
+  val aggRollup: Q = (s, d) =>
+    T.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over (orderstatus, orderpriority). */
+  val aggCube: Q = (s, d) =>
+    T.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("sum_price"), col("n_rows"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** Explicit GROUPING SETS via SQL. */
+  val aggGroupingSets: Q = (s, d) => {
+    T.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT
+        COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+        ${dsumSql("o_totalprice")}       AS sum_price,
+        COUNT(*)                         AS n_rows
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY orderstatus, orderpriority
+    """)
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-3 orders per customer by rank() — partitioned window, no global
+    * sort. Window order carries a unique tie-break so rank is total. */
+  val windowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** Running revenue per customer — cumulative frame. Decimal running sum
+    * keeps the declared result order-independent. */
+  val windowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.orders(s, d)
+      .withColumn("running_price",
+        round(sum(col("o_totalprice").cast("decimal(20,8)")).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Day-over-day delta of daily event value via lag(). */
+  val windowLag: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("delta", col("v") - col("prev_v"))
+      .select(col("day"), col("v"), col("prev_v"), col("delta"))
+      .orderBy(col("day"))
+  }
+
+  // ------------------------------------------------------- sorts / limits
+
+  /** Global top-10 by totalprice — TakeOrderedAndProject: each partition
+    * keeps 10, driver merges 10×partitions rows; no global sort. */
+  val sortLimitTopk: Q = (s, d) =>
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // --------------------------------------------------------------- setops
+
+  private def sliceA(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+  private def sliceB(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).filter(col("c_nationkey") < 10).select(col("c_custkey"))
+
+  /** UNION (distinct) of two customer slices. */
+  val setUnion: Q = (s, d) =>
+    sliceA(s, d).union(sliceB(s, d)).distinct().orderBy(col("c_custkey"))
+
+  /** INTERSECT. */
+  val setIntersect: Q = (s, d) =>
+    sliceA(s, d).intersect(sliceB(s, d)).orderBy(col("c_custkey"))
+
+  /** EXCEPT. */
+  val setExcept: Q = (s, d) =>
+    sliceA(s, d).except(sliceB(s, d)).orderBy(col("c_custkey"))
+}

@@ -1,0 +1,218 @@
+package graft.ops
+
+/** DuckDB oracle SQL for [[Relational]] — one entry per declared query.
+  *
+  * Conventions (SURVEY.md §2.2 determinism rules):
+  *  - total ORDER BY on a unique column set, explicit projection;
+  *  - double aggregates via `CAST(SUM(CAST(e AS DECIMAL(20,8))) AS DOUBLE)`
+  *    — exact and order-independent, mirroring [[graft.core.Numeric.dsum]];
+  *  - column aliases identical to the Spark side (the driver sorts columns
+  *    by name before hashing).
+  */
+object RelationalOracles {
+  private def dsum(e: String) = s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(20,8))), 2) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "scan_full" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scan_ordered" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "key_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice
+        |FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin,
+
+    "insert_append" ->
+      """SELECT id, username, email FROM (
+        |  SELECT c_custkey AS id, c_name AS username,
+        |         c_name || '@example.com' AS email FROM customer
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'user900001', 'person900001@example.com'),
+        |    (900002, 'user900002', 'person900002@example.com'),
+        |    (-1, 'bad_id', 'rejected@example.com'),
+        |    (900003, repeat('x', 33), 'too_long_username@example.com')
+        |  ) AS t(id, username, email)
+        |) WHERE id >= 0 AND length(username) <= 32 AND length(email) <= 255
+        |ORDER BY id""".stripMargin,
+
+    "filter_pred" ->
+      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.04
+         |  AND l_quantity < 25""".stripMargin,
+
+    "constraint_check" ->
+      """SELECT id, username, email, reject_reason,
+        |  (reject_reason IS NULL) AS accepted
+        |FROM (
+        |  SELECT id, username, email,
+        |    CASE WHEN id < 0 THEN 'ID must be positive.'
+        |         WHEN length(username) > 32 THEN 'String is too long.'
+        |         WHEN length(email) > 255 THEN 'String is too long.'
+        |    END AS reject_reason
+        |  FROM (
+        |    SELECT c_custkey - 5 AS id,
+        |      CASE WHEN c_custkey % 50 = 0
+        |           THEN c_name || repeat('x', 30) ELSE c_name END AS username,
+        |      c_name || '@example.com' AS email
+        |    FROM customer))
+        |ORDER BY id""".stripMargin,
+
+    "join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |  l_quantity, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${dsum("o_totalprice")}, 0.0) AS sum_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT e1.user_id AS user_id, e1.event_id AS signup_id,
+        |  e2.event_id AS purchase_id
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts
+        | AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |WHERE e1.event_type = 'signup' AND e2.event_type = 'purchase'
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |  o_totalprice AS asof_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  (${dsum("l_quantity")} / COUNT(*)) AS avg_qty,
+         |  (${dsum("l_extendedprice")} / COUNT(*)) AS avg_price,
+         |  (${dsum("l_discount")} / COUNT(*)) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+         |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+         |  ${dsum("o_totalprice")} AS sum_price, COUNT(*) AS n_rows
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "agg_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+         |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+         |  ${dsum("o_totalprice")} AS sum_price, COUNT(*) AS n_rows
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS running_price
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "window_lag" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ${dsum("value")} AS v
+         |  FROM events GROUP BY 1)
+         |SELECT day, v, LAG(v, 1) OVER (ORDER BY day) AS prev_v,
+         |  v - LAG(v, 1) OVER (ORDER BY day) AS delta
+         |FROM daily ORDER BY day""".stripMargin,
+
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_nationkey < 10
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_nationkey < 10
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey < 10
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
