@@ -48,10 +48,23 @@ object SparkEntry {
     "set_union"        -> Relational.setUnion,
     "set_intersect"    -> Relational.setIntersect,
     "set_except"       -> Relational.setExcept,
+    // scalar function packs
+    "fn_string"        -> Functions.fnString,
+    "fn_date"          -> Functions.fnDate,
+    "fn_math"          -> Functions.fnMath,
+    "fn_array"         -> Functions.fnArray,
+    "fn_json"          -> Functions.fnJson,
+    "fn_map"           -> Functions.fnMap,
+    // streaming semantics (batch-mode declared; stream-mode in tests)
+    "stream_tumbling"  -> Streaming.streamTumbling,
+    "stream_sliding"   -> Streaming.streamSliding,
+    "stream_session"   -> Streaming.streamSession,
+    "stream_dedup_watermark" -> Streaming.streamDedup,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
     * engine-side semantics) get the driver's weaker rows-only check. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql
+  def oracleSql: Map[String, String] =
+    RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.{Tables => T}
+
+/** Scalar-function surface: string / date / math / array / json / map —
+  * SURVEY.md §2.2 "Scalar functions".
+  *
+  * The reference has no expression language at all (its parser recognizes
+  * two statement prefixes, `/root/reference/db.cpp:428-441`); this module
+  * declares the function packs a real engine needs, all as codegen'd
+  * built-ins from `org.apache.spark.sql.functions` — no UDFs, so every
+  * expression stays inside whole-stage codegen at 100 TB.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-row exact 2-decimal rounding of a double expression: decimal
+    * round-trip keeps Spark and DuckDB bit-identical (see
+    * [[graft.core.Numeric]]). */
+  private def d2(e: Column): Column =
+    round(e.cast(DecimalType(20, 8)), 2).cast(DoubleType)
+
+  /** String pack: upper/lower/substring/length/concat/replace/LIKE —
+    * includes R3's length guard (`db.cpp:416-419`) as `length()`. */
+  val fnString: Q = (s, d) =>
+    T.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 5).as("name_pre"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      col("p_name").like("%a%").as("has_a"))
+      .orderBy(col("p_partkey"))
+
+  /** Date pack: year/month/day/quarter/date_trunc/datediff. */
+  val fnDate: Q = (s, d) =>
+    T.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math pack: the revenue expression + abs/ceil/floor/sqrt — all
+    * IEEE-exact or decimal-rounded, so engine-portable. */
+  val fnMath: Q = (s, d) =>
+    T.lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      d2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      abs(col("l_discount") - 0.05).as("disc_dev"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      floor(col("l_extendedprice")).as("price_floor"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_tax") * col("l_tax")).as("tax_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array pack over the embedding vectors: size / element access /
+    * higher-order aggregate (L2 norm, mean) — ArrayType survives the
+    * whole pipeline without UDFs. */
+  val fnArray: Q = (s, d) =>
+    T.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      element_at(col("embedding"), 1).as("e0"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double")) / size(col("embedding")), 6).as("mean_val"))
+      .orderBy(col("vec_id"))
+
+  /** JSON pack: extract `props.k` (string JSON column) two ways —
+    * get_json_object path and from_json with schema — filter on it. */
+  val fnJson: Q = (s, d) =>
+    T.events(s, d).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").cast("long").as("k_struct"))
+      .filter(col("k_val") > 50)
+      .orderBy(col("event_id"))
+
+  /** Map pack: per-user map(event_type → count), built then exploded —
+    * MapType round-trips through an aggregation. */
+  val fnMap: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |  lower(p_type) AS type_lower,
+        |  substring(p_name, 1, 5) AS name_pre,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  (p_name LIKE '%a%') AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,8)), 2) AS DOUBLE) AS revenue,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_tax * l_tax AS tax_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  embedding[1] AS e0,
+        |  round(sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |              FROM UNNEST(embedding) t(x))), 6) AS l2_norm,
+        |  round((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) t(x))
+        |        / len(embedding), 6) AS mean_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k_val,
+        |  CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k_struct
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}

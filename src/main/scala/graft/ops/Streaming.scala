@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+import graft.core.Numeric._
+
+/** Event-time streaming semantics — SURVEY.md §2.2 "Streaming".
+  *
+  * The reference is a single-threaded REPL (`/root/reference/db.cpp:549-598`)
+  * with no notion of time; this module declares the Structured-Streaming
+  * surface a 100 TB event pipeline needs. Each transform is written against
+  * a plain DataFrame so the SAME definition runs in batch mode (for the
+  * DuckDB oracle) and in streaming mode (`spark.readStream` /
+  * `MemoryStream` — exercised in StreamingSpec with Trigger.AvailableNow).
+  * Watermark handling is applied only on the streaming path: watermarks are
+  * a state-eviction bound, not a semantic change, so batch == stream on
+  * in-order data.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------- shared transform definitions (batch and streaming identical)
+
+  /** 1-hour tumbling windows per event_type. Epoch-aligned, so the batch
+    * oracle is a date_trunc('hour') GROUP BY. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes — each event lands in 4
+    * overlapping windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session windows with a 10-minute inactivity gap. Session
+    * end is last-event + gap (Spark session_window semantics). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  // ------------------------------------------------ declared batch queries
+
+  val streamTumbling: Q = (s, d) =>
+    tumblingCounts(T.events(s, d)).orderBy(col("ws"), col("event_type"))
+
+  val streamSliding: Q = (s, d) =>
+    slidingCounts(T.events(s, d)).orderBy(col("ws"), col("event_type"))
+
+  val streamSession: Q = (s, d) =>
+    sessionCounts(T.events(s, d)).orderBy(col("user_id"), col("session_start"))
+
+  /** Duplicate suppression keyed on (user_id, event_type), keeping the
+    * earliest event. Batch mode uses a deterministic row_number (batch
+    * dropDuplicates keeps an arbitrary first-encountered row — declared
+    * results must not depend on partition order); the streaming path in
+    * [[dedupStream]] uses watermark + dropDuplicates, whose kept row on
+    * in-order input is the same earliest event. */
+  val streamDedup: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // --------------------------------------------------- streaming builders
+
+  /** Streaming flavor of [[tumblingCounts]] with a watermark for state
+    * eviction — append-mode-ready at scale. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "1 hour"))
+
+  def sessionStream(events: DataFrame): DataFrame =
+    sessionCounts(events.withWatermark("ts", "1 hour"))
+
+  /** Streaming dedup: watermark bounds the key-set state; duplicates
+    * arriving later than the watermark are dropped by construction. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      s"""SELECT ws, event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM (
+         |  SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+         |           - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS ws,
+         |         event_type, value
+         |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k))
+         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_dedup_watermark" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  ts AS first_ts
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+  )
+}
