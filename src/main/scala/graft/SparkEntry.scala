@@ -60,11 +60,26 @@ object SparkEntry {
     "stream_sliding"   -> Streaming.streamSliding,
     "stream_session"   -> Streaming.streamSession,
     "stream_dedup_watermark" -> Streaming.streamDedup,
+    // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
+    "dedup_exact"      -> LlmPipeline.dedupExact,
+    "dedup_near"       -> LlmPipeline.dedupNear,
+    "dedup_minhash"    -> LlmPipeline.dedupMinhash,
+    "dedup_simhash"    -> LlmPipeline.dedupSimhash,
+    "dedup_embed"      -> LlmPipeline.dedupEmbed,
+    "sim_topk"         -> LlmPipeline.simTopk,
+    "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
+    "text_stats"       -> LlmPipeline.textStats,
+    "text_lang"        -> LlmPipeline.textLang,
+    "text_quality"     -> LlmPipeline.textQuality,
+    "text_tokens"      -> LlmPipeline.textTokens,
+    "text_fingerprint" -> LlmPipeline.textFingerprint,
+    "multimodal_join"  -> LlmPipeline.multimodalJoin,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
     * engine-side semantics) get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles
+    RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
+      LlmPipeline.oracles
 }

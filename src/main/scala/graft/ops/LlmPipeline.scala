@@ -1,0 +1,656 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.2 "LLM-data-pipeline
+  * extensions": deduplication (exact, shingle-Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine), similarity search (brute-force and IVF
+  * top-k), text analysis (stats, language-ID, quality scoring, token
+  * counting, fingerprinting), and a multimodal join.
+  *
+  * The reference has none of this (its full statement surface is
+  * insert/select, `/root/reference/db.cpp:428-441`); these are the
+  * north-star operators a 100 TB training-data pipeline needs.
+  *
+  * Design rules:
+  *   - Portable hashing: every hash is derived from `md5` hex (identical in
+  *     Spark and DuckDB), so even MinHash/SimHash results are bit-equal and
+  *     oracle-checkable — no engine-specific `hash()`/`xxhash64`.
+  *   - No UDFs: everything is built-ins + higher-order functions, so the
+  *     whole pipeline stays inside whole-stage codegen.
+  *   - Planted variants: the harness corpus has no duplicates, so dedup
+  *     queries union deterministic perturbed copies of a document slice
+  *     (uppercased/padded → exact dups after normalization; last-2-tokens
+  *     dropped → near dups) and must find exactly those.
+  *   - Scale notes per operator: the quadratic exact variants are bounded
+  *     to a small probe/variant side; MinHash-LSH and IVF are the 100 TB
+  *     paths (candidate generation via equi-join on bucket keys — shuffle
+  *     on bucket, never all-pairs).
+  */
+object LlmPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------- shared pieces
+
+  /** 48-bit portable hash: first 12 hex digits of md5. Spark `conv` and
+    * DuckDB `CAST('0x…' AS BIGINT)` agree exactly; 48 bits stays well
+    * inside a signed long for the affine re-hash arithmetic below. */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  private def h48Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 12) AS BIGINT)"
+
+  /** MinHash family: K affine re-hashes of the 48-bit shingle hash modulo a
+    * 31-bit prime. Multipliers < 2^14 keep a*h < 2^45 — no overflow. */
+  private val P = 2147483647L
+  private val K = 32
+  private val NBands = 8
+  private val R = 4 // rows per band; NBands * R == K
+  private val A: IndexedSeq[Long] =
+    (0 until K).map(i => (((i + 1) * 2654435761L) % 16381L) | 1L)
+  private val B: IndexedSeq[Long] =
+    (0 until K).map(i => ((i + 1) * 40503L + 7L) % 16381L)
+
+  private val JaccThreshold = 0.7
+  private val SimhashBits = 48
+  private val HammingMax = 10
+
+  /** Word 3-gram shingles of a space-tokenized text column (1-based
+    * element_at; docs shorter than 3 tokens yield no shingles). */
+  private def shingles(tokens: Column): Column =
+    transform(sequence(lit(1), size(tokens) - 2), i =>
+      concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+        element_at(tokens, i + 2)))
+
+  private val shinglesSql =
+    "list_transform(list_slice(list_zip(l, l[2:], l[3:]), 1, len(l)-2), x -> x[1] || ' ' || x[2] || ' ' || x[3])"
+
+  /** Dedup corpus: documents ∪ planted exact-dup variants (doc_id%10==0 →
+    * +100000, uppercased + padded: identical after lower/trim) ∪ planted
+    * near-dup variants (doc_id%7==0 → +200000, last 2 tokens dropped). */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val exactVars = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val toks = split(col("text"), " ")
+    val nearVars = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text"))
+    docs.unionByName(exactVars).unionByName(nearVars)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |         array_to_string(list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 2), ' ')
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** doc_id → distinct shingle set, for exact Jaccard verification. */
+  private def shingleSets(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    c.filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(toks)).as("sset"))
+  }
+
+  private val shingleSetsSql =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
+       |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)""".stripMargin
+
+  /** Exact Jaccard between two distinct-shingle-set columns, in double. */
+  private def jacc(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ------------------------------------------------------------ dedup: exact
+
+  /** Exact dedup by normalized-text hash: lower/trim → md5 → keep the
+    * smallest doc_id per hash. At 100 TB this is one hash-shuffle groupBy —
+    * the canonical first dedup pass of any training-data pipeline. */
+  val dedupExact: Q = (s, d) =>
+    corpus(s, d)
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_copies"))
+      .select(col("kept_id"), col("n_copies"))
+      .orderBy(col("kept_id"))
+
+  // ---------------------------------------------- dedup: exact shingle Jaccard
+
+  /** Near-dup detection by exact 3-gram Jaccard ≥ 0.7, planted variants vs
+    * the full corpus. The left side is bounded (the variant slice), so the
+    * pair space is |variants| × |corpus|, not quadratic — the exact-verify
+    * step of a dedup pipeline. The unbounded candidate-generation problem
+    * is [[dedupMinhash]]. */
+  val dedupNear: Q = (s, d) => {
+    val sets = shingleSets(corpus(s, d))
+    val vars = sets.filter(col("doc_id") >= 200000L)
+      .select(col("doc_id").as("var_id"), col("sset").as("vset"))
+    val base = sets.filter(col("doc_id") < 200000L)
+      .select(col("doc_id").as("base_id"), col("sset").as("bset"))
+    vars.crossJoin(base)
+      .withColumn("jacc", jacc(col("vset"), col("bset")))
+      .filter(col("jacc") >= JaccThreshold)
+      .select(col("var_id"), col("base_id"), round(col("jacc"), 6).as("jacc"))
+      .orderBy(col("var_id"), col("base_id"))
+  }
+
+  // ------------------------------------------------------- dedup: MinHash-LSH
+
+  /** MinHash signature (K min-aggregates of affine re-hashes) per doc. */
+  private def minhashSigs(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val exploded = c.filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(shingles(toks)).as("sh"))
+      .withColumn("hv", h48(col("sh")) % P)
+    val mins = (0 until K).map(i =>
+      min((lit(A(i)) * col("hv") + lit(B(i))) % P).as(s"mh_$i"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding dedup — the 100 TB near-dup path. K=32 hashes,
+    * 8 bands × 4 rows: P(candidate | J=0.7) ≈ 1-(1-0.7⁴)⁸ ≈ 0.90 per the
+    * standard banding bound; candidates are then exact-Jaccard-verified at
+    * ≥ 0.7 so false positives cost only the verify join. Candidate
+    * generation is an equi-join on (band, band-key) — a hash shuffle, never
+    * an all-pairs comparison. */
+  val dedupMinhash: Q = (s, d) => {
+    val c = corpus(s, d)
+    val sigs = minhashSigs(c)
+    val bandCols = (0 until NBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until R).map(r => col(s"mh_${b * R + r}")): _*).as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val sets = shingleSets(c)
+    cand
+      .join(sets.select(col("doc_id").as("ia"), col("sset").as("sa")), "ia")
+      .join(sets.select(col("doc_id").as("ib"), col("sset").as("sb")), "ib")
+      .withColumn("jacc", jacc(col("sa"), col("sb")))
+      .filter(col("jacc") >= JaccThreshold)
+      .select(col("ia").as("a"), col("ib").as("b"), round(col("jacc"), 6).as("jacc"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---------------------------------------------------------- dedup: SimHash
+
+  /** 48-bit SimHash over shingle hashes: bit j of the signature is the
+    * sign of Σ_shingles (±1 by bit j of the shingle hash). Near-dups =
+    * pairs with Hamming distance ≤ 10. The pairing here is all-pairs
+    * (bounded corpus); at 100 TB the same signatures go through
+    * bit-sampling LSH buckets instead. */
+  val dedupSimhash: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val exploded = corpus(s, d).filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(shingles(toks)).as("sh"))
+      .withColumn("hv", h48(col("sh")))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j"))
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until SimhashBits).map(j =>
+          when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        ).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+    sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------- embedding-cosine pieces
+
+  /** Exact double-precision cosine between two float-array columns.
+    * zip_with/aggregate folds in array-index order — deterministic, and
+    * equal to DuckDB's positional-sum oracle after round(…, 6). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** DuckDB positional dot product over 64-dim float lists. */
+  private def dotSql(a: String, b: String): String =
+    s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM range(1, 65) r(i))"
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Embedding corpus with planted near-dup variants: vec_id%10==0 → copy
+    * at +10000 scaled by 1.5f (cosine-invariant up to float rounding). */
+  private def vecCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val vars = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")).as("embedding"))
+    e.unionByName(vars)
+  }
+
+  private val vecCorpusSql =
+    """vcorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000,
+      |         list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  /** Embedding near-dup: planted variants vs the base set, cosine ≥ 0.999.
+    * Left side bounded to the variant slice (the exact-verify step); the
+    * blocked/ANN candidate generation at scale is [[simTopkIvf]]'s
+    * centroid assignment. */
+  val dedupEmbed: Q = (s, d) => {
+    val vc = vecCorpus(s, d)
+    val vars = vc.filter(col("vec_id") >= 10000L)
+      .select(col("vec_id").as("var_id"), col("embedding").as("ve"))
+    val base = vc.filter(col("vec_id") < 10000L)
+      .select(col("vec_id").as("base_id"), col("embedding").as("be"))
+    vars.crossJoin(base)
+      .withColumn("cos", cosine(col("ve"), col("be")))
+      .filter(col("cos") >= 0.999)
+      .select(col("var_id"), col("base_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("var_id"), col("base_id"))
+  }
+
+  // ------------------------------------------------------- similarity search
+
+  /** Brute-force exact cosine top-5 for a fixed probe set (vec_id < 10) —
+    * the correctness baseline for ANN. The probe side broadcasts; the
+    * candidate scan is embarrassingly parallel; per-probe top-k is a
+    * partitioned window, no global sort. */
+  val simTopk: Q = (s, d) => {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val scored = broadcast(probes).crossJoin(
+        e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("pe"), col("ce")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the 100 TB similarity path:
+    * vectors are partitioned into centroid cells (assignment = nearest of
+    * 10 fixed centroids, an equi-joinable cell id), and each probe searches
+    * only its nprobe=3 nearest cells. Exactly the shape of a distributed
+    * IVF index: cell assignment is a broadcast join + argmin, search is an
+    * equi-join on cell id — never a full cross join. */
+  val simTopkIvf: Q = (s, d) => {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = broadcast(e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+    // cell assignment: nearest centroid per vector (rounded cosine,
+    // cent_id tiebreak — total order, engine-portable)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = e.crossJoin(cents)
+      .withColumn("ccos", round(cosine(col("embedding"), col("cent")), 6))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cells = e.join(assign, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("cell"), col("embedding").as("ce"))
+    // probes search their nprobe=3 nearest cells
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probeCells = broadcast(probes).crossJoin(cents)
+      .withColumn("pcos", round(cosine(col("pe"), col("cent")), 6))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= 3)
+      .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    probeCells.join(cells, "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("pe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Corpus statistics per (lang, source): doc counts, exact char sums,
+    * token totals, distinct vocabulary. One shuffle on the group key;
+    * countDistinct expands but the group space is tiny. */
+  val textStats: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val docStats = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+    val tokStats = docs
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_vocab"))
+    docStats.join(tokStats, Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Marker-token language-ID heuristic: count hits from a tiny English
+    * marker lexicon; ≥ 2 hits → 'en'. (Real pipelines use char-n-gram
+    * models; the relational shape — per-doc score + argmax — is what
+    * matters here.) */
+  val textLang: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    T.documents(s, d)
+      .withColumn("en_score",
+        size(filter(toks, x => x.isin("the", "a", "data", "value")))
+          .cast("long"))
+      .withColumn("predicted",
+        when(col("en_score") >= 2, "en").otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("en_score"),
+        (col("predicted") === col("lang")).as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc quality scoring: length, token, stopword and alpha-character
+    * ratios folded into a [0,1] composite — the filter stage of a
+    * training-data pipeline, fully codegen'd scalar math. */
+  val textQuality: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    T.documents(s, d)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(toks, x => x.isin("the", "a", "value", "data")))
+          .cast("double") / col("n_tok").cast("double"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double"))
+      .withColumn("score", round(
+        lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / 100.0) +
+          lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * col("alpha_ratio"), 6))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace split vs regex word extraction vs
+    * a BPE-ish bounded-chunk split (≤ 4 chars per piece). */
+  val textTokens: Q = (s, d) =>
+    T.documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long"))
+      .withColumn("bpe_ish",
+        regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("bpe_ish"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: bottom-8 sketch of 3-gram shingle hashes (the
+    * order-independent cousin of winnowing — a stable content signature
+    * for sketch-based containment/overlap checks). Exploded to one row per
+    * (doc, rank). */
+  val textFingerprint: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val hashed = T.documents(s, d).filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(toks))).as("sh"))
+      .withColumn("hv", h48(col("sh")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("hv"))
+    hashed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 8)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("hv"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // -------------------------------------------------------- multimodal join
+
+  /** documents ⋈ embeddings by id with the vector carried through a
+    * groupBy: per (lang, label) cohort — count, exact avg chars, mean
+    * L2 norm (per-row norm rounded to 6, then exact decimal mean). Proves
+    * nested array columns survive join + aggregation. */
+  val multimodalJoin: Q = (s, d) => {
+    def dot(x: Column): Column =
+      aggregate(zip_with(x, x, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+    val embs = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .withColumn("l2", round(sqrt(dot(col("embedding"))), 6))
+      .groupBy(col("lang"), col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(col("l2").cast("decimal(20,8)")).cast("double") / count(lit(1)))
+          .as("avg_l2"))
+      .select(col("lang"), col("label"), col("n"), col("avg_chars"),
+        round(col("avg_l2"), 6).as("avg_l2"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private def minhashSigSql: String = {
+    val mins = (0 until K).map(i =>
+      s"min((${A(i)} * hv + ${B(i)}) % $P) AS mh_$i").mkString(",\n    ")
+    s"""sh AS (SELECT doc_id, unnest($shinglesSql) s FROM tok WHERE len(l) >= 3),
+       |hv AS (SELECT doc_id, ${h48Sql("s")} % $P AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hv GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandsSql: String =
+    (0 until NBands).map { b =>
+      val key = (0 until R).map(r => s"CAST(mh_${b * R + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+
+  private val jaccSql =
+    """CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+      | / CAST(len(sa.sset) + len(sb.sset)
+      |        - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)""".stripMargin
+
+  private def simhashSigSql: String = {
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"sum(((hv >> $j) & 1) * 2 - 1) AS s_$j").mkString(",\n    ")
+    val value = (0 until SimhashBits).map(j =>
+      s"CASE WHEN s_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""sh AS (SELECT doc_id, unnest($shinglesSql) s FROM tok WHERE len(l) >= 3),
+       |hv AS (SELECT doc_id, ${h48Sql("s")} AS hv FROM sh),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $value AS simhash FROM bits)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
+         |FROM corpus GROUP BY md5(lower(trim(text)))
+         |ORDER BY kept_id""".stripMargin,
+
+    "dedup_near" ->
+      s"""WITH $corpusSql,
+         |$shingleSetsSql
+         |SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,
+         |  round($jaccSql, 6) AS jacc
+         |FROM ssets sa JOIN ssets sb
+         |  ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |WHERE $jaccSql >= $JaccThreshold
+         |ORDER BY var_id, base_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
+         |$minhashSigSql,
+         |bands AS (
+         |$bandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)
+         |SELECT ia AS a, ib AS b, round($jaccSql, 6) AS jacc
+         |FROM cand
+         |  JOIN ssets sa ON sa.doc_id = ia
+         |  JOIN ssets sb ON sb.doc_id = ib
+         |WHERE $jaccSql >= $JaccThreshold
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
+         |$simhashSigSql
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_embed" ->
+      s"""WITH $vecCorpusSql
+         |SELECT v.vec_id AS var_id, b.vec_id AS base_id,
+         |  round(${cosineSql("v.embedding", "b.embedding")}, 6) AS cos
+         |FROM vcorpus v JOIN vcorpus b
+         |  ON v.vec_id >= 10000 AND b.vec_id < 10000
+         |WHERE ${cosineSql("v.embedding", "b.embedding")} >= 0.999
+         |ORDER BY var_id, base_id""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(${cosineSql("p.embedding", "c.embedding")}, 6) AS cos
+         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |cells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosineSql("p.embedding", "c.cent")}, 6) DESC, c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |scored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cosineSql("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN cells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "text_stats" ->
+      """SELECT d.lang, d.source, n_docs, avg_chars, n_tokens, n_vocab
+        |FROM (SELECT lang, source, count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |      FROM documents GROUP BY lang, source) d
+        |JOIN (SELECT lang, source, count(*) AS n_tokens,
+        |        count(DISTINCT tok) AS n_vocab
+        |      FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)
+        |      GROUP BY lang, source) t
+        |  ON d.lang = t.lang AND d.source = t.source
+        |ORDER BY d.lang, d.source""".stripMargin,
+
+    "text_lang" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END AS predicted,
+        |  en_score,
+        |  (CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END) = lang AS agree
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'data', 'value'))) AS BIGINT) AS en_score
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tok,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(alpha_ratio, 6) AS alpha_ratio,
+        |  round(0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+        |      + 0.4 * (1.0 - stop_ratio)
+        |      + 0.3 * alpha_ratio, 6) AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) s
+         |       FROM tok WHERE len(l) >= 3),
+         |hv AS (SELECT doc_id, ${h48Sql("s")} AS hv FROM sh),
+         |ranked AS (SELECT doc_id, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rnk
+         |  FROM hv)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, hv
+         |FROM ranked WHERE rnk <= 8 ORDER BY doc_id, rnk""".stripMargin,
+
+    "multimodal_join" ->
+      s"""SELECT d.lang, e.label, count(*) AS n,
+         |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS avg_chars,
+         |  round(CAST(sum(CAST(round(sqrt(${dotSql("e.embedding", "e.embedding")}), 6) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_l2
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
+  )
+}
