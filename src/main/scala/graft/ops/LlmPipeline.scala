@@ -126,17 +126,43 @@ object LlmPipeline {
   // ---------------------------------------------- dedup: exact shingle Jaccard
 
   /** Near-dup detection by exact 3-gram Jaccard ≥ 0.7, planted variants vs
-    * the full corpus. The left side is bounded (the variant slice), so the
-    * pair space is |variants| × |corpus|, not quadratic — the exact-verify
-    * step of a dedup pipeline. The unbounded candidate-generation problem
-    * is [[dedupMinhash]]. */
+    * the full corpus — with AllPairs-style prefix filtering for candidate
+    * generation (Bayardo et al., WWW'07): each distinct-shingle set is
+    * sorted in a canonical global order (by 48-bit shingle hash) and only
+    * its first |S| - ceil(t*|S|) + 1 shingles are exploded; any pair with
+    * J >= t MUST share a prefix shingle (pigeonhole), so the equi-join on
+    * prefix shingles is a guaranteed superset of the answer and the result
+    * is byte-identical to the naive quadratic join. A size-ratio filter
+    * (t*|B| <= |A| <= |B|/t, also exact) prunes candidates before the
+    * exact-Jaccard verify. At 100 TB this is the shape that survives:
+    * one hash shuffle on shingle, never all-pairs. */
   val dedupNear: Q = (s, d) => {
-    val sets = shingleSets(corpus(s, d))
-    val vars = sets.filter(col("doc_id") >= 200000L)
-      .select(col("doc_id").as("var_id"), col("sset").as("vset"))
-    val base = sets.filter(col("doc_id") < 200000L)
-      .select(col("doc_id").as("base_id"), col("sset").as("bset"))
-    vars.crossJoin(base)
+    // The shingle-set subtree feeds candidate generation AND both sides of
+    // the verify join; without persist Spark recomputes the md5-heavy
+    // shingling 3×. At cluster scale the same reuse is a persist to
+    // MEMORY_AND_DISK (or a checkpoint) of the tokenized corpus.
+    val sets = shingleSets(corpus(s, d)).persist()
+    // canonical order = ascending 48-bit hash (shingle text tiebreak)
+    val prefixed = sets
+      .withColumn("sorted", array_sort(
+        transform(col("sset"), x => struct(h48(x).as("h"), x.as("sh")))))
+      .withColumn("n", size(col("sset")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(JaccThreshold) * col("n")) + 1).cast("int"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(slice(col("sorted"), lit(1), col("plen")),
+          st => st.getField("sh"))).as("psh"))
+    val vp = prefixed.filter(col("doc_id") >= 200000L)
+      .select(col("doc_id").as("var_id"), col("n").as("vn"), col("psh"))
+    val bp = prefixed.filter(col("doc_id") < 200000L)
+      .select(col("doc_id").as("base_id"), col("n").as("bn"), col("psh"))
+    val cand = vp.join(bp, "psh")
+      .filter(col("vn") >= lit(JaccThreshold) * col("bn") &&
+        col("bn") >= lit(JaccThreshold) * col("vn"))
+      .select(col("var_id"), col("base_id")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("var_id"), col("sset").as("vset")), "var_id")
+      .join(sets.select(col("doc_id").as("base_id"), col("sset").as("bset")), "base_id")
       .withColumn("jacc", jacc(col("vset"), col("bset")))
       .filter(col("jacc") >= JaccThreshold)
       .select(col("var_id"), col("base_id"), round(col("jacc"), 6).as("jacc"))
@@ -169,15 +195,18 @@ object LlmPipeline {
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r => col(s"mh_${b * R + r}")): _*).as("bkey"))
     }
+    // self-joined below — persist so the signature computation (explode +
+    // 6M md5 at sf0.1) runs once, not once per join side
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      .persist()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
-    val sets = shingleSets(c)
+    val sets = shingleSets(c).persist() // feeds both verify-join sides
     cand
       .join(sets.select(col("doc_id").as("ia"), col("sset").as("sa")), "ia")
       .join(sets.select(col("doc_id").as("ib"), col("sset").as("sb")), "ib")
@@ -208,6 +237,7 @@ object LlmPipeline {
           when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
         ).reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
+      .persist() // self-joined: signature computed once, not per side
     sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming",
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
@@ -219,15 +249,23 @@ object LlmPipeline {
 
   // ------------------------------------------------- embedding-cosine pieces
 
-  /** Exact double-precision cosine between two float-array columns.
+  /** Exact double-precision dot product of two float-array columns.
     * zip_with/aggregate folds in array-index order — deterministic, and
     * equal to DuckDB's positional-sum oracle after round(…, 6). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def dotp(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine between two float-array columns (norms recomputed —
+    * use only where each side appears in O(1) pairs; the hot paths below
+    * precompute a `norm` column per vector instead, so each candidate
+    * pair costs ONE dot product, not three). */
+  private def cosine(a: Column, b: Column): Column =
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
+
+  /** Attach the precomputed L2 norm: (id, vec) → (id, vec, norm). */
+  private def withNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("norm", sqrt(dotp(col(vec), col(vec))))
 
   /** DuckDB positional dot product over 64-dim float lists. */
   private def dotSql(a: String, b: String): String =
@@ -258,13 +296,15 @@ object LlmPipeline {
     * blocked/ANN candidate generation at scale is [[simTopkIvf]]'s
     * centroid assignment. */
   val dedupEmbed: Q = (s, d) => {
-    val vc = vecCorpus(s, d)
+    val vc = withNorm(vecCorpus(s, d), "embedding")
     val vars = vc.filter(col("vec_id") >= 10000L)
-      .select(col("vec_id").as("var_id"), col("embedding").as("ve"))
+      .select(col("vec_id").as("var_id"), col("embedding").as("ve"),
+        col("norm").as("vnorm"))
     val base = vc.filter(col("vec_id") < 10000L)
-      .select(col("vec_id").as("base_id"), col("embedding").as("be"))
+      .select(col("vec_id").as("base_id"), col("embedding").as("be"),
+        col("norm").as("bnorm"))
     vars.crossJoin(base)
-      .withColumn("cos", cosine(col("ve"), col("be")))
+      .withColumn("cos", dotp(col("ve"), col("be")) / (col("vnorm") * col("bnorm")))
       .filter(col("cos") >= 0.999)
       .select(col("var_id"), col("base_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("var_id"), col("base_id"))
@@ -277,13 +317,17 @@ object LlmPipeline {
     * candidate scan is embarrassingly parallel; per-probe top-k is a
     * partitioned window, no global sort. */
   val simTopk: Q = (s, d) => {
-    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = withNorm(
+      T.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("norm").as("pnorm"))
     val scored = broadcast(probes).crossJoin(
-        e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")))
+        e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("norm").as("cnorm")))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("pe"), col("ce")), 6))
+      .withColumn("cos",
+        round(dotp(col("pe"), col("ce")) / (col("pnorm") * col("cnorm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -300,35 +344,42 @@ object LlmPipeline {
     * IVF index: cell assignment is a broadcast join + argmin, search is an
     * equi-join on cell id — never a full cross join. */
   val simTopkIvf: Q = (s, d) => {
-    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = withNorm(
+      T.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
     val cents = broadcast(e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+        col("norm").as("centnorm")))
     // cell assignment: nearest centroid per vector (rounded cosine,
     // cent_id tiebreak — total order, engine-portable)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
     val assign = e.crossJoin(cents)
-      .withColumn("ccos", round(cosine(col("embedding"), col("cent")), 6))
+      .withColumn("ccos", round(
+        dotp(col("embedding"), col("cent")) / (col("norm") * col("centnorm")), 6))
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     val cells = e.join(assign, "vec_id")
-      .select(col("vec_id").as("cand_id"), col("cell"), col("embedding").as("ce"))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("embedding").as("ce"), col("norm").as("cnorm"))
     // probes search their nprobe=3 nearest cells
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("norm").as("pnorm"))
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("pcos").desc, col("cent_id"))
     val probeCells = broadcast(probes).crossJoin(cents)
-      .withColumn("pcos", round(cosine(col("pe"), col("cent")), 6))
+      .withColumn("pcos", round(
+        dotp(col("pe"), col("cent")) / (col("pnorm") * col("centnorm")), 6))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= 3)
-      .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
+      .select(col("probe_id"), col("pe"), col("pnorm"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     probeCells.join(cells, "cell")
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("pe"), col("ce")), 6))
+      .withColumn("cos",
+        round(dotp(col("pe"), col("ce")) / (col("pnorm") * col("cnorm")), 6))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk").cast("long").as("rnk"),

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{Tables => T}
+
+/** Algebraic invariants (SURVEY §5.2.3) checked over ScalaCheck-generated
+  * relations (generators driven directly — scalatestplus isn't in the
+  * offline artifact cache) plus the sf0.001 tables. */
+class PropertySpec extends SparkSpecBase {
+
+  private def toDf(xs: List[Long]) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("k")
+  }
+
+  private val keyLists = Gen.listOfN(30, Gen.chooseNum(0L, 20L))
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i)).get)
+
+  test("union-distinct = set union; intersect ⊆ both; except disjoint from B") {
+    samples(Gen.zip(keyLists, keyLists), 10).foreach { case (a, b) =>
+      val (da, db) = (toDf(a), toDf(b))
+      val u = da.union(db).distinct().collect().map(_.getLong(0)).toSet
+      val i = da.intersect(db).collect().map(_.getLong(0)).toSet
+      val e = da.except(db).collect().map(_.getLong(0)).toSet
+      assert(u == (a.toSet ++ b.toSet))
+      assert(i == (a.toSet intersect b.toSet))
+      assert(e == (a.toSet diff b.toSet))
+    }
+  }
+
+  test("dedup is idempotent: distinct(distinct(x)) == distinct(x)") {
+    samples(keyLists, 10).foreach { a =>
+      val d1 = toDf(a).distinct()
+      assert(d1.distinct().collect().map(_.getLong(0)).sorted
+        .sameElements(d1.collect().map(_.getLong(0)).sorted))
+    }
+  }
+
+  test("approx_count_distinct is within rsd bound of exact (sf0.001 events)") {
+    // covers the oracle-less agg_approx_distinct (SURVEY §2.2)
+    val ev = T.events(spark, sf0001)
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), 0.05))
+      .collect()(0).getLong(0)
+    // 0.05 rsd → generous 5-sigma acceptance band
+    assert(math.abs(approx - exact).toDouble / exact <= 0.25,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("cosine similarity is symmetric, bounded, and 1.0 on self (sf0.001)") {
+    val e = T.embeddings(spark, sf0001).limit(20)
+      .select(col("vec_id"), col("embedding"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (a, v) => a + v)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(dot(col("a.embedding"), col("a.embedding"))) *
+            sqrt(dot(col("b.embedding"), col("b.embedding"))))).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case ((ia, ib), c) =>
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cos($ia,$ib)=$c out of bounds")
+      assert(math.abs(c - pairs((ib, ia))) < 1e-12, "asymmetric")
+      if (ia == ib) assert(math.abs(c - 1.0) < 1e-12, "self-cosine != 1")
+    }
+  }
+
+  test("dsum is partition-order independent") {
+    val s = spark
+    import s.implicits._
+    val xs = (1 to 1000).map(i => i * 0.01)
+    val d1 = xs.toDF("v").repartition(1)
+      .agg(graft.core.Numeric.dsum(col("v"))).collect()(0).getDouble(0)
+    val d7 = xs.reverse.toDF("v").repartition(7)
+      .agg(graft.core.Numeric.dsum(col("v"))).collect()(0).getDouble(0)
+    assert(d1 == d7) // bit-equal, not approx
+  }
+}

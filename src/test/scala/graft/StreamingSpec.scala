@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{Tables => T}
+import graft.ops.Streaming
+
+/** Streaming semantics (SURVEY §5.2.4): the SAME transform definitions run
+  * in batch mode (declared queries, DuckDB-oracle-checked) and in streaming
+  * mode. These specs execute the streaming flavor over a MemoryStream with
+  * Trigger.AvailableNow and assert result equality with the batch run, plus
+  * the watermark's late-data drop contract. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def tsAt(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample: Seq[Ev] = Seq(
+    Ev(1, tsAt(0), 1, "click", 1.0),
+    Ev(2, tsAt(5), 1, "click", 2.0),
+    Ev(3, tsAt(20), 1, "click", 3.0),   // >10min gap → new session for user 1
+    Ev(4, tsAt(2), 2, "view", 4.0),
+    Ev(5, tsAt(61), 2, "view", 5.0),    // second hour window
+    Ev(6, tsAt(61), 2, "view", 5.0),    // same-key duplicate (dedup target)
+  )
+
+  /** Run a streaming transform over the sample via MemoryStream and return
+    * the complete/append result as a batch DataFrame. */
+  private def runStream(mode: String)(f: DataFrame => DataFrame): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(sample)
+    val q = f(ms.toDF())
+    val name = s"t${System.nanoTime()}"
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
+  private def batchDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    s.createDataset(sample).toDF()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row] = {
+    val cols = df.columns.sorted.map(col)
+    df.select(cols: _*).collect().toSeq.sortBy(_.toString)
+  }
+
+  test("tumbling window counts: stream == batch") {
+    val streamed = runStream("complete")(Streaming.tumblingStream)
+    val batch = Streaming.tumblingCounts(batchDf)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // two hour-buckets expected from the sample
+    assert(streamed.select("ws").distinct().count() == 2)
+  }
+
+  test("session windows: stream == batch, 10-min gap splits sessions") {
+    val streamed = runStream("complete")(Streaming.sessionStream)
+    val batch = Streaming.sessionCounts(batchDf)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // user 1: events at +0,+5 then +20 → two sessions
+    assert(streamed.filter(col("user_id") === 1).count() == 2)
+  }
+
+  test("watermark dedup drops in-batch duplicate keys") {
+    val streamed = runStream("append")(Streaming.dedupStream)
+    // 6 input events, one (user 2, view) duplicate pair collapses
+    assert(streamed.count() == sample.map(e => (e.user_id, e.event_type))
+      .distinct.size)
+  }
+
+  test("late data beyond the watermark is dropped from open aggregations") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val dir = Files.createTempDirectory("graft-late").toString
+    val q = Streaming.tumblingStream(ms.toDF())
+    val query = q.writeStream.format("memory").queryName("late_t")
+      .outputMode("append").option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    // batch 1: events up to 12:00 → watermark advances to 11:00
+    ms.addData(Ev(1, Timestamp.valueOf("2025-01-01 10:05:00"), 1, "click", 1.0))
+    ms.addData(Ev(2, Timestamp.valueOf("2025-01-01 12:00:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    // batch 2: event at 09:30 is older than watermark − window → dropped
+    ms.addData(Ev(3, Timestamp.valueOf("2025-01-01 09:30:00"), 1, "click", 9.0))
+    query.processAllAvailable()
+    // batch 3: push watermark far ahead so every surviving window closes
+    ms.addData(Ev(4, Timestamp.valueOf("2025-01-01 20:00:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val closed = spark.table("late_t")
+    // the 09:30 window must NOT appear — its only event was late
+    assert(closed.filter(col("ws") === lit(Timestamp.valueOf("2025-01-01 09:00:00")))
+      .count() == 0)
+    // the 10:00 window closed with exactly the one on-time event
+    val w10 = closed.filter(col("ws") === lit(Timestamp.valueOf("2025-01-01 10:00:00")))
+      .collect()
+    assert(w10.length == 1 && w10(0).getAs[Long]("n_events") == 1L)
+  }
+
+  test("declared batch queries equal their streaming execution on sf0.001 events") {
+    val events = T.events(spark, sf0001)
+    // stream the parquet-backed events table itself via MemoryStream rows
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val name = "sf_t"
+    val query = Streaming.tumblingStream(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val streamed = spark.table(name)
+    val batch = Streaming.tumblingCounts(events)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+}
