@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Tables => T}
+
+/** Multimodal (image/audio/video) column operators — SURVEY.md §2.2
+  * north-star extensions.
+  *
+  * The reference has no binary/media notion at all (its only value types
+  * are uint32 + fixed char[], `/root/reference/db.cpp:41-46`); a 100 TB
+  * training-data pipeline, however, carries media as opaque `binary`
+  * columns with typed metadata and runs decode → feature-extract →
+  * resize/frame-sample stages over them. This module makes that plumbing
+  * real on the harness corpus:
+  *
+  *   - **media table**: derived deterministically from `documents` — the
+  *     payload is the 16 raw md5 bytes of the text, carried as a true
+  *     `BinaryType` column with typed metadata (width/height/format), i.e.
+  *     a 4×4 single-channel "image". The *decode* step (byte → pixel) is a
+  *     STUB standing in for a real jpeg/wav decoder (image/audio libs are
+  *     not in this container): it interprets each payload byte as one
+  *     grayscale pixel. Everything around the stub — binary schema, batch
+  *     iteration, partition layout, feature math — is real and
+  *     oracle-checked.
+  *   - Two execution paths for the decode, proving both mechanisms:
+  *     expression-based (hex → 2-char chunks → int, fully codegen'd;
+  *     [[mmPixels]]) and partition-batch ([[mmBatchStats]] via typed
+  *     `mapPartitions`, the JVM analogue of `mapInPandas`: media libs hold
+  *     per-partition state — a decoder handle — and process rows in
+  *     batches).
+  *
+  * Scale notes: payloads ride the same shuffles as any column; real media
+  * (MBs/row) would raise `maxPartitionBytes` pressure — the stage layout
+  * here (decode late, after joins/filters; project metadata early) is the
+  * shape that keeps 100 TB of media off the wire.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Derived media table: (doc_id, payload BINARY, width, height, fmt).
+    * unhex(md5) = 16 deterministic bytes — the fake "raster". */
+  private def media(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      lit(4).as("width"), lit(4).as("height"), lit("gray8").as("fmt"))
+
+  /** Decode stub, expression path: byte i of the payload → pixel value
+    * 0..255, via hex + fixed-width chunking (codegen'd; no UDF). */
+  private def pixels(payload: Column, nBytes: Int): Column =
+    transform(sequence(lit(1), lit(nBytes)), i =>
+      conv(substring(hex(payload), (i - 1) * 2 + 1, lit(2)), 16, 10).cast("int"))
+
+  /** DuckDB mirror: pixels from the md5 hex string (the oracle never needs
+    * the blob — same VALUES, independent representation). */
+  private def pixelsSql(e: String): String =
+    s"list_transform(range(1, 17), i -> CAST(('0x' || substr(md5($e), (i-1)*2 + 1, 2)) AS INT))"
+
+  /** Metadata scan: the "cheap path" — size/shape checks that must NOT
+    * decode. At scale this projection prunes the payload column entirely
+    * out of the parquet read. */
+  val mmMeta: Q = (s, d) =>
+    media(s, d)
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        col("width"), col("height"), col("fmt"),
+        (col("width") * col("height")).as("n_px"))
+      .orderBy(col("doc_id"))
+
+  /** Decode + per-image feature extraction (expression path): pixel
+    * min/max/mean and a 4-bin histogram — the feature stage of a vision
+    * data pipeline, entirely inside whole-stage codegen. */
+  val mmPixels: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    def bin(lo: Int, hi: Int): Column =
+      size(filter(px, p => p >= lo && p < hi)).cast("long")
+    media(s, d)
+      .withColumn("px_min", array_min(px))
+      .withColumn("px_max", array_max(px))
+      .withColumn("px_mean",
+        round(aggregate(px, lit(0L), (a, p) => a + p).cast("double") / 16.0, 6))
+      .withColumn("h0", bin(0, 64)).withColumn("h1", bin(64, 128))
+      .withColumn("h2", bin(128, 192)).withColumn("h3", bin(192, 256))
+      .select(col("doc_id"), col("px_min"), col("px_max"), col("px_mean"),
+        col("h0"), col("h1"), col("h2"), col("h3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Resize: 2× nearest-neighbor downsample of the 4×4 raster → 2×2 (keep
+    * pixels at even (row, col)), emitting the resized payload as binary
+    * again plus its checksum — decode → transform → re-encode, the full
+    * media round trip. */
+  val mmResize: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    // even rows/cols of the 4×4 grid: linear indices {0,2,8,10} (1-based +1)
+    val kept = array(Seq(0, 2, 8, 10).map(i => element_at(px, i + 1)): _*)
+    media(s, d)
+      .withColumn("small", kept)
+      .select(col("doc_id"),
+        unhex(concat_ws("", transform(col("small"),
+          p => lpad(conv(p.cast("string"), 10, 16), 2, "0")))).as("payload2"),
+        lit(2).as("width"), lit(2).as("height"),
+        aggregate(col("small"), lit(0L), (a, p) => a + p).as("checksum"))
+      .select(col("doc_id"), length(col("payload2")).as("n_bytes"),
+        col("width"), col("height"), col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: treat the payload as a 4-frame "video" (4 bytes per
+    * frame) and keep frames 0 and 2 — one output row per sampled frame
+    * with its per-frame mean (posexplode keeps the frame index). */
+  val mmFrames: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    val frames = transform(sequence(lit(0), lit(3)), f =>
+      struct(f.as("frame_no"), slice(px, f * 4 + 1, lit(4)).as("fpx")))
+    media(s, d)
+      .select(col("doc_id"), explode(frames).as("fr"))
+      .filter(col("fr.frame_no") % 2 === 0)
+      .select(col("doc_id"), col("fr.frame_no").cast("int").as("frame_no"),
+        round(aggregate(col("fr.fpx"), lit(0L), (a, p) => a + p)
+          .cast("double") / 4.0, 6).as("frame_mean"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** Decode + features via typed partition batches — the JVM analogue of
+    * `mapInPandas`: the decoder "handle" (here the stub) is instantiated
+    * once per partition and rows stream through it. Output is byte-for-byte
+    * the same as [[mmPixels]]'s expression path (asserted in
+    * MultimodalSpec), so the declared query keeps an oracle. */
+  val mmBatchStats: Q = (s, d) => {
+    val m = media(s, d).select(col("doc_id"), col("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("px_min", IntegerType, nullable = false),
+      StructField("px_max", IntegerType, nullable = false),
+      StructField("px_mean", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    m.mapPartitions { rows =>
+      // per-partition decoder init happens HERE (stub: identity byte->pixel;
+      // a real pipeline opens libjpeg/ffmpeg once per partition)
+      val decode: Array[Byte] => Array[Int] = bs => bs.map(b => b & 0xff)
+      rows.map { r =>
+        val px = decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getAs[Long]("doc_id"), px.min, px.max,
+          math.rint(px.map(_.toLong).sum.toDouble / px.length * 1e6) / 1e6)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_pixels" -> mmPixels,
+    "mm_resize" -> mmResize,
+    "mm_frames" -> mmFrames,
+    "mm_batch_stats" -> mmBatchStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, CAST(len(md5(text)) / 2 AS INT) AS n_bytes,
+        |  4 AS width, 4 AS height, 'gray8' AS fmt, 16 AS n_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_pixels" ->
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents)
+         |SELECT doc_id,
+         |  list_min(p) AS px_min, list_max(p) AS px_max,
+         |  round(CAST(list_sum(p) AS DOUBLE) / 16.0, 6) AS px_mean,
+         |  CAST(len(list_filter(p, x -> x >= 0 AND x < 64)) AS BIGINT) AS h0,
+         |  CAST(len(list_filter(p, x -> x >= 64 AND x < 128)) AS BIGINT) AS h1,
+         |  CAST(len(list_filter(p, x -> x >= 128 AND x < 192)) AS BIGINT) AS h2,
+         |  CAST(len(list_filter(p, x -> x >= 192 AND x < 256)) AS BIGINT) AS h3
+         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents)
+         |SELECT doc_id, 4 AS n_bytes, 2 AS width, 2 AS height,
+         |  CAST(p[1] + p[3] + p[9] + p[11] AS BIGINT) AS checksum
+         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents),
+         |fr AS (
+         |  SELECT doc_id, f.f AS frame_no,
+         |    round(CAST(p[f.f*4 + 1] + p[f.f*4 + 2] + p[f.f*4 + 3] + p[f.f*4 + 4]
+         |      AS DOUBLE) / 4.0, 6) AS frame_mean
+         |  FROM px CROSS JOIN (VALUES (0), (2)) f(f))
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, frame_mean
+         |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm_batch_stats" ->
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents)
+         |SELECT doc_id, list_min(p) AS px_min, list_max(p) AS px_max,
+         |  round(CAST(list_sum(p) AS DOUBLE) / 16.0, 6) AS px_mean
+         |FROM px ORDER BY doc_id""".stripMargin,
+  )
+}
