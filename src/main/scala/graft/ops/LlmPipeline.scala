@@ -45,15 +45,16 @@ object LlmPipeline {
     s"CAST('0x' || substr(md5($e), 1, 12) AS BIGINT)"
 
   /** MinHash family: K affine re-hashes of the 48-bit shingle hash modulo a
-    * 31-bit prime. Multipliers < 2^14 keep a*h < 2^45 — no overflow. */
-  private val P = 2147483647L
-  private val K = 32
+    * 31-bit prime. Multipliers < 2^14 keep a*h < 2^45 — no overflow.
+    * Constants live in [[graft.expr.MinHashAgg]] (shared with the one-pass
+    * aggregator and the SQL oracle). */
+  private val (p0, k0, a0, b0) = graft.expr.MinHashAgg.params
+  private val P = p0
+  private val K = k0
   private val NBands = 8
   private val R = 4 // rows per band; NBands * R == K
-  private val A: IndexedSeq[Long] =
-    (0 until K).map(i => (((i + 1) * 2654435761L) % 16381L) | 1L)
-  private val B: IndexedSeq[Long] =
-    (0 until K).map(i => ((i + 1) * 40503L + 7L) % 16381L)
+  private val A: IndexedSeq[Long] = a0
+  private val B: IndexedSeq[Long] = b0
 
   private val JaccThreshold = 0.7
   private val SimhashBits = 48
@@ -142,16 +143,17 @@ object LlmPipeline {
     // shingling 3×. At cluster scale the same reuse is a persist to
     // MEMORY_AND_DISK (or a checkpoint) of the tokenized corpus.
     val sets = shingleSets(corpus(s, d)).persist()
-    // canonical order = ascending 48-bit hash (shingle text tiebreak)
+    // Canonical order = lexicographic on the shingle text. Any fixed total
+    // order satisfies the prefix-filter theorem, and the order is only used
+    // Spark-side for candidate generation (the verify step re-derives exact
+    // Jaccard), so no portable hashing is needed here — array_sort on the
+    // strings beats 6M md5 calls.
     val prefixed = sets
-      .withColumn("sorted", array_sort(
-        transform(col("sset"), x => struct(h48(x).as("h"), x.as("sh")))))
       .withColumn("n", size(col("sset")))
       .withColumn("plen",
         (col("n") - ceil(lit(JaccThreshold) * col("n")) + 1).cast("int"))
       .select(col("doc_id"), col("n"),
-        explode(transform(slice(col("sorted"), lit(1), col("plen")),
-          st => st.getField("sh"))).as("psh"))
+        explode(slice(array_sort(col("sset")), lit(1), col("plen"))).as("psh"))
     val vp = prefixed.filter(col("doc_id") >= 200000L)
       .select(col("doc_id").as("var_id"), col("n").as("vn"), col("psh"))
     val bp = prefixed.filter(col("doc_id") < 200000L)
@@ -171,15 +173,16 @@ object LlmPipeline {
 
   // ------------------------------------------------------- dedup: MinHash-LSH
 
-  /** MinHash signature (K min-aggregates of affine re-hashes) per doc. */
+  /** MinHash signature per doc — ONE pass via the typed
+    * [[graft.expr.MinHashAgg]] aggregator (fixed 32-long buffer, map-side
+    * partial merge) instead of K separate min-columns. */
   private def minhashSigs(c: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val exploded = c.filter(size(toks) >= 3)
+    c.filter(size(toks) >= 3)
       .select(col("doc_id"), explode(shingles(toks)).as("sh"))
       .withColumn("hv", h48(col("sh")) % P)
-    val mins = (0 until K).map(i =>
-      min((lit(A(i)) * col("hv") + lit(B(i))) % P).as(s"mh_$i"))
-    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .groupBy(col("doc_id"))
+      .agg(graft.expr.MinHashAgg.minhash(col("hv")).as("sig"))
   }
 
   /** MinHash + LSH banding dedup — the 100 TB near-dup path. K=32 hashes,
@@ -193,7 +196,8 @@ object LlmPipeline {
     val sigs = minhashSigs(c)
     val bandCols = (0 until NBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until R).map(r => col(s"mh_${b * R + r}")): _*).as("bkey"))
+        concat_ws(",", (0 until R).map(r =>
+          element_at(col("sig"), b * R + r + 1)): _*).as("bkey"))
     }
     // self-joined below — persist so the signature computation (explode +
     // 6M md5 at sf0.1) runs once, not once per join side
@@ -249,12 +253,12 @@ object LlmPipeline {
 
   // ------------------------------------------------- embedding-cosine pieces
 
-  /** Exact double-precision dot product of two float-array columns.
-    * zip_with/aggregate folds in array-index order — deterministic, and
-    * equal to DuckDB's positional-sum oracle after round(…, 6). */
+  /** Exact double-precision dot product of two float-array columns — the
+    * native codegen'd [[graft.expr.FloatDotProduct]] (fused index-ascending
+    * loop; bit-identical to the zip_with/aggregate HOF chain it replaces
+    * and to DuckDB's positional-sum oracle). */
   private def dotp(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expr.FloatDotProduct.fdot(x, y)
 
   /** Exact cosine between two float-array columns (norms recomputed —
     * use only where each side appears in O(1) pairs; the hot paths below
@@ -482,9 +486,7 @@ object LlmPipeline {
     * L2 norm (per-row norm rounded to 6, then exact decimal mean). Proves
     * nested array columns survive join + aggregation. */
   val multimodalJoin: Q = (s, d) => {
-    def dot(x: Column): Column =
-      aggregate(zip_with(x, x, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column): Column = dotp(x, x)
     val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
     val embs = T.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))

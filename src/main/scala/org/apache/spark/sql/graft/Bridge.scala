@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so the one-line forwarders live in an `org.apache.spark.sql`
+  * subpackage — the standard technique for libraries that contribute
+  * native Catalyst expressions (the public `udf()` route would lose
+  * codegen). Nothing else in this repo lives outside `graft.*`. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.expr.{FloatDotProduct, MinHashAgg}
+
+/** Native extension machinery: the codegen'd FloatDotProduct must be
+  * bit-identical to the higher-order-function formulation (both eval
+  * paths), and the one-pass MinHash aggregator must equal the K-column
+  * min formulation it replaced. */
+class ExpressionSpec extends SparkSpecBase {
+
+  private def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("FloatDotProduct == HOF chain, bit-exact, on all sf0.001 embeddings") {
+    val e = T.embeddings(spark, sf0001)
+    val both = e.select(
+      FloatDotProduct.fdot(col("embedding"), col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // also under the interpreted path (codegen off)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("FloatDotProduct null/shape semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
+      (None, Some(Seq(1f, 1f))),
+      (Some(Seq(2f)), Some(Seq(3f, 9f))) // length mismatch → min-length loop
+    ).toDF("a", "b")
+    val out = df.select(FloatDotProduct.fdot(
+      col("a").cast("array<float>"), col("b").cast("array<float>")).as("d"))
+      .collect()
+    assert(out(0).getDouble(0) == (4.0 + 10.0 + 18.0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 6.0)
+  }
+
+  test("MinHashAgg == column-wise min formulation") {
+    val s = spark
+    import s.implicits._
+    val (p, k, a, b) = MinHashAgg.params
+    val hv = (1 to 500).map(i => (i % 7L, (i * 2654435761L) % p))
+      .toDF("g", "hv")
+    val native = hv.groupBy("g").agg(MinHashAgg.minhash(col("hv")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mins = (0 until k).map(i =>
+      min((lit(a(i)) * col("hv") + lit(b(i))) % p).as(s"m_$i"))
+    val colwise = hv.groupBy("g").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong(_))).toMap
+    assert(native.keySet == colwise.keySet)
+    native.foreach { case (g, sig) =>
+      assert(sig == colwise(g), s"signature mismatch for group $g")
+    }
+  }
+}
