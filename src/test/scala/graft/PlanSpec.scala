@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.ops.{LlmPipeline, Relational}
+
+/** Physical-plan audits (the 100 TB design contract): filters reach the
+  * parquet scan, projections prune columns at the reader, small dims
+  * broadcast, top-k never globally sorts, and no candidate-generation path
+  * degenerates to a cartesian product. These are the properties that decide
+  * whether a plan survives a 1000-executor scale-up, asserted on the real
+  * optimized plans. */
+class PlanSpec extends SparkSpecBase {
+
+  private def planString(df: DataFrame): String = {
+    val exec = df.queryExecution.executedPlan
+    val finalPlan = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // formatted explain over the whole query execution
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      "\n" + finalPlan.toString
+  }
+
+  test("key_lookup pushes the key predicate into the parquet scan") {
+    val p = planString(Relational.keyLookup(spark, sf0001))
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*l_orderkey[^\\]]*\\].*"),
+      s"no pushed filter on l_orderkey:\n${p.take(2000)}")
+  }
+
+  test("filter_pred pushes range predicates into the scan") {
+    val p = planString(Relational.filterPred(spark, sf0001))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "shipdate range not pushed")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount[^\\]]*\\].*"),
+      "discount range not pushed")
+  }
+
+  test("scan_project prunes to exactly the 3 selected columns at the reader") {
+    val p = planString(Relational.scanProject(spark, sf0001))
+    val readSchema = "ReadSchema:.*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && readSchema.contains("l_shipdate"), s"missing cols: $readSchema")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("join_broadcast uses BroadcastHashJoin for every dim") {
+    val p = planString(Relational.joinBroadcast(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planString(Relational.sortLimitTopk(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrderedAndProject")
+  }
+
+  test("dedup_near candidate generation is equi-join, not cartesian") {
+    val p = planString(LlmPipeline.dedupNear(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "prefix-filtered candidate join degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate join degenerated to nested-loop")
+  }
+
+  test("dedup_minhash LSH banding joins hash-partition on the band key") {
+    val p = planString(LlmPipeline.dedupMinhash(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "LSH join degenerated to cartesian")
+  }
+
+  test("agg_hash is a two-phase hash aggregate (map-side partial)") {
+    val df = Relational.aggHash(spark, sf0001)
+    df.collect() // materialize THIS query execution so AQE finalizes stages
+    val p = planString(df)
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+    // codegen stages render as "WholeStageCodegen (n)" in formatted mode
+    // or as a "*(n)" operator prefix in simple mode
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "agg not codegen'd")
+  }
+}
