@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Tables => T}
+import graft.core.Numeric._
+
+/** Source/sink framework — the engine generalization of the reference's
+  * pager: `db_close`/`pager_flush` is the only sink and `get_page` the only
+  * source in the reference (`/root/reference/db.cpp:220-278, 127-167`, one
+  * hand-rolled binary format). Here storage is Spark's source framework:
+  * Parquet (columnar, primary), CSV and JSON (interchange), with explicit
+  * write→read roundtrips declared as queries so the t2 oracle pins that no
+  * value is lost crossing a format boundary.
+  *
+  * Determinism notes: CSV/JSON carry doubles as shortest-roundtrip text
+  * (read back bit-equal) and timestamps via explicit `date_format` /
+  * schema-directed parse — never inferred. Partitioned writes
+  * (`sink_partitioned`) prove partition pruning: the readback filters on
+  * the partition column, and PlanSpec asserts the pruned scan.
+  *
+  * Intermediates land under java.io.tmpdir/graft_io/<key>; each run
+  * overwrites. At cluster scale the same calls target object storage — the
+  * plan shapes are identical.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ioDir(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_io/$name"
+
+  /** Parquet write→read roundtrip (R11 flush semantics made explicit):
+    * a lineitem slice goes to disk and comes back; the declared result
+    * aggregates the READBACK, so the oracle (computed from the original
+    * table) proves losslessness. */
+  val sinkRoundtrip: Q = (s, d) => {
+    val dir = ioDir("sink_roundtrip")
+    T.lineitem(s, d).filter(col("l_orderkey") % 97 === 0)
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CSV interchange roundtrip: orders slice → CSV (header, explicit
+    * timestamp format) → schema-directed read → aggregate readback. */
+  val sourceCsv: Q = (s, d) => {
+    val dir = ioDir("source_csv")
+    T.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_odate"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_odate", StringType)))
+    s.read.schema(schema).option("header", "true").csv(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        to_timestamp(col("o_odate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** JSON interchange roundtrip: events slice (incl. the nested-JSON
+    * `props` string) → JSON lines → schema-directed read → per-type
+    * aggregate + a props extraction, proving nested text survives. */
+  val sourceJson: Q = (s, d) => {
+    val dir = ioDir("source_json")
+    T.events(s, d).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType), StructField("ts_str", StringType)))
+    s.read.schema(schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        dsum(get_json_object(col("props"), "$.k").cast("double")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hive-style partitioned sink + pruned readback: orders written
+    * partitioned by o_orderpriority; the readback filters one partition —
+    * at 100 TB this is the difference between scanning 1/5 of the data and
+    * all of it (PlanSpec pins the PartitionFilters). */
+  val sinkPartitioned: Q = (s, d) => {
+    val dir = ioDir("sink_partitioned")
+    T.orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Readback used by PlanSpec to audit partition pruning (split out so the
+    * audit sees the scan without the eager write in the same fn). */
+  def partitionedReadback(s: SparkSession): DataFrame =
+    s.read.parquet(ioDir("sink_partitioned"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, Q] = Map(
+    "sink_roundtrip" -> sinkRoundtrip,
+    "source_csv" -> sourceCsv,
+    "source_json" -> sourceJson,
+    "sink_partitioned" -> sinkPartitioned,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sink_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_orderkey % 97 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "source_csv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "source_json" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${dsumSql("value")} AS sum_value,
+         |  ${dsumSql("CAST(json_extract_string(props, '$.k') AS DOUBLE)")} AS sum_k
+         |FROM events WHERE event_id % 20 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sink_partitioned" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -75,6 +75,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "LSH join degenerated to cartesian")
   }
 
+  test("sink_partitioned readback prunes to the filtered partition") {
+    // materialize the partitioned layout, then audit the readback scan
+    graft.ops.Sources.sinkPartitioned(spark, sf0001).collect()
+    val p = planString(graft.ops.Sources.partitionedReadback(spark))
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderpriority[^\\]]*\\].*"),
+      s"partition filter not pruned:\n${p.take(1500)}")
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages
