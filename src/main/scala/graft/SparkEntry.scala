@@ -74,12 +74,13 @@ object SparkEntry {
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
-  ) ++ Multimodal.queries ++ Sources.queries
+  ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
     * engine-side semantics) get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
-      LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles
+      LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
+      Advanced.oracles
 }

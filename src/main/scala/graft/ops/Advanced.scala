@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+import graft.core.Numeric._
+
+/** Advanced relational operators — second-ring surface beyond SURVEY §2.2's
+  * core (all absent in the reference, whose parser knows exactly two
+  * statements, `/root/reference/db.cpp:428-441`): skew-safe aggregation,
+  * exact percentiles, distribution windows, value-range frames, scalar
+  * subqueries, pivots, null semantics, and deterministic sampling. */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Two-phase SALTED aggregation — the 100 TB skew recipe: pre-aggregate
+    * on (key, salt) to spread a hot key over 16 reducers, then combine.
+    * Result is provably identical to the direct groupBy (sums re-associate;
+    * decimal sums are order-independent), which is exactly what the oracle
+    * checks. AQE's skew handling covers joins; aggregation skew needs this
+    * shape. */
+  val aggSalted: Q = (s, d) => {
+    val partial = T.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(20,8)")).as("pq"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pq")), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (median / p95) per order status.
+    * `percentile` is the exact algorithm (sort-based), matching DuckDB's
+    * `quantile_cont` bit-for-bit after rounding. */
+  val aggPercentile: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Distribution window functions: quartile bucket, percent_rank and
+    * cume_dist of each order within its status, on a total order. */
+  val windowDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Value-RANGE window frame: for each order, how many orders of the same
+    * status fall within ±5000 of its totalprice (rangeBetween, not
+    * rowsBetween — frame bounds follow the ORDER BY value). */
+  val windowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-5000L, 5000L)
+    T.orders(s, d)
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("n_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Scalar subquery: orders above the global average totalprice. The
+    * single-row aggregate broadcasts and the comparison streams — no
+    * shuffle of the fact side. */
+  val subqScalar: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val avgPrice = o.agg(
+      (sum(col("o_totalprice").cast("decimal(20,8)")) / count(lit(1)))
+        .cast("double").as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot: per-nation event… no events↔nation link — pivot order counts
+    * by orderpriority per status (fixed value list → deterministic
+    * columns; portable to CASE-WHEN SQL). */
+  val aggPivot: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus"),
+        col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+        col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+        col("5-LOW").as("p5"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Null-semantics pack: coalesce, nullif, null-safe equality (<=>),
+    * and null-aware counts over a column made sparsely null. */
+  val fnNull: Q = (s, d) => {
+    val c = T.customer(s, d)
+      .withColumn("bal_or_null",
+        when(col("c_custkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")))
+    c.select(col("c_custkey"),
+        round(coalesce(col("bal_or_null"), lit(0.0)), 2).as("bal0"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        (col("bal_or_null") <=> lit(null).cast("double")).as("is_null_safe"),
+        col("bal_or_null").isNull.as("is_null"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Deterministic hash sampling — the scale-safe alternative to
+    * `TABLESAMPLE` (whose result depends on partitioning): keep rows whose
+    * portable 48-bit md5 hash of the key ≡ 0 (mod 10). Same recipe works
+    * for train/test splits of a 100 TB corpus. */
+  val sampleHash: Q = (s, d) =>
+    T.lineitem(s, d)
+      .withColumn("hk",
+        conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))),
+          lit(1), lit(12)), 16, 10).cast("long") % 10)
+      .filter(col("hk") === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val queries: Map[String, Q] = Map(
+    "agg_salted" -> aggSalted,
+    "agg_percentile" -> aggPercentile,
+    "window_dist" -> windowDist,
+    "window_range_frame" -> windowRangeFrame,
+    "subq_scalar" -> subqScalar,
+    "agg_pivot" -> aggPivot,
+    "fn_null" -> fnNull,
+    "sample_hash" -> sampleHash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_salted" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, quartile,
+        |  round(pct_rank, 6) AS pct_rank, round(cume, 6) AS cume
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    NTILE(4) OVER w AS quartile,
+        |    PERCENT_RANK() OVER w AS pct_rank,
+        |    CUME_DIST() OVER w AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, n_nearby
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |      RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_nearby
+        |  FROM orders)
+        |WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "subq_scalar" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_null" ->
+      """SELECT c_custkey,
+        |  round(coalesce(bal_or_null, 0.0), 2) AS bal0,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  (bal_or_null IS NOT DISTINCT FROM NULL) AS is_null_safe,
+        |  (bal_or_null IS NULL) AS is_null
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 12)
+        |        AS BIGINT) % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}
