@@ -60,6 +60,7 @@ object SparkEntry {
     "stream_sliding"   -> Streaming.streamSliding,
     "stream_session"   -> Streaming.streamSession,
     "stream_dedup_watermark" -> Streaming.streamDedup,
+    "stream_stateful"  -> Streaming.streamStateful,
     // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
     "dedup_exact"      -> LlmPipeline.dedupExact,
     "dedup_near"       -> LlmPipeline.dedupNear,
@@ -74,7 +75,8 @@ object SparkEntry {
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
-  ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries
+  ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
+    Composite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
@@ -82,5 +84,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
-      Advanced.oracles
+      Advanced.oracles ++ Composite.oracles
 }

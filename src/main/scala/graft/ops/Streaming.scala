@@ -80,6 +80,26 @@ object Streaming {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Per-user running enrichment: each event annotated with its running
+    * event count and running value sum for that user (ordered by ts,
+    * event_id). Batch mode = window frame; streaming mode =
+    * [[statefulStream]] (flatMapGroupsWithState), asserted equal in
+    * StreamingSpec. The running sum is a decimal fold in window order —
+    * deterministic on both engines. */
+  val streamStateful: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .withColumn("running_n", count(lit(1)).over(w))
+      .withColumn("running_value",
+        round(sum(col("value").cast("decimal(20,8)")).over(w), 2)
+          .cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_n"),
+        col("running_value"))
+      .orderBy(col("user_id"), col("running_n"))
+  }
+
   // --------------------------------------------------- streaming builders
 
   /** Streaming flavor of [[tumblingCounts]] with a watermark for state
@@ -95,6 +115,37 @@ object Streaming {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
+
+  /** Custom per-key state via flatMapGroupsWithState — the streaming
+    * execution of [[streamStateful]]: state = (running count, running
+    * decimal sum) per user; each batch's events fold in (ts, event_id)
+    * order and emit one enriched row per event. At scale the state store
+    * shards by the grouping key — same hash shuffle as the batch window. */
+  def statefulStream(events: org.apache.spark.sql.Dataset[
+      (Long, Long, java.sql.Timestamp, Double)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, java.math.BigDecimal),
+        (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[(Long, java.math.BigDecimal)]) =>
+          var (n, acc) = state.getOption.getOrElse(
+            (0L, java.math.BigDecimal.ZERO))
+          val out = evs.toSeq.sortBy(e => (e._3.getTime, e._2)).map { e =>
+            n += 1
+            // mirror Spark's double→DECIMAL(20,8) cast: exact binary value
+            // rounded HALF_UP to scale 8, then an exact decimal sum
+            acc = acc.add(new java.math.BigDecimal(e._4)
+              .setScale(8, java.math.RoundingMode.HALF_UP))
+            (uid, e._2, n,
+              acc.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+          state.update((n, acc))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "running_n", "running_value")
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -130,6 +181,18 @@ object Streaming {
         |  user_id, COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_stateful" ->
+      """SELECT user_id, event_id, running_n, running_value
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS running_n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(20,8))) OVER w, 2) AS DOUBLE)
+        |      AS running_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |ORDER BY user_id, running_n""".stripMargin,
 
     "stream_dedup_watermark" ->
       """SELECT user_id, event_type, event_id AS first_event_id,

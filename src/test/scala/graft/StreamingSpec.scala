@@ -114,6 +114,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(w10.length == 1 && w10(0).getAs[Long]("n_events") == 1L)
   }
 
+  test("flatMapGroupsWithState running aggregates == batch window on sf0.001") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = T.events(spark, sf0001)
+    val rows = events.select(col("user_id"), col("event_id"), col("ts"),
+      col("value")).as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    ms.addData(rows)
+    val query = Streaming.statefulStream(ms.toDS()).writeStream
+      .format("memory").queryName("stateful_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val streamed = spark.table("stateful_t")
+    val batch = graft.ops.Streaming.streamStateful(spark, sf0001)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("declared batch queries equal their streaming execution on sf0.001 events") {
     val events = T.events(spark, sf0001)
     // stream the parquet-backed events table itself via MemoryStream rows
