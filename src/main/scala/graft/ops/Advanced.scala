@@ -134,8 +134,29 @@ object Advanced {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Mergeable-sketch pipeline (the re-aggregable distinct-count story at
+    * 100 TB): HLL sketches built per (returnflag, linestatus) group with
+    * `hll_sketch_agg`, then UNIONED up to per-flag estimates with
+    * `hll_union_agg` — fixed-size state, one pass over the data, rollups
+    * without re-reading raw rows. No DuckDB oracle (sketch binary formats
+    * are engine-specific); the estimate-vs-exact bound is pinned in
+    * PropertySpec, and the driver records a rows-present check. */
+  val aggHllSketch: Q = (s, d) => {
+    val perGroup = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+    perGroup.groupBy(col("l_returnflag"))
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_nd"),
+        sum(col("exact_nd")).as("sum_group_exact"))
+      .select(col("l_returnflag"), col("approx_nd"), col("sum_group_exact"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
+    "agg_hll_sketch" -> aggHllSketch,
     "agg_percentile" -> aggPercentile,
     "window_dist" -> windowDist,
     "window_range_frame" -> windowRangeFrame,

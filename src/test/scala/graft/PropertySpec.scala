@@ -54,6 +54,22 @@ class PropertySpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL sketch union estimate within 10% of exact distinct (sf0.001)") {
+    // covers the oracle-less agg_hll_sketch: the unioned per-flag estimate
+    // must approximate the true per-flag distinct partkey count
+    val li = T.lineitem(spark, sf0001)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Advanced.aggHllSketch(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, nd) =>
+      val est = approx(flag)
+      assert(math.abs(est - nd).toDouble / nd <= 0.10,
+        s"flag $flag: estimate $est vs exact $nd")
+    }
+  }
+
   test("cosine similarity is symmetric, bounded, and 1.0 on self (sf0.001)") {
     val e = T.embeddings(spark, sf0001).limit(20)
       .select(col("vec_id"), col("embedding"))
