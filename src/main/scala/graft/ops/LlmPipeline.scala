@@ -102,6 +102,18 @@ object LlmPipeline {
       .select(col("doc_id"), array_distinct(shingles(toks)).as("sset"))
   }
 
+  /** doc_id → distinct 64-bit-hashed shingle set. Set cardinalities (and
+    * therefore Jaccard) are preserved modulo xxhash64 collisions —
+    * ~1e-15 per pair at 256-element unions, so intersect/union/sort run on
+    * longs instead of ~25-char strings. The DuckDB oracle still computes
+    * on raw strings: agreement IS the collision check. */
+  private def shingleSetsHashed(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    c.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(toks), s => xxhash64(s))).as("sset"))
+  }
+
   private val shingleSetsSql =
     s"""tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
        |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)""".stripMargin
@@ -139,15 +151,13 @@ object LlmPipeline {
     * one hash shuffle on shingle, never all-pairs. */
   val dedupNear: Q = (s, d) => {
     // The shingle-set subtree feeds candidate generation AND both sides of
-    // the verify join; without persist Spark recomputes the md5-heavy
-    // shingling 3×. At cluster scale the same reuse is a persist to
-    // MEMORY_AND_DISK (or a checkpoint) of the tokenized corpus.
-    val sets = shingleSets(corpus(s, d)).persist()
-    // Canonical order = lexicographic on the shingle text. Any fixed total
-    // order satisfies the prefix-filter theorem, and the order is only used
-    // Spark-side for candidate generation (the verify step re-derives exact
-    // Jaccard), so no portable hashing is needed here — array_sort on the
-    // strings beats 6M md5 calls.
+    // the verify join; without persist Spark recomputes the shingling 3×.
+    // At cluster scale the same reuse is a persist to MEMORY_AND_DISK (or a
+    // checkpoint) of the tokenized corpus.
+    val sets = shingleSetsHashed(corpus(s, d)).persist()
+    // Canonical order = ascending 64-bit shingle hash. Any fixed total
+    // order satisfies the prefix-filter theorem; sorting/joining longs
+    // beats 25-char strings.
     val prefixed = sets
       .withColumn("n", size(col("sset")))
       .withColumn("plen",
@@ -177,6 +187,12 @@ object LlmPipeline {
     * [[graft.expr.MinHashAgg]] aggregator (fixed 32-long buffer, map-side
     * partial merge) instead of K separate min-columns. */
   private def minhashSigs(c: DataFrame): DataFrame = {
+    // typed-UDAF aggregation runs on ObjectHashAggregate, whose sort-based
+    // fallback triggers at 128 in-memory groups by default — catastrophic
+    // for |docs| groups (sorts the whole exploded shingle stream). The
+    // buffers are fixed 256 B, so holding millions of groups is cheap.
+    c.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     val toks = split(col("text"), " ")
     c.filter(size(toks) >= 3)
       .select(col("doc_id"), explode(shingles(toks)).as("sh"))
@@ -210,7 +226,7 @@ object LlmPipeline {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
-    val sets = shingleSets(c).persist() // feeds both verify-join sides
+    val sets = shingleSetsHashed(c).persist() // feeds both verify-join sides
     cand
       .join(sets.select(col("doc_id").as("ia"), col("sset").as("sa")), "ia")
       .join(sets.select(col("doc_id").as("ib"), col("sset").as("sb")), "ib")
