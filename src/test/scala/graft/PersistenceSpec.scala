@@ -34,6 +34,18 @@ class PersistenceSpec extends SparkSpecBase {
     assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("corrupt input is rejected, not silently misread") {
+    // reference semantics: a file that isn't a whole number of pages is
+    // refused at open (/root/reference/db.cpp:296-300); the engine analog
+    // is the parquet reader refusing a non-parquet payload
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.writeString(dir.resolve("garbage.parquet"), "this is not parquet")
+    val err = intercept[Exception] {
+      spark.read.parquet(dir.toString).collect()
+    }
+    assert(err != null)
+  }
+
   test("nested array columns (embeddings) survive the roundtrip bit-exactly") {
     val dir = Files.createTempDirectory("graft-embed").toString
     val src = graft.core.Tables(spark, sf0001, "embeddings")
