@@ -21,6 +21,7 @@ object SparkEntry {
     "scan_ordered"     -> Relational.scanOrdered,
     "key_lookup"       -> Relational.keyLookup,
     "insert_append"    -> Relational.insertAppend,
+    "insert_parse"     -> Relational.insertParse,
     // filters / constraints
     "filter_pred"      -> Relational.filterPred,
     "constraint_check" -> Relational.constraintCheck,

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's statement-parsing surface, typed.
+  *
+  * `prepareInsert` (`/root/reference/db.cpp:392-426`) tokenizes
+  * `insert <id> <username> <email>` with a stringstream, then validates:
+  * arity (`db.cpp:404-407`), integer id ≥ 0 (`db.cpp:409-414`), username
+  * ≤ 32 and email ≤ 255 chars (`db.cpp:416-419`). This module is that
+  * parser as a distributed relational op: a Dataset of raw statement lines
+  * → parsed + validated rows with a reject reason, using the reference's
+  * exact error strings. The typed [[User]] surface is where `Dataset[T]`
+  * encoders pay (SURVEY §1.5): downstream code gets compile-time fields,
+  * not stringly-typed Rows.
+  */
+object Ingest {
+  case class User(id: Long, username: String, email: String)
+
+  val MaxUsername = 32 // db.cpp:38
+  val MaxEmail = 255   // db.cpp:39
+
+  /** Parse + validate statement lines (columnar path, codegen'd): returns
+    * (id, username, email, reject_reason) with reason = null for accepted
+    * rows — the engine form of the REPL's per-statement error replies. */
+  def parseStatements(lines: DataFrame, lineCol: String): DataFrame = {
+    val p = split(trim(col(lineCol)), "\\s+")
+    // try_element_at: missing positions are NULL (arity errors), never an
+    // ANSI INVALID_ARRAY_INDEX
+    lines
+      .withColumn("kw", try_element_at(p, lit(1)))
+      .withColumn("id_str", try_element_at(p, lit(2)))
+      .withColumn("username", try_element_at(p, lit(3)))
+      .withColumn("email", try_element_at(p, lit(4)))
+      .withColumn("id", expr("try_cast(id_str AS BIGINT)"))
+      .withColumn("reject_reason",
+        when(col("kw") =!= "insert", "Unrecognized keyword at start of input.")
+          .when(size(p) < 4, "Syntax error. Could not parse statement.")
+          .when(col("id").isNull, "Syntax error. Could not parse statement.")
+          .when(col("id") < 0, "ID must be positive.")
+          .when(length(col("username")) > MaxUsername, "String is too long.")
+          .when(length(col("email")) > MaxEmail, "String is too long.")
+          .otherwise(lit(null).cast("string")))
+      .select(col("id"), col("username"), col("email"), col("reject_reason"))
+  }
+
+  /** Typed surface: accepted statements as a Dataset[User]. */
+  def parseAccepted(spark: SparkSession, lines: DataFrame, lineCol: String): Dataset[User] = {
+    import spark.implicits._
+    parseStatements(lines, lineCol)
+      .filter(col("reject_reason").isNull)
+      .select(col("id"), col("username"), col("email"))
+      .as[User]
+  }
+}

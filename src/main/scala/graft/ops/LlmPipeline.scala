@@ -172,7 +172,10 @@ object LlmPipeline {
       .filter(col("vn") >= lit(JaccThreshold) * col("bn") &&
         col("bn") >= lit(JaccThreshold) * col("vn"))
       .select(col("var_id"), col("base_id")).distinct()
-    cand
+    // candidates are the provably-small side (that is the point of the
+    // prefix filter): broadcast them into the set table instead of
+    // shuffling the fat shingle arrays twice
+    broadcast(cand)
       .join(sets.select(col("doc_id").as("var_id"), col("sset").as("vset")), "var_id")
       .join(sets.select(col("doc_id").as("base_id"), col("sset").as("bset")), "base_id")
       .withColumn("jacc", jacc(col("vset"), col("bset")))
@@ -227,7 +230,7 @@ object LlmPipeline {
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
     val sets = shingleSetsHashed(c).persist() // feeds both verify-join sides
-    cand
+    broadcast(cand) // LSH candidates ≪ corpus — same reasoning as dedupNear
       .join(sets.select(col("doc_id").as("ia"), col("sset").as("sa")), "ia")
       .join(sets.select(col("doc_id").as("ib"), col("sset").as("sb")), "ib")
       .withColumn("jacc", jacc(col("sa"), col("sb")))

@@ -84,6 +84,27 @@ object Relational {
       .orderBy(col("id"))
   }
 
+  /** The reference REPL's statement-parse path (`prepareStatement` /
+    * `prepareInsert`, `/root/reference/db.cpp:392-441`) as a declared
+    * relational op: statement LINES (built deterministically from customer
+    * rows, with keyword / arity / negative-id / overlong-string violations
+    * planted) → tokenized, validated rows with the reference's exact error
+    * strings. */
+  val insertParse: Q = (s, d) => {
+    val c = T.customer(s, d)
+    val kw = when(col("c_custkey") % 97 === 0, "select").otherwise("insert")
+    val uname = when(col("c_custkey") % 50 === 0,
+      concat(col("c_name"), lit("x" * 30))).otherwise(col("c_name"))
+    val email = when(col("c_custkey") % 89 === 0, lit(""))
+      .otherwise(concat(col("c_name"), lit("@example.com")))
+    val lines = c.select(col("c_custkey"),
+      concat_ws(" ", kw, (col("c_custkey") - 5L).cast("string"), uname, email)
+        .as("stmt"))
+    graft.core.Ingest.parseStatements(lines, "stmt")
+      .select(col("id"), col("username"), col("email"), col("reject_reason"))
+      .orderBy(col("id"), col("username"))
+  }
+
   // ------------------------------------------------------ filters / checks
 
   /** TPC-H Q6 shape: conjunctive range + equality predicates, all pushed

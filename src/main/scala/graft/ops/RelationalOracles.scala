@@ -32,6 +32,35 @@ object RelationalOracles {
         |  l_extendedprice
         |FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin,
 
+    "insert_parse" ->
+      """WITH lines AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ',
+        |      CASE WHEN c_custkey % 97 = 0 THEN 'select' ELSE 'insert' END,
+        |      CAST(c_custkey - 5 AS VARCHAR),
+        |      CASE WHEN c_custkey % 50 = 0 THEN c_name || repeat('x', 30)
+        |           ELSE c_name END,
+        |      CASE WHEN c_custkey % 89 = 0 THEN ''
+        |           ELSE c_name || '@example.com' END) AS stmt
+        |  FROM customer),
+        |parsed AS (
+        |  SELECT regexp_split_to_array(trim(stmt), '\s+') AS p FROM lines)
+        |SELECT
+        |  TRY_CAST(p[2] AS BIGINT) AS id,
+        |  p[3] AS username,
+        |  p[4] AS email,
+        |  CASE
+        |    WHEN p[1] <> 'insert' THEN 'Unrecognized keyword at start of input.'
+        |    WHEN len(p) < 4 THEN 'Syntax error. Could not parse statement.'
+        |    WHEN TRY_CAST(p[2] AS BIGINT) IS NULL THEN 'Syntax error. Could not parse statement.'
+        |    WHEN TRY_CAST(p[2] AS BIGINT) < 0 THEN 'ID must be positive.'
+        |    WHEN length(p[3]) > 32 THEN 'String is too long.'
+        |    WHEN length(p[4]) > 255 THEN 'String is too long.'
+        |    ELSE NULL
+        |  END AS reject_reason
+        |FROM parsed
+        |ORDER BY id, username""".stripMargin,
+
     "insert_append" ->
       """SELECT id, username, email FROM (
         |  SELECT c_custkey AS id, c_name AS username,

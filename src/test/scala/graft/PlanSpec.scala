@@ -75,6 +75,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "LSH join degenerated to cartesian")
   }
 
+  test("tpch_q5 six-way join broadcasts every dim (fact shuffles once at most)") {
+    val p = planString(graft.ops.Composite.tpchQ5(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins in Q5, got $nBroadcast")
+    assert(!p.contains("CartesianProduct"), "Q5 planned a cartesian product")
+  }
+
   test("sink_partitioned readback prunes to the filtered partition") {
     // materialize the partitioned layout, then audit the readback scan
     graft.ops.Sources.sinkPartitioned(spark, sf0001).collect()

@@ -68,6 +68,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.select("ws").distinct().count() == 2)
   }
 
+  test("sliding window counts: stream == batch (4 windows per event)") {
+    val streamed = runStream("complete")(ev =>
+      Streaming.slidingCounts(ev.withWatermark("ts", "1 hour")))
+    val batch = Streaming.slidingCounts(batchDf)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // each event falls in exactly 4 sliding windows: total n == 4 * events
+    val totalN = batch.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(totalN == 4L * sample.size)
+  }
+
   test("session windows: stream == batch, 10-min gap splits sessions") {
     val streamed = runStream("complete")(Streaming.sessionStream)
     val batch = Streaming.sessionCounts(batchDf)
