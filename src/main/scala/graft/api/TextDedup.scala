@@ -1,0 +1,181 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.MinHashAgg
+
+/** Text deduplication — public API over any (id, text) DataFrame.
+  *
+  * Four scalable strategies, strongest-guarantee first:
+  *  - [[exact]]: normalized-hash groupBy (one shuffle, scale-free);
+  *  - [[jaccardJoin]]: EXACT n-gram Jaccard >= t via AllPairs prefix
+  *    filtering (provably lossless candidate pruning);
+  *  - [[minhashPairs]]: MinHash + LSH banding (probabilistic recall,
+  *    fixed-size signatures — the unbounded-corpus path);
+  *  - [[simhashPairs]]: SimHash Hamming-distance pairs.
+  *
+  * Portable hashing: signature hashes derive from md5 (reproducible in any
+  * engine, see [[MinHashAgg.params]]); set algebra runs on xxhash64-hashed
+  * shingles (cardinalities preserved modulo ~1e-15/pair collision odds).
+  */
+object TextDedup {
+
+  /** 48-bit portable hash: first 12 hex digits of md5 (engine-agnostic). */
+  def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Word n-gram shingles of a whitespace-tokenized text column. */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
+
+  /** (id, text) → (id, sset: array<long>) of distinct xxhash64'd shingles;
+    * docs shorter than n tokens are dropped (no shingles). */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.filter(size(toks) >= n)
+      .select(col(idCol),
+        array_distinct(transform(shingles(toks, n), s => xxhash64(s))).as("sset"))
+  }
+
+  /** Exact Jaccard of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact dedup by normalized text: groups rows whose lower/trimmed text
+    * hashes equal; keeps the minimum id per group. Output:
+    * (kept_id, n_copies). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__h", md5(lower(trim(col(textCol)))))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+      .select(col("kept_id"), col("n_copies"))
+
+  /** EXACT bipartite Jaccard-threshold join with AllPairs prefix filtering
+    * (Bayardo et al., WWW'07): each set is sorted in a canonical order
+    * (ascending shingle hash) and only its first |S|-ceil(t*|S|)+1 elements
+    * are exploded; any pair with J >= t must share a prefix element
+    * (pigeonhole), so the equi-join is a lossless candidate generator. A
+    * size-ratio bound (t*|B| <= |A| <= |B|/t) prunes further; exact
+    * Jaccard verifies. Output: (left_id, right_id, jacc rounded). */
+  def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3,
+      roundTo: Int = 6): DataFrame = {
+    // one persisted shingle-set table per side feeds BOTH candidate
+    // generation and the verify join (cluster scale: MEMORY_AND_DISK
+    // persist / checkpoint of the tokenized corpus)
+    val ls = hashedShingleSets(left, idCol, textCol, n)
+      .select(col(idCol).as("left_id"), col("sset").as("lset")).persist()
+    val rs = hashedShingleSets(right, idCol, textCol, n)
+      .select(col(idCol).as("right_id"), col("sset").as("rset")).persist()
+    def prefixed(sets: DataFrame, id: String, set: String) =
+      sets
+        .withColumn("__n", size(col(set)))
+        .withColumn("__plen",
+          (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+        .select(col(id), col("__n"),
+          explode(slice(array_sort(col(set)), lit(1), col("__plen"))).as("psh"))
+    val lp = prefixed(ls, "left_id", "lset")
+      .select(col("left_id"), col("__n").as("ln"), col("psh"))
+    val rp = prefixed(rs, "right_id", "rset")
+      .select(col("right_id"), col("__n").as("rn"), col("psh"))
+    val cand = lp.join(rp, "psh")
+      .filter(col("ln") >= lit(threshold) * col("rn") &&
+        col("rn") >= lit(threshold) * col("ln"))
+      .select(col("left_id"), col("right_id")).distinct()
+    broadcast(cand) // candidates are the provably-small side
+      .join(ls, "left_id").join(rs, "right_id")
+      .withColumn("jacc", jaccard(col("lset"), col("rset")))
+      .filter(col("jacc") >= threshold)
+      .select(col("left_id"), col("right_id"),
+        round(col("jacc"), roundTo).as("jacc"))
+  }
+
+  /** MinHash signatures: (id, sig: array<long>) — K affine re-hashes of
+    * the 48-bit shingle hashes, min-aggregated in ONE pass via the typed
+    * [[MinHashAgg]] UDAF (fixed 256-byte state per doc). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    // ObjectHashAggregate's sort fallback defaults to 128 in-memory
+    // groups; sketch buffers are tiny, so hold millions
+    docs.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    val toks = split(col(textCol), " ")
+    docs.filter(size(toks) >= n)
+      .select(col(idCol), explode(shingles(toks, n)).as("__sh"))
+      .withColumn("__hv", h48(col("__sh")) % MinHashAgg.P)
+      .groupBy(col(idCol))
+      .agg(MinHashAgg.minhash(col("__hv")).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs over one corpus: band equi-join for
+    * candidates (id_a < id_b), exact-Jaccard verify at >= threshold.
+    * Output: (a, b, jacc rounded). nBands*rowsPerBand must equal
+    * [[MinHashAgg.K]]. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 4,
+      n: Int = 3, roundTo: Int = 6): DataFrame = {
+    require(nBands * rowsPerBand == MinHashAgg.K,
+      s"banding ${nBands}x$rowsPerBand must cover K=${MinHashAgg.K}")
+    val sigs = minhashSignatures(docs, idCol, textCol, n)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
+    }
+    val bands = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      .persist() // self-joined: signatures computed once
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val sets = hashedShingleSets(docs, idCol, textCol, n).persist()
+    broadcast(cand)
+      .join(sets.select(col(idCol).as("a"), col("sset").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("sset").as("sb")), "b")
+      .withColumn("jacc", jaccard(col("sa"), col("sb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("a"), col("b"), round(col("jacc"), roundTo).as("jacc"))
+  }
+
+  /** SimHash signatures: (id, simhash) — bit j is the sign of the sum of
+    * ±1 votes from each shingle hash's bit j. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val exploded = docs.filter(size(toks) >= n)
+      .select(col(idCol), explode(shingles(toks, n)).as("__sh"))
+      .withColumn("__hv", h48(col("__sh")))
+    val bitSums = (0 until bits).map(j =>
+      sum(shiftright(col("__hv"), j).bitwiseAND(1) * 2 - 1).as(s"__s_$j"))
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(j =>
+          when(col(s"__s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        ).reduce(_ + _))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** All pairs (a < b) within Hamming distance <= maxHamming of their
+    * SimHash signatures. Pairing is all-pairs here (bounded corpora); at
+    * unbounded scale route the same signatures through bit-block buckets
+    * first. Output: (a, b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int = 48, n: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol, bits, n).persist()
+    sig.as("x").join(sig.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.FloatDotProduct.fdot
+
+/** Similarity search over `array<float>` embedding columns — public API.
+  *
+  * All cosine math runs on the native codegen'd
+  * [[graft.expr.FloatDotProduct]] with L2 norms precomputed once per
+  * vector, so every candidate pair costs ONE fused dot-product loop.
+  * Cosines are rounded (`roundTo`, default 6) BEFORE ranking so top-k
+  * ties resolve identically on any engine; rank ties break by candidate
+  * id — total order, deterministic at any partition count.
+  */
+object VectorSearch {
+
+  /** (id, vec) → (id, vec, norm). */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("norm", sqrt(fdot(col(vecCol), col(vecCol))))
+
+  private def cos(pe: Column, ce: Column, pn: Column, cn: Column, roundTo: Int) =
+    round(fdot(pe, ce) / (pn * cn), roundTo)
+
+  /** Exact brute-force top-k: probes broadcast against the candidate scan;
+    * per-probe top-k is a partitioned window (no global sort). Output:
+    * (probe_id, rnk, cand_id, cos). */
+  def topK(probes: DataFrame, cands: DataFrame, idCol: String, vecCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"), col("norm").as("pn"))
+    val c = withNorm(cands, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("ce"), col("norm").as("cn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    broadcast(p).crossJoin(c)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cos(col("pe"), col("ce"), col("pn"), col("cn"), roundTo))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+  }
+
+  /** IVF approximate top-k — the 100 TB path: candidates shard into
+    * centroid cells (broadcast argmin assignment); each probe searches its
+    * `nprobe` nearest cells via an equi-join on cell id, never a full
+    * cross join. */
+  def ivfTopK(probes: DataFrame, cands: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      roundTo: Int = 6): DataFrame = {
+    val ct = broadcast(withNorm(cents, vecCol)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent"), col("norm").as("ctn")))
+    val e = withNorm(cands, vecCol)
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = e.crossJoin(ct)
+      .withColumn("ccos", cos(col(vecCol), col("cent"), col("norm"), col("ctn"), roundTo))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col(idCol), col("cent_id").as("cell"))
+    val cells = e.join(assign, idCol)
+      .select(col(idCol).as("cand_id"), col("cell"),
+        col(vecCol).as("ce"), col("norm").as("cn"))
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"), col("norm").as("pn"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probeCells = broadcast(p).crossJoin(ct)
+      .withColumn("pcos", cos(col("pe"), col("cent"), col("pn"), col("ctn"), roundTo))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    probeCells.join(cells, "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cos(col("pe"), col("ce"), col("pn"), col("cn"), roundTo))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+  }
+
+  /** Bipartite cosine-threshold join (embedding near-dup verify shape):
+    * all (left, right) pairs with cosine >= minCos. Left is expected to be
+    * the bounded side (planted variants / new-batch vectors). Output:
+    * (left_id, right_id, cos — unrounded comparison, rounded output). */
+  def thresholdJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, roundTo: Int = 6): DataFrame = {
+    val l = withNorm(left, vecCol)
+      .select(col(idCol).as("left_id"), col(vecCol).as("le"), col("norm").as("ln"))
+    val r = withNorm(right, vecCol)
+      .select(col(idCol).as("right_id"), col(vecCol).as("re"), col("norm").as("rn"))
+    l.crossJoin(r)
+      .withColumn("c", fdot(col("le"), col("re")) / (col("ln") * col("rn")))
+      .filter(col("c") >= minCos)
+      .select(col("left_id"), col("right_id"), round(col("c"), roundTo).as("cos"))
+  }
+}

@@ -95,45 +95,17 @@ object LlmPipeline {
       |         array_to_string(list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 2), ' ')
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  /** doc_id → distinct shingle set, for exact Jaccard verification. */
-  private def shingleSets(c: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    c.filter(size(toks) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(toks)).as("sset"))
-  }
-
-  /** doc_id → distinct 64-bit-hashed shingle set. Set cardinalities (and
-    * therefore Jaccard) are preserved modulo xxhash64 collisions —
-    * ~1e-15 per pair at 256-element unions, so intersect/union/sort run on
-    * longs instead of ~25-char strings. The DuckDB oracle still computes
-    * on raw strings: agreement IS the collision check. */
-  private def shingleSetsHashed(c: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    c.filter(size(toks) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(toks), s => xxhash64(s))).as("sset"))
-  }
-
   private val shingleSetsSql =
     s"""tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
        |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)""".stripMargin
 
-  /** Exact Jaccard between two distinct-shingle-set columns, in double. */
-  private def jacc(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
-
   // ------------------------------------------------------------ dedup: exact
 
-  /** Exact dedup by normalized-text hash: lower/trim → md5 → keep the
-    * smallest doc_id per hash. At 100 TB this is one hash-shuffle groupBy —
-    * the canonical first dedup pass of any training-data pipeline. */
+  /** Exact dedup by normalized-text hash — [[graft.api.TextDedup.exact]]
+    * on the planted-variant corpus. At 100 TB this is one hash-shuffle
+    * groupBy — the canonical first dedup pass of any training pipeline. */
   val dedupExact: Q = (s, d) =>
-    corpus(s, d)
-      .withColumn("h", md5(lower(trim(col("text")))))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_copies"))
-      .select(col("kept_id"), col("n_copies"))
+    graft.api.TextDedup.exact(corpus(s, d), "doc_id", "text")
       .orderBy(col("kept_id"))
 
   // ---------------------------------------------- dedup: exact shingle Jaccard
@@ -150,125 +122,38 @@ object LlmPipeline {
     * exact-Jaccard verify. At 100 TB this is the shape that survives:
     * one hash shuffle on shingle, never all-pairs. */
   val dedupNear: Q = (s, d) => {
-    // The shingle-set subtree feeds candidate generation AND both sides of
-    // the verify join; without persist Spark recomputes the shingling 3×.
-    // At cluster scale the same reuse is a persist to MEMORY_AND_DISK (or a
-    // checkpoint) of the tokenized corpus.
-    val sets = shingleSetsHashed(corpus(s, d)).persist()
-    // Canonical order = ascending 64-bit shingle hash. Any fixed total
-    // order satisfies the prefix-filter theorem; sorting/joining longs
-    // beats 25-char strings.
-    val prefixed = sets
-      .withColumn("n", size(col("sset")))
-      .withColumn("plen",
-        (col("n") - ceil(lit(JaccThreshold) * col("n")) + 1).cast("int"))
-      .select(col("doc_id"), col("n"),
-        explode(slice(array_sort(col("sset")), lit(1), col("plen"))).as("psh"))
-    val vp = prefixed.filter(col("doc_id") >= 200000L)
-      .select(col("doc_id").as("var_id"), col("n").as("vn"), col("psh"))
-    val bp = prefixed.filter(col("doc_id") < 200000L)
-      .select(col("doc_id").as("base_id"), col("n").as("bn"), col("psh"))
-    val cand = vp.join(bp, "psh")
-      .filter(col("vn") >= lit(JaccThreshold) * col("bn") &&
-        col("bn") >= lit(JaccThreshold) * col("vn"))
-      .select(col("var_id"), col("base_id")).distinct()
-    // candidates are the provably-small side (that is the point of the
-    // prefix filter): broadcast them into the set table instead of
-    // shuffling the fat shingle arrays twice
-    broadcast(cand)
-      .join(sets.select(col("doc_id").as("var_id"), col("sset").as("vset")), "var_id")
-      .join(sets.select(col("doc_id").as("base_id"), col("sset").as("bset")), "base_id")
-      .withColumn("jacc", jacc(col("vset"), col("bset")))
-      .filter(col("jacc") >= JaccThreshold)
-      .select(col("var_id"), col("base_id"), round(col("jacc"), 6).as("jacc"))
+    val c = corpus(s, d)
+    graft.api.TextDedup.jaccardJoin(
+        c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+        "doc_id", "text", JaccThreshold)
+      .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
+        col("jacc"))
       .orderBy(col("var_id"), col("base_id"))
   }
 
   // ------------------------------------------------------- dedup: MinHash-LSH
 
-  /** MinHash signature per doc — ONE pass via the typed
-    * [[graft.expr.MinHashAgg]] aggregator (fixed 32-long buffer, map-side
-    * partial merge) instead of K separate min-columns. */
-  private def minhashSigs(c: DataFrame): DataFrame = {
-    // typed-UDAF aggregation runs on ObjectHashAggregate, whose sort-based
-    // fallback triggers at 128 in-memory groups by default — catastrophic
-    // for |docs| groups (sorts the whole exploded shingle stream). The
-    // buffers are fixed 256 B, so holding millions of groups is cheap.
-    c.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-    val toks = split(col("text"), " ")
-    c.filter(size(toks) >= 3)
-      .select(col("doc_id"), explode(shingles(toks)).as("sh"))
-      .withColumn("hv", h48(col("sh")) % P)
-      .groupBy(col("doc_id"))
-      .agg(graft.expr.MinHashAgg.minhash(col("hv")).as("sig"))
-  }
-
-  /** MinHash + LSH banding dedup — the 100 TB near-dup path. K=32 hashes,
-    * 8 bands × 4 rows: P(candidate | J=0.7) ≈ 1-(1-0.7⁴)⁸ ≈ 0.90 per the
-    * standard banding bound; candidates are then exact-Jaccard-verified at
-    * ≥ 0.7 so false positives cost only the verify join. Candidate
-    * generation is an equi-join on (band, band-key) — a hash shuffle, never
-    * an all-pairs comparison. */
-  val dedupMinhash: Q = (s, d) => {
-    val c = corpus(s, d)
-    val sigs = minhashSigs(c)
-    val bandCols = (0 until NBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until R).map(r =>
-          element_at(col("sig"), b * R + r + 1)): _*).as("bkey"))
-    }
-    // self-joined below — persist so the signature computation (explode +
-    // 6M md5 at sf0.1) runs once, not once per join side
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-      .persist()
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-      .distinct()
-    val sets = shingleSetsHashed(c).persist() // feeds both verify-join sides
-    broadcast(cand) // LSH candidates ≪ corpus — same reasoning as dedupNear
-      .join(sets.select(col("doc_id").as("ia"), col("sset").as("sa")), "ia")
-      .join(sets.select(col("doc_id").as("ib"), col("sset").as("sb")), "ib")
-      .withColumn("jacc", jacc(col("sa"), col("sb")))
-      .filter(col("jacc") >= JaccThreshold)
-      .select(col("ia").as("a"), col("ib").as("b"), round(col("jacc"), 6).as("jacc"))
+  /** MinHash + LSH banding dedup — the 100 TB near-dup path
+    * ([[graft.api.TextDedup.minhashPairs]]). K=32 hashes, 8 bands × 4
+    * rows: P(candidate | J=0.7) ≈ 1-(1-0.7⁴)⁸ ≈ 0.90 per the standard
+    * banding bound; candidates are exact-Jaccard-verified at ≥ 0.7, so
+    * false positives cost only the verify join. Candidate generation is an
+    * equi-join on (band, band-key) — never an all-pairs comparison. */
+  val dedupMinhash: Q = (s, d) =>
+    graft.api.TextDedup.minhashPairs(corpus(s, d), "doc_id", "text",
+        JaccThreshold, NBands, R)
       .orderBy(col("a"), col("b"))
-  }
 
   // ---------------------------------------------------------- dedup: SimHash
 
-  /** 48-bit SimHash over shingle hashes: bit j of the signature is the
-    * sign of Σ_shingles (±1 by bit j of the shingle hash). Near-dups =
-    * pairs with Hamming distance ≤ 10. The pairing here is all-pairs
-    * (bounded corpus); at 100 TB the same signatures go through
-    * bit-sampling LSH buckets instead. */
-  val dedupSimhash: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val exploded = corpus(s, d).filter(size(toks) >= 3)
-      .select(col("doc_id"), explode(shingles(toks)).as("sh"))
-      .withColumn("hv", h48(col("sh")))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(shiftright(col("hv"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j"))
-    val sig = exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until SimhashBits).map(j =>
-          when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        ).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
-      .persist() // self-joined: signature computed once, not per side
-    sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("hamming").cast("long").as("hamming"))
+  /** 48-bit SimHash near-dup pairs at Hamming ≤ 10
+    * ([[graft.api.TextDedup.simhashPairs]]); all-pairs on the bounded
+    * corpus — at 100 TB the same signatures go through bit-sampling LSH
+    * buckets instead. */
+  val dedupSimhash: Q = (s, d) =>
+    graft.api.TextDedup.simhashPairs(corpus(s, d), "doc_id", "text",
+        HammingMax, SimhashBits)
       .orderBy(col("a"), col("b"))
-  }
 
   // ------------------------------------------------- embedding-cosine pieces
 
@@ -319,17 +204,12 @@ object LlmPipeline {
     * blocked/ANN candidate generation at scale is [[simTopkIvf]]'s
     * centroid assignment. */
   val dedupEmbed: Q = (s, d) => {
-    val vc = withNorm(vecCorpus(s, d), "embedding")
-    val vars = vc.filter(col("vec_id") >= 10000L)
-      .select(col("vec_id").as("var_id"), col("embedding").as("ve"),
-        col("norm").as("vnorm"))
-    val base = vc.filter(col("vec_id") < 10000L)
-      .select(col("vec_id").as("base_id"), col("embedding").as("be"),
-        col("norm").as("bnorm"))
-    vars.crossJoin(base)
-      .withColumn("cos", dotp(col("ve"), col("be")) / (col("vnorm") * col("bnorm")))
-      .filter(col("cos") >= 0.999)
-      .select(col("var_id"), col("base_id"), round(col("cos"), 6).as("cos"))
+    val vc = vecCorpus(s, d)
+    graft.api.VectorSearch.thresholdJoin(
+        vc.filter(col("vec_id") >= 10000L), vc.filter(col("vec_id") < 10000L),
+        "vec_id", "embedding", 0.999)
+      .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
+        col("cos"))
       .orderBy(col("var_id"), col("base_id"))
   }
 
@@ -340,23 +220,9 @@ object LlmPipeline {
     * candidate scan is embarrassingly parallel; per-probe top-k is a
     * partitioned window, no global sort. */
   val simTopk: Q = (s, d) => {
-    val e = withNorm(
-      T.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("norm").as("pnorm"))
-    val scored = broadcast(probes).crossJoin(
-        e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-          col("norm").as("cnorm")))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos",
-        round(dotp(col("pe"), col("ce")) / (col("pnorm") * col("cnorm")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
-        col("cand_id"), col("cos"))
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.api.VectorSearch.topK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
@@ -367,46 +233,11 @@ object LlmPipeline {
     * IVF index: cell assignment is a broadcast join + argmin, search is an
     * equi-join on cell id — never a full cross join. */
   val simTopkIvf: Q = (s, d) => {
-    val e = withNorm(
-      T.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
-    val cents = broadcast(e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
-        col("norm").as("centnorm")))
-    // cell assignment: nearest centroid per vector (rounded cosine,
-    // cent_id tiebreak — total order, engine-portable)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = e.crossJoin(cents)
-      .withColumn("ccos", round(
-        dotp(col("embedding"), col("cent")) / (col("norm") * col("centnorm")), 6))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-    val cells = e.join(assign, "vec_id")
-      .select(col("vec_id").as("cand_id"), col("cell"),
-        col("embedding").as("ce"), col("norm").as("cnorm"))
-    // probes search their nprobe=3 nearest cells
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("norm").as("pnorm"))
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("pcos").desc, col("cent_id"))
-    val probeCells = broadcast(probes).crossJoin(cents)
-      .withColumn("pcos", round(
-        dotp(col("pe"), col("cent")) / (col("pnorm") * col("centnorm")), 6))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= 3)
-      .select(col("probe_id"), col("pe"), col("pnorm"), col("cent_id").as("cell"))
-    val wTop = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    probeCells.join(cells, "cell")
-      .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos",
-        round(dotp(col("pe"), col("ce")) / (col("pnorm") * col("cnorm")), 6))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= 5)
-      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
-        col("cand_id"), col("cos"))
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.api.VectorSearch.ivfTopK(
+        probes = e.filter(col("vec_id") < 10), cands = e,
+        cents = e.filter(col("vec_id") % 50 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
       .orderBy(col("probe_id"), col("rnk"))
   }
 

@@ -222,27 +222,16 @@ object Relational {
     * explodes to |events| × |orders-per-key| intermediates at 100 TB.
     */
   val joinAsof: Q = (s, d) => {
-    val ev = T.events(s, d).select(
-      col("user_id").as("k"), col("ts").as("t"),
-      col("event_id"), lit(1).as("is_event"),
-      lit(null).cast("long").as("o_orderkey"),
-      lit(null).cast("double").as("o_totalprice"))
+    val ev = T.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
     val o = T.orders(s, d).select(
-      col("o_custkey").as("k"), col("o_orderdate").as("t"),
-      lit(null).cast("long").as("event_id"), lit(0).as("is_event"),
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
       col("o_orderkey"), col("o_totalprice"))
-    // Within a key, order by (t, is_event, o_orderkey): at equal t the
-    // order row sorts before the event row (asof is inclusive), and
-    // date-ties among orders resolve to the max orderkey.
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(o)
-      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
-      .filter(col("is_event") === 1)
-      .select(col("event_id"), col("k").as("user_id"),
-        col("asof_orderkey"), col("asof_totalprice"))
+    graft.api.AsOfJoin.backward(ev, o, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("asof_orderkey"),
+        col("asof_o_totalprice").as("asof_totalprice"))
       .orderBy(col("event_id"))
   }
 

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{AsOfJoin, TextDedup, VectorSearch}
+
+/** The public API surface on arbitrary (non-harness) schemas — proves the
+  * operators are generic library functions, not fixture-bound queries. */
+class ApiSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin.backward attaches the latest prior right row per key") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq( // (sym, at, px)
+      ("A", ts("2025-01-01 10:00:00"), 10.0),
+      ("A", ts("2025-01-01 10:05:00"), 11.0),
+      ("B", ts("2025-01-01 10:01:00"), 20.0)
+    ).toDF("sym", "at", "px")
+    val trades = Seq( // (sym, at, qty)
+      ("A", ts("2025-01-01 10:03:00"), 5L),  // after 10:00 quote -> 10.0
+      ("A", ts("2025-01-01 10:05:00"), 6L),  // at 10:05 (inclusive) -> 11.0
+      ("B", ts("2025-01-01 10:00:30"), 7L),  // before any B quote -> null
+      ("C", ts("2025-01-01 10:00:00"), 8L)   // key never quoted -> null
+    ).toDF("sym", "at", "qty")
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "at", "at", Seq("px"))
+      .orderBy("sym", "at")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, Some(10.0)), ("A", 6L, Some(11.0)),
+      ("B", 7L, None), ("C", 8L, None)))
+  }
+
+  test("TextDedup.exact and jaccardJoin work on an ad-hoc corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  "), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "completely different words entirely here now ok")
+    ).toDF("id", "body")
+    val kept = TextDedup.exact(docs, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(1L) == 2L) // doc 2 normalized-equal to doc 1
+    assert(kept(3L) == 1L && kept(4L) == 1L)
+    val pairs = TextDedup.jaccardJoin(
+        docs.filter(col("id") === 3L), docs.filter(col("id") =!= 3L),
+        "id", "body", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((3L, 1L)) ||
+      pairs.toSet == Set((3L, 1L), (3L, 2L))) // doc2 uppercased: no shared shingles
+  }
+
+  test("VectorSearch.topK ranks an ad-hoc vector table") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f))
+    ).toDF("vid", "v").select(col("vid"), col("v").cast("array<float>").as("v"))
+    val out = VectorSearch.topK(vecs.filter(col("vid") === 1L), vecs,
+        "vid", "v", k = 2)
+      .orderBy("rnk").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(2L, 3L)) // nearest first
+  }
+}
