@@ -23,6 +23,7 @@ import graft.expr.FloatDotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
 

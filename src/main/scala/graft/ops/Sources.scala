@@ -103,6 +103,26 @@ object Sources {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Schema evolution on read: two parquet batches with different schemas
+    * (the second adds a column) merged by the reader; rows from the older
+    * batch surface NULL for the new column. This is how a 100 TB table
+    * grows columns in place — no rewrite of historical files. */
+  val sourceEvolution: Q = (s, d) => {
+    val dir = ioDir("source_evolution")
+    val o = T.orders(s, d)
+    o.filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    o.filter(col("o_orderkey") % 40 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Readback used by PlanSpec to audit partition pruning (split out so the
     * audit sees the scan without the eager write in the same fn). */
   def partitionedReadback(s: SparkSession): DataFrame =
@@ -116,6 +136,7 @@ object Sources {
     "source_csv" -> sourceCsv,
     "source_json" -> sourceJson,
     "sink_partitioned" -> sinkPartitioned,
+    "source_evolution" -> sourceEvolution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +166,14 @@ object Sources {
          |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "source_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 40 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 40 = 1
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -43,6 +43,29 @@ class ExpressionSpec extends SparkSpecBase {
     assert(out(2).getDouble(0) == 6.0)
   }
 
+  test("RewriteFloatDot rewrites the HOF idiom into the native expression") {
+    val e = T.embeddings(spark, sf0001).limit(100)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.expr.RewriteFloatDot
+    try {
+      val df = e.select(col("vec_id"),
+        hofDot(col("embedding"), col("embedding")).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("float_dot"),
+        "HOF chain not rewritten to FloatDotProduct")
+      // and the rewritten plan still computes the identical values
+      val viaRule = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.expr.RewriteFloatDot)
+      val plain = e.select(col("vec_id"),
+        hofDot(col("embedding"), col("embedding")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaRule == plain)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.expr.RewriteFloatDot)
+    }
+  }
+
   test("MinHashAgg == column-wise min formulation") {
     val s = spark
     import s.implicits._

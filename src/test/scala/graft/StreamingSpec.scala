@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpecBase {
       .distinct.size)
   }
 
+  test("streaming parquet file sink roundtrip equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("graft-filesink").toString
+    val ms = MemoryStream[Ev]
+    ms.addData(sample)
+    val query = Streaming.tumblingStream(ms.toDF()).writeStream
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    // append mode only emits watermark-closed windows; push a late marker
+    // is unnecessary — AvailableNow finalizes the watermark at stream end
+    val back = spark.read.parquet(s"$dir/out")
+    val batch = Streaming.tumblingCounts(batchDf)
+    // every emitted row must match the batch result exactly
+    assert(back.exceptAll(batch).isEmpty)
+  }
+
   test("late data beyond the watermark is dropped from open aggregations") {
     val s = spark
     import s.implicits._
