@@ -75,6 +75,7 @@ object SparkEntry {
     "text_quality"     -> LlmPipeline.textQuality,
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
+    "text_tfidf"       -> LlmPipeline.textTfidf,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries

@@ -312,6 +312,33 @@ object LlmPipeline {
       .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("bpe_ish"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top terms: per (doc, term) score tf * ln((N+1)/(df+1)), top-3
+    * terms per doc (score desc, term asc — total order). Two shuffles:
+    * term explode → (doc, term) counts, then df per term joined back;
+    * the document-count N is a broadcast scalar. The ranking happens on
+    * round(score, 6) so cross-engine libm ulp differences cannot flip
+    * ranks. */
+  val textTfidf: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_total") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Document fingerprint: bottom-8 sketch of 3-gram shingle hashes (the
     * order-independent cousin of winnowing — a stable content signature
     * for sketch-based containment/overlap checks). Exploded to one row per
@@ -537,6 +564,24 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_total + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
