@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -106,6 +106,58 @@ object Advanced {
         col("5-LOW").as("p5"))
       .orderBy(col("o_orderstatus"))
 
+  /** Navigation window functions: first/last/nth order value within each
+    * customer's order history (explicit frame for last_value — the default
+    * frame ends at CURRENT ROW, a classic correctness trap). */
+  val windowNav: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(s, d)
+      .withColumn("first_key", first(col("o_orderkey")).over(wFull))
+      .withColumn("last_key", last(col("o_orderkey")).over(wFull))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wFull))
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("first_key"), col("last_key"), col("second_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Statistical aggregates — stddev/variance/correlation — computed from
+    * EXACT decimal moment sums (Σx, Σx², Σxy as DECIMAL, combined in
+    * double at the end). The built-in stddev/corr stream doubles in
+    * partition order and are nondeterministic at scale; the moment form is
+    * order-independent, shuffle-count identical (one partial+final agg),
+    * and matches the engine-portable closed forms. */
+  val aggStats: Q = (s, d) => {
+    def sd(c: Column) = sum(c.cast("decimal(28,8)"))
+    val li = T.lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sd(col("l_quantity")).as("sx"),
+        sd(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sd(col("l_extendedprice")).as("sy"),
+        sd(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+        sd(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+      .select(Seq(col("l_returnflag"), col("n")) ++ {
+        // exact decimal moments → double ONCE, then a fixed double-op
+        // sequence (order-independent, no decimal-precision overflow)
+        val nd = col("n").cast("double")
+        val (sx, sxx) = (col("sx").cast("double"), col("sxx").cast("double"))
+        val (sy, syy) = (col("sy").cast("double"), col("syy").cast("double"))
+        val sxy = col("sxy").cast("double")
+        val varQ = (sxx - sx * sx / nd) / (nd - 1)
+        val cov = sxy - sx * sy / nd
+        Seq(
+          round(varQ, 4).as("var_qty"),
+          round(sqrt(varQ), 4).as("sd_qty"),
+          round(cov / (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 4)
+            .as("corr_qp"))
+      }: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Null-semantics pack: coalesce, nullif, null-safe equality (<=>),
     * and null-aware counts over a column made sparsely null. */
   val fnNull: Q = (s, d) => {
@@ -157,6 +209,8 @@ object Advanced {
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
+    "agg_stats" -> aggStats,
+    "window_nav" -> windowNav,
     "agg_percentile" -> aggPercentile,
     "window_dist" -> windowDist,
     "window_range_frame" -> windowRangeFrame,
@@ -170,6 +224,34 @@ object Advanced {
     "agg_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag, n,
+        |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS sd_qty,
+        |  round((sxy - sx * sy / n)
+        |    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 4) AS corr_qp
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "window_nav" ->
+      """SELECT o_orderkey, o_custkey, first_key, last_key, second_key
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |    LAST_VALUE(o_orderkey) OVER w AS last_key,
+        |    NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,
