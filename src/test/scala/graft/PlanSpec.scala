@@ -90,6 +90,39 @@ class PlanSpec extends SparkSpecBase {
       s"partition filter not pruned:\n${p.take(1500)}")
   }
 
+  test("bucketed tables join without a shuffle (the repeated-join recipe)") {
+    // SCALING.md: bucketing both sides by the join key removes the
+    // shuffle entirely — the 100 TB answer for joins that repeat per run
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    // a previously-failed run can leave an orphan managed-table location
+    Seq("li_b", "o_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$t"))
+    }
+    graft.core.Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    graft.core.Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // hint("merge"): at this toy size the planner would broadcast; the
+    // property under test is the sort-merge path using bucket co-location
+    val joined = spark.table("li_b").hint("merge").join(spark.table("o_b"),
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = planString(joined)
+    assert(p.contains("SortMergeJoin"), "merge hint ignored")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed sort-merge join still shuffles:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    // and it still returns the right row count
+    assert(joined.count() ==
+      graft.core.Tables(spark, sf0001, "lineitem").count())
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages
