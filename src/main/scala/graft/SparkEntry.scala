@@ -76,6 +76,7 @@ object SparkEntry {
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,
+    "text_winnow"      -> LlmPipeline.textWinnow,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries

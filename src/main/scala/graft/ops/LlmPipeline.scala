@@ -356,6 +356,29 @@ object LlmPipeline {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
+    * character k-gram (k=8), slide a window of w=16 consecutive hashes,
+    * select each window's minimum — guarantees any match of length
+    * >= w+k-1 between two documents shares a selected hash. The selected
+    * distinct hashes are the document's fingerprint. All per-row HOFs
+    * (no explode until the final output), fully parallel per document. */
+  val textWinnow: Q = (s, d) => {
+    val K = 8
+    val W = 16
+    val grams = transform(
+      sequence(lit(1), length(col("text")) - (K - 1)),
+      i => h48(substring(col("text"), i, lit(K))))
+    val winMins = transform(
+      sequence(lit(1), size(col("grams")) - (W - 1)),
+      j => array_min(slice(col("grams"), j, lit(W))))
+    T.documents(s, d)
+      .filter(length(col("text")) >= K + W - 1)
+      .withColumn("grams", grams)
+      .withColumn("fp", array_distinct(winMins))
+      .select(col("doc_id"), explode(col("fp")).as("hv"))
+      .orderBy(col("doc_id"), col("hv"))
+  }
+
   // -------------------------------------------------------- multimodal join
 
   /** documents ⋈ embeddings by id with the vector carried through a
@@ -564,6 +587,19 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) - 6),
+         |      i -> ${h48Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
+         |  FROM documents WHERE length(text) >= 23),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(grams) - 14),
+         |      j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fp
+         |  FROM g)
+         |SELECT doc_id, unnest(fp) AS hv FROM w ORDER BY doc_id, hv""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (
