@@ -368,14 +368,24 @@ object LlmPipeline {
     val grams = transform(
       sequence(lit(1), length(col("text")) - (K - 1)),
       i => h48(substring(col("text"), i, lit(K))))
-    val winMins = transform(
-      sequence(lit(1), size(col("grams")) - (W - 1)),
-      j => array_min(slice(col("grams"), j, lit(W))))
+    // Shape note, load-bearing: computing the per-window minima as a
+    // nested transform-over-slice-of-transform column makes Catalyst
+    // (CollapseProject / InferFiltersFromGenerate) inline the FULL gram
+    // array expression into every window evaluation and into a pushed-down
+    // generator filter — a quadratic md5 blowup. Exploding the window
+    // starts first keeps every expression linear: grams materializes once
+    // per row, each exploded window costs one slice + array_min.
     T.documents(s, d)
       .filter(length(col("text")) >= K + W - 1)
+      // spread the md5-heavy gram hashing across partitions (the source is
+      // a single small file -> one task otherwise)
+      .repartition(col("doc_id"))
       .withColumn("grams", grams)
-      .withColumn("fp", array_distinct(winMins))
-      .select(col("doc_id"), explode(col("fp")).as("hv"))
+      .select(col("doc_id"), col("grams"),
+        explode(sequence(lit(1), size(col("grams")) - (W - 1))).as("j"))
+      .select(col("doc_id"),
+        array_min(slice(col("grams"), col("j"), lit(W))).as("hv"))
+      .distinct()
       .orderBy(col("doc_id"), col("hv"))
   }
 
