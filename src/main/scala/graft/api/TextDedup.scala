@@ -145,6 +145,32 @@ object TextDedup {
       .select(col("a"), col("b"), round(col("jacc"), roundTo).as("jacc"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * character k-gram, slide a window of w consecutive hashes, keep each
+    * window's minimum. Guarantee: any common substring of length
+    * >= w + k - 1 between two documents yields a shared fingerprint hash.
+    * Output: one (id, hv) row per distinct selected hash.
+    *
+    * Expression-shape note: window minima are computed on EXPLODED window
+    * indices, never as a nested HOF over the gram column — Catalyst
+    * (CollapseProject / InferFiltersFromGenerate) would inline the full
+    * gram-hash array into every window evaluation, a quadratic blowup. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), length(col(textCol)) - (k - 1)),
+      i => h48(substring(col(textCol), i, lit(k))))
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .repartition(col(idCol))
+      .withColumn("__grams", grams)
+      .select(col(idCol), col("__grams"),
+        explode(sequence(lit(1), size(col("__grams")) - (w - 1))).as("__j"))
+      .select(col(idCol),
+        array_min(slice(col("__grams"), col("__j"), lit(w))).as("hv"))
+      .distinct()
+  }
+
   /** SimHash signatures: (id, simhash) — bit j is the sign of the sum of
     * ±1 votes from each shingle hash's bit j. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,

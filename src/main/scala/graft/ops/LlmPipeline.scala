@@ -362,32 +362,10 @@ object LlmPipeline {
     * >= w+k-1 between two documents shares a selected hash. The selected
     * distinct hashes are the document's fingerprint. All per-row HOFs
     * (no explode until the final output), fully parallel per document. */
-  val textWinnow: Q = (s, d) => {
-    val K = 8
-    val W = 16
-    val grams = transform(
-      sequence(lit(1), length(col("text")) - (K - 1)),
-      i => h48(substring(col("text"), i, lit(K))))
-    // Shape note, load-bearing: computing the per-window minima as a
-    // nested transform-over-slice-of-transform column makes Catalyst
-    // (CollapseProject / InferFiltersFromGenerate) inline the FULL gram
-    // array expression into every window evaluation and into a pushed-down
-    // generator filter — a quadratic md5 blowup. Exploding the window
-    // starts first keeps every expression linear: grams materializes once
-    // per row, each exploded window costs one slice + array_min.
-    T.documents(s, d)
-      .filter(length(col("text")) >= K + W - 1)
-      // spread the md5-heavy gram hashing across partitions (the source is
-      // a single small file -> one task otherwise)
-      .repartition(col("doc_id"))
-      .withColumn("grams", grams)
-      .select(col("doc_id"), col("grams"),
-        explode(sequence(lit(1), size(col("grams")) - (W - 1))).as("j"))
-      .select(col("doc_id"),
-        array_min(slice(col("grams"), col("j"), lit(W))).as("hv"))
-      .distinct()
+  val textWinnow: Q = (s, d) =>
+    graft.api.TextDedup.winnowFingerprints(
+        T.documents(s, d), "doc_id", "text", k = 8, w = 16)
       .orderBy(col("doc_id"), col("hv"))
-  }
 
   // -------------------------------------------------------- multimodal join
 

@@ -56,6 +56,25 @@ class ApiSpec extends SparkSpecBase {
       pairs.toSet == Set((3L, 1L), (3L, 2L))) // doc2 uppercased: no shared shingles
   }
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val shared = "zqxwvyjkpbdfghmn_common_block_zzqqxxwwvv" // 40 chars
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee ffff gggg hhhh"),
+      (2L, s"1111 2222 3333 4444 $shared 5555 6666 7777"),
+      (3L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("id", "body")
+    // k=8, w=16: any common substring of length >= 23 must share a hash
+    val fp = TextDedup.winnowFingerprints(docs, "id", "body", k = 8, w = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "40-char shared block produced no common fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "unrelated docs should not collide at this size")
+  }
+
   test("VectorSearch.topK ranks an ad-hoc vector table") {
     val s = spark
     import s.implicits._
