@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_minhash"    -> LlmPipeline.dedupMinhash,
     "dedup_simhash"    -> LlmPipeline.dedupSimhash,
     "dedup_embed"      -> LlmPipeline.dedupEmbed,
+    "dedup_cluster"    -> LlmPipeline.dedupCluster,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "text_stats"       -> LlmPipeline.textStats,

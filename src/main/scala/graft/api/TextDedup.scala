@@ -145,6 +145,46 @@ object TextDedup {
       .select(col("a"), col("b"), round(col("jacc"), roundTo).as("jacc"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches into keep/drop decisions (every doc maps to
+    * its component's minimum id, the canonical representative).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converged when no
+    * label changes. Rounds = graph diameter (near-dup graphs are shallow
+    * stars/chains — a handful of rounds). Each round is one hash-shuffle
+    * join + aggregate; `localCheckpoint` truncates the growing lineage,
+    * exactly how large-scale CC (GraphFrames/Pregel style) runs. Output:
+    * (id, component) — component = min doc id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().persist()
+    var labels = sym.select(col("x").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("y"), col("component").as("ycomp")), "y")
+        .groupBy(col("x")).agg(min(col("ycomp")).as("nmin"))
+      val updated = labels
+        .join(nbrMin.select(col("x").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component") =!= col("l.component")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     * character k-gram, slide a window of w consecutive hashes, keep each
     * window's minimum. Guarantee: any common substring of length

@@ -362,6 +362,20 @@ object LlmPipeline {
     * >= w+k-1 between two documents shares a selected hash. The selected
     * distinct hashes are the document's fingerprint. All per-row HOFs
     * (no explode until the final output), fully parallel per document. */
+  /** Dedup clustering: near-dup pairs (variants vs base, exact Jaccard ≥
+    * 0.7 via prefix filtering) → connected components → every clustered
+    * doc mapped to its canonical representative (component min id). The
+    * final keep/drop step of the dedup pipeline. */
+  val dedupCluster: Q = (s, d) => {
+    val c = corpus(s, d)
+    val pairs = graft.api.TextDedup.jaccardJoin(
+      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      "doc_id", "text", JaccThreshold)
+    graft.api.TextDedup.connectedComponents(pairs, "left_id", "right_id")
+      .select(col("id").as("doc_id"), col("component").as("cluster_root"))
+      .orderBy(col("doc_id"))
+  }
+
   val textWinnow: Q = (s, d) =>
     graft.api.TextDedup.winnowFingerprints(
         T.documents(s, d), "doc_id", "text", k = 8, w = 16)
@@ -575,6 +589,24 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b
+         |  FROM ssets sa JOIN ssets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= $JaccThreshold),
+         |edges AS (SELECT a AS x, b AS y FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.x AS id, reach.r FROM edges e JOIN reach ON e.y = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_root
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "text_winnow" ->
       s"""WITH g AS (
