@@ -54,6 +54,24 @@ class LlmPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_cluster: every planted variant clusters under its source doc") {
+    val clusters = LlmPipeline.dedupCluster(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sources = graft.core.Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    sources.foreach { id =>
+      // variant id+200000 and source id are in the same component, whose
+      // representative is the (smaller) source id itself
+      assert(clusters.get(id + 200000L).contains(clusters(id)),
+        s"variant of $id not in its source's cluster")
+      assert(clusters(id) <= id, "representative must be the component min")
+    }
+    // components never mix two different sources
+    assert(clusters.values.toSet.size >= sources.length / 2,
+      "suspiciously few clusters — over-merging")
+  }
+
   test("sim_topk: self-similar planted probe ranks first; cosine descending per probe") {
     val rows = LlmPipeline.simTopk(spark, sf0001).collect()
     val byProbe = rows.groupBy(_.getLong(0))
