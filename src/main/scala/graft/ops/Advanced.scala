@@ -158,6 +158,21 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mode (most frequent value) per group — two-phase: count per
+    * (group, value), then rank with a value tie-break (the built-in `mode`
+    * breaks ties arbitrarily — banned by the determinism rules). */
+  val aggMode: Q = (s, d) => {
+    val counts = T.part(s, d)
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("n").desc, col("p_brand"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("p_type"), col("p_brand").as("mode_brand"), col("n"))
+      .orderBy(col("p_type"))
+  }
+
   /** Null-semantics pack: coalesce, nullif, null-safe equality (<=>),
     * and null-aware counts over a column made sparsely null. */
   val fnNull: Q = (s, d) => {
@@ -210,6 +225,7 @@ object Advanced {
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_stats" -> aggStats,
+    "agg_mode" -> aggMode,
     "window_nav" -> windowNav,
     "agg_percentile" -> aggPercentile,
     "window_dist" -> windowDist,
@@ -240,6 +256,14 @@ object Advanced {
         |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT p_type, mode_brand, n FROM (
+        |  SELECT p_type, p_brand AS mode_brand, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY p_type
+        |      ORDER BY COUNT(*) DESC, p_brand) AS rnk
+        |  FROM part GROUP BY p_type, p_brand)
+        |WHERE rnk = 1 ORDER BY p_type""".stripMargin,
 
     "window_nav" ->
       """SELECT o_orderkey, o_custkey, first_key, last_key, second_key
