@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark) // native fns + engine-tuned confs
     // untimed warmup: JVM/codegen/parquet-footer startup costs must not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -22,10 +23,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // compact, locale-safe number formatting: the driver captures a bounded
+    // tail of stdout, so the single JSON line must stay short (3 decimals,
+    // not Double.toString's 15+)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,9 +36,21 @@ object GraftExtensions {
       FloatDotProduct(children.head, children(1))
     })
 
-  /** Idempotently register the engine functions on a live session. */
+  /** Runtime-settable confs the engine's operators are tuned for. Applied
+    * by [[install]] (the explicit engine-installation entry point); query
+    * builders themselves never mutate a caller's session.
+    *
+    *   - objectHashAggregate fallback: the default flushes to sort-based
+    *     aggregation after 128 in-memory groups, pathological for the tiny
+    *     fixed-size sketch buffers of [[graft.expr.MinHashAgg]]. */
+  val recommendedConfs: Map[String, String] = Map(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304")
+
+  /** Idempotently register the engine functions on a live session and
+    * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = floatDotDescriptor
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
+    recommendedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Generic as-of (backward) join — public API.
   *
@@ -13,9 +14,15 @@ import org.apache.spark.sql.functions._
   * one per-partition sort — never the join-then-rank pattern, which
   * explodes to |left| × |right-rows-per-key| intermediates at 100 TB.
   *
+  * The payload columns are packed into a single struct and the struct is
+  * carried atomically, so every output row's `asof_*` fields come from ONE
+  * right row — genuine NULLs inside a right row's payload are preserved
+  * (they are fields of a non-null struct, distinct from the left rows'
+  * all-null marker struct, which `ignoreNulls` skips).
+  *
   * Ties: at equal time the right row sorts before the left row (as-of is
-  * inclusive); ties among right rows resolve by the payload columns in
-  * order.
+  * inclusive); ties among right rows resolve by the payload values in
+  * order (nulls first).
   */
 object AsOfJoin {
 
@@ -26,25 +33,25 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     val leftRest = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTime)
+    val payloadType = StructType(payload.map(c => right.schema(c)))
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
-        leftRest.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftRest.map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t") +: col("__is_left") +: payload.map(col): _*)
+      .orderBy(col("__t"), col("__is_left"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(keys.map(col) ++ Seq(col("__t"), col("__is_left")) ++
-        leftRest.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .drop("__is_left")
-      .withColumnRenamed("__t", leftTime)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftRest.map(col) ++
+        payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
   }
 }

@@ -21,6 +21,16 @@ import graft.expr.MinHashAgg
   */
 object TextDedup {
 
+  /** Materialize-once for intermediates reused by several downstream joins.
+    *
+    * An eager `localCheckpoint` instead of `persist()`: the result is
+    * computed once and its lineage truncated, and — unlike a DataFrame
+    * `persist()`, which pins a CacheManager entry until someone calls
+    * `unpersist()` — the backing RDD blocks are released automatically by
+    * the ContextCleaner once the returned frame is garbage-collected. No
+    * caching contract leaks to the caller. */
+  private def cached(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** 48-bit portable hash: first 12 hex digits of md5 (engine-agnostic). */
   def h48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
@@ -65,13 +75,12 @@ object TextDedup {
   def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3,
       roundTo: Int = 6): DataFrame = {
-    // one persisted shingle-set table per side feeds BOTH candidate
-    // generation and the verify join (cluster scale: MEMORY_AND_DISK
-    // persist / checkpoint of the tokenized corpus)
-    val ls = hashedShingleSets(left, idCol, textCol, n)
-      .select(col(idCol).as("left_id"), col("sset").as("lset")).persist()
-    val rs = hashedShingleSets(right, idCol, textCol, n)
-      .select(col(idCol).as("right_id"), col("sset").as("rset")).persist()
+    // one materialized shingle-set table per side feeds BOTH candidate
+    // generation and the verify join
+    val ls = cached(hashedShingleSets(left, idCol, textCol, n)
+      .select(col(idCol).as("left_id"), col("sset").as("lset")))
+    val rs = cached(hashedShingleSets(right, idCol, textCol, n)
+      .select(col(idCol).as("right_id"), col("sset").as("rset")))
     def prefixed(sets: DataFrame, id: String, set: String) =
       sets
         .withColumn("__n", size(col(set)))
@@ -97,13 +106,16 @@ object TextDedup {
 
   /** MinHash signatures: (id, sig: array<long>) — K affine re-hashes of
     * the 48-bit shingle hashes, min-aggregated in ONE pass via the typed
-    * [[MinHashAgg]] UDAF (fixed 256-byte state per doc). */
+    * [[MinHashAgg]] UDAF (fixed 256-byte state per doc).
+    *
+    * Perf note: ObjectHashAggregate's sort fallback defaults to 128
+    * in-memory groups, far too low for tiny fixed-size sketch buffers.
+    * Sessions should raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (see
+    * [[graft.GraftExtensions.recommendedConfs]]); this function does NOT
+    * mutate the caller's session. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    // ObjectHashAggregate's sort fallback defaults to 128 in-memory
-    // groups; sketch buffers are tiny, so hold millions
-    docs.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     val toks = split(col(textCol), " ")
     docs.filter(size(toks) >= n)
       .select(col(idCol), explode(shingles(toks, n)).as("__sh"))
@@ -127,16 +139,15 @@ object TextDedup {
         concat_ws(",", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
     }
-    val bands = sigs
+    val bands = cached(sigs // self-joined: signatures computed once
       .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
-      .select(col(idCol), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-      .persist() // self-joined: signatures computed once
+      .select(col(idCol), col("bd.band").as("band"), col("bd.bkey").as("bkey")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val sets = hashedShingleSets(docs, idCol, textCol, n).persist()
+    val sets = cached(hashedShingleSets(docs, idCol, textCol, n))
     broadcast(cand)
       .join(sets.select(col(idCol).as("a"), col("sset").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("sset").as("sb")), "b")
@@ -149,39 +160,59 @@ object TextDedup {
     * turns pairwise matches into keep/drop decisions (every doc maps to
     * its component's minimum id, the canonical representative).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * minimum label among itself and its neighbors; converged when no
-    * label changes. Rounds = graph diameter (near-dup graphs are shallow
-    * stars/chains — a handful of rounds). Each round is one hash-shuffle
-    * join + aggregate; `localCheckpoint` truncates the growing lineage,
-    * exactly how large-scale CC (GraphFrames/Pregel style) runs. Output:
-    * (id, component) — component = min doc id reachable. */
+    * Min-label propagation with POINTER DOUBLING: each round every node
+    * first takes the minimum label among itself and its neighbors, then
+    * compresses by adopting its label's own label (`comp ← comp(comp)`).
+    * The doubling step halves the remaining path length every round, so
+    * convergence is O(log diameter) rounds — a 1M-node chain needs ~20
+    * rounds, not 1M. Each round is two hash-shuffle joins + an aggregate;
+    * `localCheckpoint` truncates the growing lineage, exactly how
+    * large-scale CC (GraphFrames/Pregel style) runs.
+    *
+    * Convergence is detected via the label-sum invariant: labels only ever
+    * decrease, so the sum of labels is strictly monotone while any label
+    * changes — one cheap aggregate per round instead of a self-join diff.
+    * Throws if `maxIter` rounds pass without convergence (never silently
+    * returns wrong components). Output: (id, component) — component = min
+    * doc id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      maxIter: Int = 50): DataFrame = {
+    val sym = cached(pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .distinct().persist()
+      .distinct())
     var labels = sym.select(col("x").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("y"), col("component").as("ycomp")), "y")
         .groupBy(col("x")).agg(min(col("ycomp")).as("nmin"))
-      val updated = labels
+      val prop = labels
         .join(nbrMin.select(col("x").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
+      // pointer doubling: component ← component(component)
+      val parents = prop.select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val updated = prop
+        .join(parents, prop("component") === parents("__pid"), "left")
+        .select(prop("id"),
+          coalesce(col("__pcomp"), prop("component")).as("component"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component") =!= col("l.component")).count()
+      val s = labelSum(updated)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component labels would be wrong; raise maxIter")
     labels
   }
 
@@ -236,7 +267,7 @@ object TextDedup {
     * first. Output: (a, b, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bits: Int = 48, n: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs, idCol, textCol, bits, n).persist()
+    val sig = cached(simhashSignatures(docs, idCol, textCol, bits, n))
     sig.as("x").join(sig.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("hamming",
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * arity (`db.cpp:404-407`), integer id ≥ 0 (`db.cpp:409-414`), username
   * ≤ 32 and email ≤ 255 chars (`db.cpp:416-419`). This module is that
   * parser as a distributed relational op: a Dataset of raw statement lines
-  * → parsed + validated rows with a reject reason, using the reference's
-  * exact error strings. The typed [[User]] surface is where `Dataset[T]`
-  * encoders pay (SURVEY §1.5): downstream code gets compile-time fields,
-  * not stringly-typed Rows.
+  * → parsed + validated rows with a reject reason, using the reference
+  * REPL's verbatim error strings (`db.cpp:576-585`): `"Syntax error. Could
+  * not parse statement"` (no trailing period), `"Unrecognized keyword at
+  * start of '<input>'"` (with the offending input interpolated), `"ID must
+  * be positive."`, `"String is too long."`. The typed [[User]] surface is
+  * where `Dataset[T]` encoders pay (SURVEY §1.5): downstream code gets
+  * compile-time fields, not stringly-typed Rows.
   */
 object Ingest {
   case class User(id: Long, username: String, email: String)
@@ -35,9 +38,11 @@ object Ingest {
       .withColumn("email", try_element_at(p, lit(4)))
       .withColumn("id", expr("try_cast(id_str AS BIGINT)"))
       .withColumn("reject_reason",
-        when(col("kw") =!= "insert", "Unrecognized keyword at start of input.")
-          .when(size(p) < 4, "Syntax error. Could not parse statement.")
-          .when(col("id").isNull, "Syntax error. Could not parse statement.")
+        when(col("kw") =!= "insert",
+          concat(lit("Unrecognized keyword at start of '"),
+            col(lineCol), lit("'")))
+          .when(size(p) < 4, "Syntax error. Could not parse statement")
+          .when(col("id").isNull, "Syntax error. Could not parse statement")
           .when(col("id") < 0, "ID must be positive.")
           .when(length(col("username")) > MaxUsername, "String is too long.")
           .when(length(col("email")) > MaxEmail, "String is too long.")

@@ -13,11 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * `array<float>`. Users writing the portable HOF form (e.g. ported SQL)
   * get native performance without touching their queries.
   *
-  * Scope note: the rewrite assumes fixed-dimension vector columns (always
-  * true for embedding data). For malformed inputs the two forms differ —
-  * zip_with null-pads a shorter array so the HOF sum becomes NULL, while
-  * FloatDotProduct folds over the common prefix. The rule is therefore an
-  * engine-level opt-in, installed by [[graft.GraftExtensions]].
+  * The rewrite is exact for ALL inputs, including degenerate ones:
+  * [[FloatDotProduct]] mirrors the HOF chain's NULL semantics (length
+  * mismatch or any null element → NULL), so substituting it can never
+  * change a result. Installed by [[graft.GraftExtensions]].
   */
 object RewriteFloatDot extends Rule[LogicalPlan] {
 

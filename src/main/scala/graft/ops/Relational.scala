@@ -88,11 +88,12 @@ object Relational {
     * `prepareInsert`, `/root/reference/db.cpp:392-441`) as a declared
     * relational op: statement LINES (built deterministically from customer
     * rows, with keyword / arity / negative-id / overlong-string violations
-    * planted) → tokenized, validated rows with the reference's exact error
-    * strings. */
+    * planted — the bad keyword is `update`, which the reference REPL does
+    * not recognize) → tokenized, validated rows with the reference's
+    * verbatim error strings (`db.cpp:576-585`). */
   val insertParse: Q = (s, d) => {
     val c = T.customer(s, d)
-    val kw = when(col("c_custkey") % 97 === 0, "select").otherwise("insert")
+    val kw = when(col("c_custkey") % 97 === 0, "update").otherwise("insert")
     val uname = when(col("c_custkey") % 50 === 0,
       concat(col("c_name"), lit("x" * 30))).otherwise(col("c_name"))
     val email = when(col("c_custkey") % 89 === 0, lit(""))

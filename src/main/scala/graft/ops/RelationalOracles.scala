@@ -36,7 +36,7 @@ object RelationalOracles {
       """WITH lines AS (
         |  SELECT c_custkey,
         |    concat_ws(' ',
-        |      CASE WHEN c_custkey % 97 = 0 THEN 'select' ELSE 'insert' END,
+        |      CASE WHEN c_custkey % 97 = 0 THEN 'update' ELSE 'insert' END,
         |      CAST(c_custkey - 5 AS VARCHAR),
         |      CASE WHEN c_custkey % 50 = 0 THEN c_name || repeat('x', 30)
         |           ELSE c_name END,
@@ -44,15 +44,16 @@ object RelationalOracles {
         |           ELSE c_name || '@example.com' END) AS stmt
         |  FROM customer),
         |parsed AS (
-        |  SELECT regexp_split_to_array(trim(stmt), '\s+') AS p FROM lines)
+        |  SELECT stmt, regexp_split_to_array(trim(stmt), '\s+') AS p FROM lines)
         |SELECT
         |  TRY_CAST(p[2] AS BIGINT) AS id,
         |  p[3] AS username,
         |  p[4] AS email,
         |  CASE
-        |    WHEN p[1] <> 'insert' THEN 'Unrecognized keyword at start of input.'
-        |    WHEN len(p) < 4 THEN 'Syntax error. Could not parse statement.'
-        |    WHEN TRY_CAST(p[2] AS BIGINT) IS NULL THEN 'Syntax error. Could not parse statement.'
+        |    WHEN p[1] <> 'insert'
+        |      THEN 'Unrecognized keyword at start of ''' || stmt || ''''
+        |    WHEN len(p) < 4 THEN 'Syntax error. Could not parse statement'
+        |    WHEN TRY_CAST(p[2] AS BIGINT) IS NULL THEN 'Syntax error. Could not parse statement'
         |    WHEN TRY_CAST(p[2] AS BIGINT) < 0 THEN 'ID must be positive.'
         |    WHEN length(p[3]) > 32 THEN 'String is too long.'
         |    WHEN length(p[4]) > 255 THEN 'String is too long.'

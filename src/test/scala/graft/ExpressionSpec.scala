@@ -27,20 +27,30 @@ class ExpressionSpec extends SparkSpecBase {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
-  test("FloatDotProduct null/shape semantics") {
+  test("FloatDotProduct null/shape semantics == HOF chain on degenerate inputs") {
     val s = spark
     import s.implicits._
     val df = Seq(
-      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
-      (None, Some(Seq(1f, 1f))),
-      (Some(Seq(2f)), Some(Seq(3f, 9f))) // length mismatch → min-length loop
+      (Some(Seq(Option(1f), Option(2f), Option(3f))),
+        Some(Seq(Option(4f), Option(5f), Option(6f)))),
+      (None, Some(Seq(Option(1f), Option(1f)))),        // null input → NULL
+      (Some(Seq(Option(2f))),
+        Some(Seq(Option(3f), Option(9f)))),             // length mismatch → NULL
+      (Some(Seq(Option(1f), None)),
+        Some(Seq(Option(2f), Option(3f))))              // null element → NULL
     ).toDF("a", "b")
-    val out = df.select(FloatDotProduct.fdot(
-      col("a").cast("array<float>"), col("b").cast("array<float>")).as("d"))
-      .collect()
+    val out = df.select(
+      FloatDotProduct.fdot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
     assert(out(0).getDouble(0) == (4.0 + 10.0 + 18.0))
-    assert(out(1).isNullAt(0))
-    assert(out(2).getDouble(0) == 6.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    // null-safe equality with the HOF chain on EVERY row, both eval paths
+    val diff = df.filter(!(FloatDotProduct.fdot(col("a"), col("b")) <=>
+      hofDot(col("a"), col("b"))))
+    assert(diff.count() == 0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(diff.count() == 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   test("RewriteFloatDot rewrites the HOF idiom into the native expression") {

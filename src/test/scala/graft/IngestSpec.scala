@@ -27,18 +27,20 @@ class IngestSpec extends SparkSpecBase {
     assert(users.toSeq == Seq(Ingest.User(1L, "user1", "person1@example.com")))
   }
 
-  test("reference error strings: keyword, syntax, negative id, overlong") {
+  test("reference error strings (verbatim, db.cpp:576-585)") {
     val out = parse(
-      "select",                                   // not an insert
+      "update 9 x y",                             // unrecognized keyword
       "insert 1 bob",                             // arity
       "insert abc bob bob@x.com",                 // non-numeric id
       "insert -1 test test@test.com",             // db.cpp:411-414
       s"insert 2 ${"a" * 33} ok@x.com",           // db.cpp:416-419
       s"insert 3 ok ${"a" * 256}",
       s"insert 4 ${"a" * 32} ${"a" * 255}")       // boundary accept
-    assert(out(0)._2.contains("Unrecognized keyword at start of input."))
-    assert(out(1)._2.contains("Syntax error. Could not parse statement."))
-    assert(out(2)._2.contains("Syntax error. Could not parse statement."))
+    // the reference interpolates the offending input (db.cpp:579) and
+    // prints the syntax error with NO trailing period (db.cpp:576)
+    assert(out(0)._2.contains("Unrecognized keyword at start of 'update 9 x y'"))
+    assert(out(1)._2.contains("Syntax error. Could not parse statement"))
+    assert(out(2)._2.contains("Syntax error. Could not parse statement"))
     assert(out(3)._2.contains("ID must be positive."))
     assert(out(4)._2.contains("String is too long."))
     assert(out(5)._2.contains("String is too long."))
