@@ -96,7 +96,11 @@ object TextDedup {
       .filter(col("ln") >= lit(threshold) * col("rn") &&
         col("rn") >= lit(threshold) * col("ln"))
       .select(col("left_id"), col("right_id")).distinct()
-    broadcast(cand) // candidates are the provably-small side
+    // shuffle-hash verify join: the candidate-pair count is data-dependent
+    // (a duplicate-heavy corpus yields billions of pairs), so it must never
+    // be collected to the driver for a broadcast — an equi-join shuffled on
+    // the id keys is the shape that survives any corpus
+    cand.hint("shuffle_hash")
       .join(ls, "left_id").join(rs, "right_id")
       .withColumn("jacc", jaccard(col("lset"), col("rset")))
       .filter(col("jacc") >= threshold)
@@ -148,7 +152,9 @@ object TextDedup {
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     val sets = cached(hashedShingleSets(docs, idCol, textCol, n))
-    broadcast(cand)
+    // same driver-safety rule as jaccardJoin: the pair set is unbounded in
+    // general, so verify via shuffled equi-joins, never a broadcast
+    cand.hint("shuffle_hash")
       .join(sets.select(col(idCol).as("a"), col("sset").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("sset").as("sb")), "b")
       .withColumn("jacc", jaccard(col("sa"), col("sb")))
@@ -262,17 +268,44 @@ object TextDedup {
   }
 
   /** All pairs (a < b) within Hamming distance <= maxHamming of their
-    * SimHash signatures. Pairing is all-pairs here (bounded corpora); at
-    * unbounded scale route the same signatures through bit-block buckets
-    * first. Output: (a, b, hamming). */
+    * SimHash signatures, via pigeonhole bit-block LSH: the `bits`-bit
+    * signature splits into `maxHamming + 1` contiguous blocks, and any
+    * pair with at most `maxHamming` differing bits must agree EXACTLY on
+    * at least one block (pigeonhole), so an equi-join on
+    * (block_index, block_bits) is a provably lossless candidate
+    * generator — one hash shuffle on the block key, never an all-pairs
+    * comparison. Candidates are verified with the exact
+    * `bit_count(xor)` distance, so the output is byte-identical to the
+    * naive quadratic self-join at any scale. Output: (a, b, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bits: Int = 48, n: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming=$maxHamming must be in [0, bits=$bits)")
     val sig = cached(simhashSignatures(docs, idCol, textCol, bits, n))
-    sig.as("x").join(sig.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
-      .withColumn("hamming",
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+    // block layout: bits split as evenly as possible over maxHamming+1
+    // blocks (the first `bits % nBlocks` blocks get one extra bit)
+    val nBlocks = maxHamming + 1
+    val sizes = IndexedSeq.tabulate(nBlocks)(j =>
+      bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val blockCols = (0 until nBlocks).map { j =>
+      struct(lit(j).as("blk"),
+        shiftright(col("simhash"), offsets(j))
+          .bitwiseAND(lit((1L << sizes(j)) - 1)).as("bval"))
+    }
+    val blocks = sig
+      .select(col(idCol), explode(array(blockCols: _*)).as("b"))
+      .select(col(idCol), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    cand.hint("shuffle_hash")
+      .join(sig.select(col(idCol).as("a"), col("simhash").as("sa")), "a")
+      .join(sig.select(col(idCol).as("b"), col("simhash").as("sb")), "b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
-        col("hamming").cast("long").as("hamming"))
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 }

@@ -147,9 +147,10 @@ object LlmPipeline {
   // ---------------------------------------------------------- dedup: SimHash
 
   /** 48-bit SimHash near-dup pairs at Hamming ≤ 10
-    * ([[graft.api.TextDedup.simhashPairs]]); all-pairs on the bounded
-    * corpus — at 100 TB the same signatures go through bit-sampling LSH
-    * buckets instead. */
+    * ([[graft.api.TextDedup.simhashPairs]]) via pigeonhole bit-block LSH:
+    * 11 signature blocks, equi-join on (block, bits) for candidates, exact
+    * `bit_count(xor)` verify — lossless (identical to all-pairs output)
+    * and never quadratic, the shape that survives 100 TB. */
   val dedupSimhash: Q = (s, d) =>
     graft.api.TextDedup.simhashPairs(corpus(s, d), "doc_id", "text",
         HammingMax, SimhashBits)

@@ -73,6 +73,25 @@ class PlanSpec extends SparkSpecBase {
   test("dedup_minhash LSH banding joins hash-partition on the band key") {
     val p = planString(LlmPipeline.dedupMinhash(spark, sf0001))
     assert(!p.contains("CartesianProduct"), "LSH join degenerated to cartesian")
+    assert(p.contains("ShuffledHashJoin"),
+      "candidate-pair verify join is not a shuffled equi-join — a broadcast " +
+        "of the data-dependent pair set would collect it to the driver")
+  }
+
+  test("dedup_simhash pairs via bit-block LSH, never an all-pairs join") {
+    val p = planString(LlmPipeline.dedupSimhash(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "simhash pairing degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "simhash pairing degenerated to an all-pairs nested-loop join")
+    assert(p.contains("ShuffledHashJoin"),
+      "simhash verify join is not a shuffled equi-join")
+  }
+
+  test("dedup_near verify join shuffles the pair set instead of broadcasting it") {
+    val p = planString(LlmPipeline.dedupNear(spark, sf0001))
+    assert(p.contains("ShuffledHashJoin"),
+      "candidate-pair verify join is not a shuffled equi-join")
   }
 
   test("tpch_q5 six-way join broadcasts every dim (fact shuffles once at most)") {
