@@ -84,9 +84,10 @@ object VectorSearch {
         col("cand_id"), col("cos"))
   }
 
-  /** Bipartite cosine-threshold join (embedding near-dup verify shape):
-    * all (left, right) pairs with cosine >= minCos. Left is expected to be
-    * the bounded side (planted variants / new-batch vectors). Output:
+  /** Bipartite cosine-threshold join: EXACT all-pairs verify — O(|L|·|R|),
+    * valid only when one side is bounded (a probe batch, a planted-variant
+    * slice). For unbounded corpora use [[blockedThresholdJoin]], which
+    * blocks candidates through IVF cells first. Output:
     * (left_id, right_id, cos — unrounded comparison, rounded output). */
   def thresholdJoin(left: DataFrame, right: DataFrame, idCol: String,
       vecCol: String, minCos: Double, roundTo: Int = 6): DataFrame = {
@@ -95,6 +96,44 @@ object VectorSearch {
     val r = withNorm(right, vecCol)
       .select(col(idCol).as("right_id"), col(vecCol).as("re"), col("norm").as("rn"))
     l.crossJoin(r)
+      .withColumn("c", fdot(col("le"), col("re")) / (col("ln") * col("rn")))
+      .filter(col("c") >= minCos)
+      .select(col("left_id"), col("right_id"), round(col("c"), roundTo).as("cos"))
+  }
+
+  /** Cosine-threshold join blocked through IVF cells — the 100 TB
+    * "new batch vs corpus" dedup shape. Every right (corpus) vector is
+    * assigned to its single nearest centroid cell; every left vector
+    * probes its `nprobe` nearest cells; candidates are the cell-co-located
+    * pairs (an equi-join on cell id — NEVER |L|·|R|), verified with the
+    * exact cosine at >= minCos. The only cross product is against the
+    * broadcast centroid set, which is a fixed-size model, not data.
+    *
+    * Approximate by construction (a qualifying pair whose sides fall in
+    * disjoint probed cells is missed); near-identical vectors share a
+    * nearest cell, so near-dup recall survives — asserted on planted
+    * variants in the test suite. Output: (left_id, right_id, cos). */
+  def blockedThresholdJoin(left: DataFrame, right: DataFrame,
+      cents: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nprobe: Int = 3, roundTo: Int = 6): DataFrame = {
+    val ct = broadcast(withNorm(cents, vecCol)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent"), col("norm").as("ctn")))
+    def topCells(df: DataFrame, np: Int): DataFrame = {
+      val w = Window.partitionBy(col("__id")).orderBy(col("__ccos").desc, col("cent_id"))
+      df.crossJoin(ct)
+        .withColumn("__ccos", cos(col("__e"), col("cent"), col("__n"), col("ctn"), roundTo))
+        .withColumn("__crnk", row_number().over(w))
+        .filter(col("__crnk") <= np)
+        .select(col("__id"), col("__e"), col("__n"), col("cent_id").as("cell"))
+    }
+    val l = topCells(withNorm(left, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__e"), col("norm").as("__n")), nprobe)
+      .select(col("__id").as("left_id"), col("__e").as("le"), col("__n").as("ln"), col("cell"))
+    val r = topCells(withNorm(right, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__e"), col("norm").as("__n")), 1)
+      .select(col("__id").as("right_id"), col("__e").as("re"), col("__n").as("rn"), col("cell"))
+    // each right vector lives in exactly one cell, so no pair can repeat
+    l.hint("shuffle_hash").join(r, "cell")
       .withColumn("c", fdot(col("le"), col("re")) / (col("ln") * col("rn")))
       .filter(col("c") >= minCos)
       .select(col("left_id"), col("right_id"), round(col("c"), roundTo).as("cos"))

@@ -200,15 +200,22 @@ object LlmPipeline {
       |         list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))
       |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
 
-  /** Embedding near-dup: planted variants vs the base set, cosine ≥ 0.999.
-    * Left side bounded to the variant slice (the exact-verify step); the
-    * blocked/ANN candidate generation at scale is [[simTopkIvf]]'s
-    * centroid assignment. */
+  /** Embedding near-dup: planted variants vs the base set, cosine ≥ 0.999,
+    * blocked through IVF centroid cells
+    * ([[graft.api.VectorSearch.blockedThresholdJoin]]): base vectors
+    * shard into their nearest cell, variants probe their 3 nearest cells,
+    * candidates are the cell-equi-join — never |variants|·|corpus| — and
+    * the exact cosine verifies. Near-identical vectors share a nearest
+    * cell, so planted recall is 1.0 (asserted in LlmPipelineSpec). This is
+    * the "new batch vs corpus" dedup shape that survives 100 TB. */
   val dedupEmbed: Q = (s, d) => {
     val vc = vecCorpus(s, d)
-    graft.api.VectorSearch.thresholdJoin(
+    val cents = T.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.api.VectorSearch.blockedThresholdJoin(
         vc.filter(col("vec_id") >= 10000L), vc.filter(col("vec_id") < 10000L),
-        "vec_id", "embedding", 0.999)
+        cents, "vec_id", "embedding", 0.999, nprobe = 3)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("cos"))
       .orderBy(col("var_id"), col("base_id"))
@@ -489,12 +496,27 @@ object LlmPipeline {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_embed" ->
-      s"""WITH $vecCorpusSql
-         |SELECT v.vec_id AS var_id, b.vec_id AS base_id,
-         |  round(${cosineSql("v.embedding", "b.embedding")}, 6) AS cos
-         |FROM vcorpus v JOIN vcorpus b
-         |  ON v.vec_id >= 10000 AND b.vec_id < 10000
-         |WHERE ${cosineSql("v.embedding", "b.embedding")} >= 0.999
+      s"""WITH $vecCorpusSql,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+         |lcells AS (
+         |  SELECT vec_id, pe, cell FROM (
+         |    SELECT v.vec_id, v.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${cosineSql("v.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id >= 10000)
+         |  WHERE crnk <= 3),
+         |rcells AS (
+         |  SELECT vec_id, be, cell FROM (
+         |    SELECT b.vec_id, b.embedding AS be, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(${cosineSql("b.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id < 10000)
+         |  WHERE crnk = 1)
+         |SELECT l.vec_id AS var_id, r.vec_id AS base_id,
+         |  round(${cosineSql("l.pe", "r.be")}, 6) AS cos
+         |FROM lcells l JOIN rcells r ON l.cell = r.cell
+         |WHERE ${cosineSql("l.pe", "r.be")} >= 0.999
          |ORDER BY var_id, base_id""".stripMargin,
 
     "sim_topk" ->

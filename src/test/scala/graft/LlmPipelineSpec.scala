@@ -85,6 +85,22 @@ class LlmPipelineSpec extends SparkSpecBase {
     assert(byProbe.keySet == (0L until 10L).toSet)
   }
 
+  test("dedup_embed (cell-blocked) recalls every planted embedding variant") {
+    val out = LlmPipeline.dedupEmbed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: vec_id%10==0 re-appears at +10000 scaled by 1.5 — cosine 1
+    // up to float rounding, so variant and base share a nearest centroid
+    // cell and the blocked join must keep every planted pair (recall 1.0)
+    val sources = graft.core.Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(out.contains((id + 10000L, id)),
+        s"blocked threshold join lost planted variant of vec $id")
+    }
+  }
+
   test("IVF top-k has high recall vs brute force on its probes") {
     val exact = LlmPipeline.simTopk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -88,6 +88,14 @@ class PlanSpec extends SparkSpecBase {
       "simhash verify join is not a shuffled equi-join")
   }
 
+  test("dedup_embed candidates route through cells, never |batch|x|corpus|") {
+    val p = planString(LlmPipeline.dedupEmbed(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "embedding threshold join degenerated to a full cartesian product")
+    assert(p.contains("ShuffledHashJoin"),
+      "cell-candidate join is not a shuffled equi-join")
+  }
+
   test("dedup_near verify join shuffles the pair set instead of broadcasting it") {
     val p = planString(LlmPipeline.dedupNear(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
