@@ -82,6 +82,16 @@ object SparkEntry {
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries
 
+  /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
+    * SQL-expressible declared query, against catalog temp views of the
+    * harness tables — the analogue of the reference's statement entry
+    * point (`/root/reference/db.cpp:428`). */
+  def queriesSql: Map[String, String] = SqlCatalog.queriesSql
+
+  /** Run a declared query from SQL text (registers the table views). */
+  def sql(name: String): (SparkSession, String) => DataFrame =
+    SqlCatalog.sql(name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
     * engine-side semantics) get the driver's weaker rows-only check. */

@@ -1,0 +1,29 @@
+package graft
+
+/** The SQL-text front door must be a faithful twin of the DataFrame path:
+  * for every key in [[SqlCatalog.queriesSql]], running the SQL text against
+  * the catalog views returns exactly the DataFrame query's schema and rows
+  * (bit-exact — both paths share the decimal-sum/round determinism
+  * discipline, so even doubles must agree). */
+class SqlEntrySpec extends SparkSpecBase {
+
+  test("every SQL-catalog entry matches the DataFrame path row-for-row") {
+    GraftExtensions.install(spark) // float_dot must be SQL-callable
+    val keys = SqlCatalog.queriesSql.keys.toSeq.sorted
+    assert(keys.size >= 10, "SQL catalog should cover >=10 declared queries")
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sf0001)
+      val viaSql = SqlCatalog.sql(k)(spark, sf0001)
+      assert(df.columns.toSeq == viaSql.columns.toSeq,
+        s"$k: columns ${viaSql.columns.toSeq} != ${df.columns.toSeq}")
+      val expect = df.collect().map(_.toSeq)
+      val got = viaSql.collect().map(_.toSeq)
+      assert(expect.length == got.length,
+        s"$k: ${got.length} rows via SQL, ${expect.length} via DataFrame")
+      expect.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(e == g, s"$k: row $i differs — sql=$g df=$e")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+}
