@@ -14,9 +14,14 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer startup costs must not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // time the FULL declared plan: a plain df.count() lets Catalyst's
+    // EliminateSorts drop the top-level ORDER BY (count is order-agnostic),
+    // so globally-sorted queries would never pay their declared sort here.
+    // queryExecution.toRdd executes the optimized physical plan as declared.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query persisted subtrees so later queries don't pay
       // storage-memory pressure for earlier ones

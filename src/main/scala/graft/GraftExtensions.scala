@@ -38,13 +38,18 @@ object GraftExtensions {
 
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
-    * builders themselves never mutate a caller's session.
+    * builders and table readers themselves never mutate a caller's
+    * session.
     *
     *   - objectHashAggregate fallback: the default flushes to sort-based
     *     aggregation after 128 in-memory groups, pathological for the tiny
-    *     fixed-size sketch buffers of [[graft.expr.MinHashAgg]]. */
+    *     fixed-size sketch buffers of [[graft.expr.MinHashAgg]];
+    *   - nanosAsLong: the harness `events` table carries TIMESTAMP(NANOS),
+    *     which Spark 4 otherwise refuses to read;
+    *     [[graft.core.Tables]] truncates the long nanos to µs timestamps. */
   val recommendedConfs: Map[String, String] = Map(
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */

@@ -71,10 +71,20 @@ object TextDedup {
     * are exploded; any pair with J >= t must share a prefix element
     * (pigeonhole), so the equi-join is a lossless candidate generator. A
     * size-ratio bound (t*|B| <= |A| <= |B|/t) prunes further; exact
-    * Jaccard verifies. Output: (left_id, right_id, jacc rounded). */
+    * Jaccard verifies. Output: (left_id, right_id, jacc rounded).
+    *
+    * Skew: prefix-shingle frequency is Zipfian on real corpora (stopword
+    * shingles), so one shingle key can swallow a reducer. With
+    * `saltFactor > 1`, shingles whose right-side prefix frequency exceeds
+    * `hotDf` are salted deterministically — each left row of a hot key
+    * joins under `xxhash64(left_id) % saltFactor`, the right rows
+    * replicate across all `saltFactor` salts — splitting the hot key over
+    * `saltFactor` reducers. Every (left, right) pair still meets in
+    * exactly one salt bucket, so the candidate set (and the output) is
+    * UNCHANGED — pure skew mitigation, asserted by equality in ApiSpec. */
   def jaccardJoin(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, saltFactor: Int = 1, hotDf: Long = 4096): DataFrame = {
     // one materialized shingle-set table per side feeds BOTH candidate
     // generation and the verify join
     val ls = cached(hashedShingleSets(left, idCol, textCol, n)
@@ -92,7 +102,29 @@ object TextDedup {
       .select(col("left_id"), col("__n").as("ln"), col("psh"))
     val rp = prefixed(rs, "right_id", "rset")
       .select(col("right_id"), col("__n").as("rn"), col("psh"))
-    val cand = lp.join(rp, "psh")
+    val joined =
+      if (saltFactor <= 1) lp.join(rp, "psh")
+      else {
+        // hot = prefix shingles whose right-side frequency exceeds hotDf;
+        // a small aggregate over the already-exploded prefix rows
+        val hot = rp.groupBy(col("psh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > hotDf)
+          .select(col("psh"), lit(true).as("__hot"))
+        val lps = lp.join(hot, Seq("psh"), "left")
+          .withColumn("__salt",
+            when(col("__hot"),
+              pmod(xxhash64(col("left_id")), lit(saltFactor)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__hot")
+        val rps = rp.join(hot, Seq("psh"), "left")
+          .withColumn("__salt", explode(
+            when(col("__hot"), sequence(lit(0), lit(saltFactor - 1)))
+              .otherwise(sequence(lit(0), lit(0)))))
+          .drop("__hot")
+        lps.join(rps, Seq("psh", "__salt"))
+      }
+    val cand = joined
       .filter(col("ln") >= lit(threshold) * col("rn") &&
         col("rn") >= lit(threshold) * col("ln"))
       .select(col("left_id"), col("right_id")).distinct()
@@ -268,15 +300,23 @@ object TextDedup {
   }
 
   /** All pairs (a < b) within Hamming distance <= maxHamming of their
-    * SimHash signatures, via pigeonhole bit-block LSH: the `bits`-bit
-    * signature splits into `maxHamming + 1` contiguous blocks, and any
-    * pair with at most `maxHamming` differing bits must agree EXACTLY on
-    * at least one block (pigeonhole), so an equi-join on
-    * (block_index, block_bits) is a provably lossless candidate
-    * generator — one hash shuffle on the block key, never an all-pairs
-    * comparison. Candidates are verified with the exact
-    * `bit_count(xor)` distance, so the output is byte-identical to the
-    * naive quadratic self-join at any scale. Output: (a, b, hamming). */
+    * SimHash signatures, via pigeonhole bit-block LSH (the Manku/WWW'07
+    * near-dup shape): the `bits`-bit signature splits into
+    * `maxHamming + 1` contiguous blocks, and any pair with at most
+    * `maxHamming` differing bits must agree EXACTLY on at least one block
+    * (pigeonhole), so an equi-join on (block_index, block_bits) is a
+    * provably lossless candidate generator — one hash shuffle on the
+    * block key, never an all-pairs comparison. Candidates are verified
+    * with the exact `bit_count(xor)` distance, inline in the join stage,
+    * so the output is byte-identical to the naive quadratic self-join.
+    *
+    * Selectivity scales with block width = bits/(maxHamming+1): the
+    * production setting (64-bit signatures, maxHamming <= 3 → 16-bit
+    * blocks) prunes ~2^16-fold per bucket; a loose threshold like the
+    * harness's 48/10 (4-5-bit blocks) still verifies most pairs — the
+    * equi-join shape distributes that work where all-pairs cannot, but
+    * for unbounded corpora tighten maxHamming or widen `bits`.
+    * Output: (a, b, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, bits: Int = 48, n: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
@@ -293,19 +333,23 @@ object TextDedup {
         shiftright(col("simhash"), offsets(j))
           .bitwiseAND(lit((1L << sizes(j)) - 1)).as("bval"))
     }
+    // each block row carries the full signature, so the Hamming verify
+    // runs INLINE in the join's codegen stage — the (possibly large)
+    // candidate stream is filtered down to true pairs before any further
+    // shuffle; the final distinct only deduplicates pairs that matched on
+    // more than one block (already output-sized, tiny)
     val blocks = sig
-      .select(col(idCol), explode(array(blockCols: _*)).as("b"))
-      .select(col(idCol), col("b.blk").as("blk"), col("b.bval").as("bval"))
-    val cand = blocks.as("x").join(blocks.as("y"),
+      .select(col(idCol), col("simhash"), explode(array(blockCols: _*)).as("b"))
+      .select(col(idCol), col("simhash"),
+        col("b.blk").as("blk"), col("b.bval").as("bval"))
+    blocks.as("x").hint("shuffle_hash").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct()
-    cand.hint("shuffle_hash")
-      .join(sig.select(col(idCol).as("a"), col("simhash").as("sa")), "a")
-      .join(sig.select(col(idCol).as("b"), col("simhash").as("sb")), "b")
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 }

@@ -20,16 +20,18 @@ object Tables {
   /** Read one harness table from `sfDir`.
     *
     * `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark 4.x rejects
-    * outright; we read it as a long (legacy conf) and truncate to
-    * microsecond `TimestampType` — exactly what DuckDB's µs TIMESTAMP does
-    * on the same file, keeping oracle comparisons aligned. `ts div 1000`
-    * is integer division: nanos ≈ 1.7e18 exceed a double's 2^53 mantissa,
-    * so float division here would corrupt timestamps.
+    * outright; we read it as a long (legacy conf, part of
+    * [[graft.GraftExtensions.recommendedConfs]] — sessions must run
+    * `GraftExtensions.install` first) and truncate to microsecond
+    * `TimestampType` — exactly what DuckDB's µs TIMESTAMP does on the
+    * same file, keeping oracle comparisons aligned. `ts div 1000` is
+    * integer division: nanos ≈ 1.7e18 exceed a double's 2^53 mantissa, so
+    * float division here would corrupt timestamps. Readers are
+    * side-effect-free: no session conf is mutated here.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(All.contains(name), s"unknown table: $name")
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -56,6 +56,36 @@ class ApiSpec extends SparkSpecBase {
       pairs.toSet == Set((3L, 1L), (3L, 2L))) // doc2 uppercased: no shared shingles
   }
 
+  test("salted jaccardJoin returns exactly the unsalted result on a hot shingle") {
+    val s = spark
+    import s.implicits._
+    // every doc starts with the same 3 tokens, so one shingle hash is in
+    // every prefix — the Zipfian hot-key shape that skews the candidate
+    // join. Docs 0..19 are the corpus; 100.. are near-dup variants of the
+    // even docs (last token dropped).
+    val base = (0 until 20).map { i =>
+      (i.toLong, s"common stop words doc$i payload$i extra$i tail$i end$i")
+    }
+    val variants = base.collect { case (i, t) if i % 2 == 0 =>
+      (100L + i, t.split(" ").dropRight(1).mkString(" "))
+    }
+    val docs = (base ++ variants).toDF("id", "body")
+    val left = docs.filter(col("id") >= 100L)
+    val right = docs.filter(col("id") < 100L)
+    def run(salt: Int, hotDf: Long) =
+      TextDedup.jaccardJoin(left, right, "id", "body", threshold = 0.6,
+          saltFactor = salt, hotDf = hotDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = run(salt = 1, hotDf = Long.MaxValue)
+    val salted = run(salt = 4, hotDf = 5) // "common stop words" df=20 > 5
+    assert(salted == unsalted, "salting changed the join result")
+    // and the planted variant pairs are actually in there
+    (0 until 20 by 2).foreach { i =>
+      assert(unsalted.exists(p => p._1 == 100L + i && p._2 == i),
+        s"missing planted pair for doc $i")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     val s = spark
     import s.implicits._

@@ -20,6 +20,9 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's declared entry ritual — registers native SQL functions
+    // and applies recommendedConfs (nanos-as-long reads, agg thresholds)
+    GraftExtensions.install(s)
     s
   }
 }
