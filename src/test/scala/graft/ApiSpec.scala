@@ -105,6 +105,30 @@ class ApiSpec extends SparkSpecBase {
       "unrelated docs should not collide at this size")
   }
 
+  test("VectorSearch.blockedThresholdJoin finds co-cell pairs on an ad-hoc table") {
+    val s = spark
+    import s.implicits._
+    def f(xs: Double*) = xs.map(_.toFloat)
+    // two well-separated directions; centroids near each
+    val corpus = Seq(
+      (1L, f(1, 0, 0)), (2L, f(0.99, 0.01, 0)),   // cluster A
+      (3L, f(0, 1, 0)), (4L, f(0.01, 0.99, 0))    // cluster B
+    ).toDF("vid", "v").select(col("vid"), col("v").cast("array<float>").as("v"))
+    val probes = Seq(
+      (10L, f(0.995, 0.005, 0)),  // near cluster A
+      (11L, f(0, 0.9, 0.1))       // near cluster B
+    ).toDF("vid", "v").select(col("vid"), col("v").cast("array<float>").as("v"))
+    val cents = Seq((100L, f(1, 0, 0)), (200L, f(0, 1, 0)))
+      .toDF("vid", "v").select(col("vid"), col("v").cast("array<float>").as("v"))
+    val out = VectorSearch.blockedThresholdJoin(probes, corpus, cents,
+        "vid", "v", minCos = 0.9, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe 10 blocks to cell 100 → pairs with 1 and 2; probe 11 to cell
+    // 200 → pairs with 3 and 4; cross-cluster cosines < 0.9 are excluded
+    // by the verify even where cells collide
+    assert(out == Set((10L, 1L), (10L, 2L), (11L, 3L), (11L, 4L)))
+  }
+
   test("VectorSearch.topK ranks an ad-hoc vector table") {
     val s = spark
     import s.implicits._
