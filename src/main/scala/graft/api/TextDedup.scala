@@ -35,20 +35,51 @@ object TextDedup {
   def h48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  /** Word n-gram shingles of a whitespace-tokenized text column. */
+  /** Word n-gram shingles of a whitespace-tokenized text column.
+    *
+    * WARNING (Catalyst expression-shape hazard): referencing a `split`
+    * expression inside this HOF lets CollapseProject inline the split into
+    * EVERY `element_at` evaluation — the tokenize re-runs ~3n times per
+    * document. Use [[shingleRows]] (a Generate barrier materializes the
+    * token array once per row) for anything corpus-sized; this Column
+    * form remains for small/ad-hoc frames and oracle parity. */
   def shingles(tokens: Column, n: Int = 3): Column =
     transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
 
-  /** (id, text) → (id, sset: array<long>) of distinct xxhash64'd shingles;
-    * docs shorter than n tokens are dropped (no shingles). */
-  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, text) → one row per word-n-gram occurrence: (id, sh).
+    *
+    * The scale shape for shingling: the token array passes through a
+    * Generate (explode of shingle-position indices), so `split` runs
+    * exactly once per document and each shingle is n `element_at` lookups
+    * — CollapseProject cannot inline the tokenizer into the per-shingle
+    * loop (it would go quadratic; measured 5x on the harness corpus).
+    * Docs shorter than n tokens yield no rows. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
     docs.filter(size(toks) >= n)
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
       .select(col(idCol),
-        array_distinct(transform(shingles(toks, n), s => xxhash64(s))).as("sset"))
+        concat_ws(" ", (0 until n).map(j =>
+          element_at(col("__toks"), col("__i") + j)): _*).as("sh"))
   }
+
+  /** (id, text) → (id, sset: array<long>) of distinct xxhash64'd shingles;
+    * docs shorter than n tokens are dropped (no shingles). Element order
+    * is unspecified (set semantics — every consumer sorts or takes
+    * sizes). */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    setsFromRows(shingleRows(docs, idCol, textCol, n), idCol)
+
+  private def setsFromRows(rows: DataFrame, idCol: String): DataFrame =
+    rows
+      .withColumn("__hv", xxhash64(col("sh")))
+      .groupBy(col(idCol))
+      .agg(array_distinct(collect_list(col("__hv"))).as("sset"))
 
   /** Exact Jaccard of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -151,14 +182,14 @@ object TextDedup {
     * [[graft.GraftExtensions.recommendedConfs]]); this function does NOT
     * mutate the caller's session. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs.filter(size(toks) >= n)
-      .select(col(idCol), explode(shingles(toks, n)).as("__sh"))
-      .withColumn("__hv", h48(col("__sh")) % MinHashAgg.P)
+      n: Int = 3): DataFrame =
+    sigsFromRows(shingleRows(docs, idCol, textCol, n), idCol)
+
+  private def sigsFromRows(rows: DataFrame, idCol: String): DataFrame =
+    rows
+      .withColumn("__hv", h48(col("sh")) % MinHashAgg.P)
       .groupBy(col(idCol))
       .agg(MinHashAgg.minhash(col("__hv")).as("sig"))
-  }
 
   /** MinHash + LSH near-dup pairs over one corpus: band equi-join for
     * candidates (id_a < id_b), exact-Jaccard verify at >= threshold.
@@ -169,7 +200,10 @@ object TextDedup {
       n: Int = 3, roundTo: Int = 6): DataFrame = {
     require(nBands * rowsPerBand == MinHashAgg.K,
       s"banding ${nBands}x$rowsPerBand must cover K=${MinHashAgg.K}")
-    val sigs = minhashSignatures(docs, idCol, textCol, n)
+    // ONE tokenize+shingle pass feeds both the signature aggregation and
+    // the verify-side shingle sets
+    val rows = cached(shingleRows(docs, idCol, textCol, n))
+    val sigs = sigsFromRows(rows, idCol)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
@@ -183,7 +217,7 @@ object TextDedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val sets = cached(hashedShingleSets(docs, idCol, textCol, n))
+    val sets = cached(setsFromRows(rows, idCol))
     // same driver-safety rule as jaccardJoin: the pair set is unbounded in
     // general, so verify via shuffled equi-joins, never a broadcast
     cand.hint("shuffle_hash")
@@ -284,10 +318,8 @@ object TextDedup {
     * ±1 votes from each shingle hash's bit j. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val exploded = docs.filter(size(toks) >= n)
-      .select(col(idCol), explode(shingles(toks, n)).as("__sh"))
-      .withColumn("__hv", h48(col("__sh")))
+    val exploded = shingleRows(docs, idCol, textCol, n)
+      .withColumn("__hv", h48(col("sh")))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("__hv"), j).bitwiseAND(1) * 2 - 1).as(s"__s_$j"))
     exploded.groupBy(col(idCol))

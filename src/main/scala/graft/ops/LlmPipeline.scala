@@ -60,13 +60,8 @@ object LlmPipeline {
   private val SimhashBits = 48
   private val HammingMax = 10
 
-  /** Word 3-gram shingles of a space-tokenized text column (1-based
-    * element_at; docs shorter than 3 tokens yield no shingles). */
-  private def shingles(tokens: Column): Column =
-    transform(sequence(lit(1), size(tokens) - 2), i =>
-      concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-        element_at(tokens, i + 2)))
-
+  /** DuckDB word-3-gram shingles (the Spark side shingles via
+    * [[graft.api.TextDedup.shingleRows]] — a Generate-barrier shape). */
   private val shinglesSql =
     "list_transform(list_slice(list_zip(l, l[2:], l[3:]), 1, len(l)-2), x -> x[1] || ' ' || x[2] || ' ' || x[3])"
 
@@ -352,10 +347,13 @@ object LlmPipeline {
     * for sketch-based containment/overlap checks). Exploded to one row per
     * (doc, rank). */
   val textFingerprint: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val hashed = T.documents(s, d).filter(size(toks) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(toks))).as("sh"))
+    // shingle rows via the Generate-barrier path (tokenize once per doc —
+    // see TextDedup.shingleRows); distinct on (doc, shingle string)
+    // matches the oracle's list_distinct-before-hash semantics
+    val hashed = graft.api.TextDedup.shingleRows(
+        T.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+      .distinct()
       .withColumn("hv", h48(col("sh")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("hv"))
     hashed.withColumn("rnk", row_number().over(w))
