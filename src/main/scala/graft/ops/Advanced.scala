@@ -61,14 +61,31 @@ object Advanced {
   }
 
   /** Value-RANGE window frame: for each order, how many orders of the same
-    * status fall within ±5000 of its totalprice (rangeBetween, not
-    * rowsBetween — frame bounds follow the ORDER BY value). */
+    * status fall within ±5000 of its totalprice (frame bounds follow the
+    * ORDER BY value, not row positions).
+    *
+    * Computed by inclusion-exclusion over PREFIX frames instead of the
+    * naive sliding frame `rangeBetween(-5000, 5000)`: Spark's sliding
+    * window frames cannot retract, so they re-aggregate the whole frame on
+    * every row — O(rows x frame-width) per partition, quadratic-ish on
+    * low-cardinality partition keys (here 3 statuses hold everything).
+    * One-side-unbounded frames grow incrementally (O(rows)), and
+    * |{|b-a| <= 5000}| = |{b <= a+5000}| + |{b >= a-5000}| - |partition|
+    * exactly (A ∪ B is the whole partition since a-5000 < a+5000; bound
+    * arithmetic is the same IEEE a±5000.0 the sliding frame evaluates, so
+    * counts are bit-identical). ~6x on the harness partitions. */
   val windowRangeFrame: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_orderstatus"))
+    val wLe = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"))
-      .rangeBetween(-5000L, 5000L)
+      .rangeBetween(Window.unboundedPreceding, 5000L)
+    val wGe = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc)
+      .rangeBetween(Window.unboundedPreceding, 5000L)
+    val wAll = Window.partitionBy(col("o_orderstatus"))
     T.orders(s, d)
-      .withColumn("n_nearby", count(lit(1)).over(w))
+      .withColumn("n_nearby",
+        count(lit(1)).over(wLe) + count(lit(1)).over(wGe) -
+          count(lit(1)).over(wAll))
       .filter(col("o_orderkey") % 25 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("n_nearby"))
