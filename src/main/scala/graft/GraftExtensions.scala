@@ -23,6 +23,7 @@ import graft.expr.FloatDotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectFunction(GraftExtensions.md548Descriptor)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -34,6 +35,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "float_dot(a, b) takes exactly 2 arguments")
       FloatDotProduct(children.head, children(1))
+    })
+
+  private val md548Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_48"),
+    new ExpressionInfo(classOf[graft.expr.Md5Prefix48].getName, "md5_48"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "md5_48(s) takes exactly 1 argument")
+      graft.expr.Md5Prefix48(children.head)
     })
 
   /** Runtime-settable confs the engine's operators are tuned for. Applied
@@ -54,8 +63,9 @@ object GraftExtensions {
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = floatDotDescriptor
-    org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
+    Seq(floatDotDescriptor, md548Descriptor).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
+    }
     recommendedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -31,9 +31,12 @@ object TextDedup {
     * caching contract leaks to the caller. */
   private def cached(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
-  /** 48-bit portable hash: first 12 hex digits of md5 (engine-agnostic). */
-  def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  /** 48-bit portable hash: first 12 hex digits of md5 (engine-agnostic —
+    * DuckDB reproduces it as `CAST('0x' || substr(md5(e), 1, 12) AS
+    * BIGINT)`). Computed by the native [[graft.expr.Md5Prefix48]]
+    * (bit-identical to the `conv(substring(md5(c), 1, 12), 16, 10)` chain,
+    * without the hex-string round-trip — ExpressionSpec pins equality). */
+  def h48(c: Column): Column = graft.expr.Md5Prefix48.md548(c)
 
   /** Word n-gram shingles of a whitespace-tokenized text column.
     *

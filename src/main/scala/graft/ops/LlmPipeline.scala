@@ -36,11 +36,11 @@ object LlmPipeline {
 
   // ---------------------------------------------------------- shared pieces
 
-  /** 48-bit portable hash: first 12 hex digits of md5. Spark `conv` and
-    * DuckDB `CAST('0x…' AS BIGINT)` agree exactly; 48 bits stays well
-    * inside a signed long for the affine re-hash arithmetic below. */
-  private def h48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  /** 48-bit portable hash: first 12 hex digits of md5. The native
+    * [[graft.expr.Md5Prefix48]] and DuckDB `CAST('0x…' AS BIGINT)` agree
+    * exactly; 48 bits stays well inside a signed long for the affine
+    * re-hash arithmetic below. */
+  private def h48(c: Column): Column = graft.expr.Md5Prefix48.md548(c)
   private def h48Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 12) AS BIGINT)"
 
