@@ -19,18 +19,14 @@ import graft.core.{Tables => T}
   *   - **media table**: derived deterministically from `documents` — the
   *     payload is the 16 raw md5 bytes of the text, carried as a true
   *     `BinaryType` column with typed metadata (width/height/format), i.e.
-  *     a 4×4 single-channel "image". The *decode* step (byte → pixel) is a
-  *     STUB standing in for a real jpeg/wav decoder (image/audio libs are
-  *     not in this container): it interprets each payload byte as one
-  *     grayscale pixel. Everything around the stub — binary schema, batch
-  *     iteration, partition layout, feature math — is real and
-  *     oracle-checked.
-  *   - Two execution paths for the decode, proving both mechanisms:
-  *     expression-based (hex → 2-char chunks → int, fully codegen'd;
-  *     [[mmPixels]]) and partition-batch ([[mmBatchStats]] via typed
-  *     `mapPartitions`, the JVM analogue of `mapInPandas`: media libs hold
-  *     per-partition state — a decoder handle — and process rows in
-  *     batches).
+  *     a 4×4 single-channel raster.
+  *   - Two execution paths over the media column:
+  *     expression-based over the raw raster (hex → 2-char chunks → int,
+  *     fully codegen'd; [[mmPixels]]) and a REAL codec round trip in
+  *     partition batches ([[mmBatchStats]]: gray8 → PNG encode → binary
+  *     column → `javax.imageio` decode → features — the JVM analogue of
+  *     `mapInPandas`, with actual image bytes; PNG is lossless so the
+  *     pixel-math oracle still applies).
   *
   * Scale notes: payloads ride the same shuffles as any column; real media
   * (MBs/row) would raise `maxPartitionBytes` pressure — the stage layout
@@ -124,29 +120,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
-  /** Decode + features via typed partition batches — the JVM analogue of
-    * `mapInPandas`: the decoder "handle" (here the stub) is instantiated
-    * once per partition and rows stream through it. Output is byte-for-byte
-    * the same as [[mmPixels]]'s expression path (asserted in
-    * MultimodalSpec), so the declared query keeps an oracle. */
+  /** REAL image codec round trip via typed partition batches — the JVM
+    * analogue of `mapInPandas`. Stage 1 encodes each 4×4 gray8 raster as
+    * an actual PNG (`javax.imageio`, in the JDK — no external deps),
+    * carried as a true binary column; stage 2 decodes the PNG back and
+    * extracts pixel features. PNG gray8 is lossless, so the decoded
+    * pixels ARE the md5 raster bytes and the declared output keeps its
+    * pixel-math oracle. Output equals [[mmPixels]]'s expression path
+    * byte-for-byte (asserted in MultimodalSpec).
+    *
+    * At scale both stages stream per partition (codec state initializes
+    * once per partition, rows batch through it) — the exact shape of a
+    * production decode stage, now with a real codec instead of a stub. */
   val mmBatchStats: Q = (s, d) => {
     val m = media(s, d).select(col("doc_id"), col("payload"))
+    val pngSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("px_min", IntegerType, nullable = false),
       StructField("px_max", IntegerType, nullable = false),
       StructField("px_mean", DoubleType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    m.mapPartitions { rows =>
-      // per-partition decoder init happens HERE (stub: identity byte->pixel;
-      // a real pipeline opens libjpeg/ffmpeg once per partition)
-      val decode: Array[Byte] => Array[Int] = bs => bs.map(b => b & 0xff)
+    val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val png = m.mapPartitions { rows =>
+      // per-partition encoder init (headless AWT; ImageIO SPI lookup)
+      java.awt.Toolkit.getDefaultToolkit // force lazy init once per task
       rows.map { r =>
-        val px = decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[Long]("doc_id"), px.min, px.max,
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val img = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, 4, 4, bytes)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.getAs[Long]("doc_id"), bos.toByteArray)
+      }
+    }(pngEnc)
+    png.mapPartitions { rows =>
+      val px = new Array[Int](16) // per-partition decode buffer
+      rows.map { r => // positional access: mapPartitions rows carry no schema
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        img.getRaster.getPixels(0, 0, 4, 4, px)
+        Row(r.getLong(0), px.min, px.max,
           math.rint(px.map(_.toLong).sum.toDouble / px.length * 1e6) / 1e6)
       }
-    }(enc).orderBy(col("doc_id"))
+    }(outEnc).orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
