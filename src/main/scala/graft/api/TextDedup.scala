@@ -297,10 +297,14 @@ object TextDedup {
     * >= w + k - 1 between two documents yields a shared fingerprint hash.
     * Output: one (id, hv) row per distinct selected hash.
     *
-    * Expression-shape note: window minima are computed on EXPLODED window
-    * indices, never as a nested HOF over the gram column — Catalyst
-    * (CollapseProject / InferFiltersFromGenerate) would inline the full
-    * gram-hash array into every window evaluation, a quadratic blowup. */
+    * Expression-shape note: window minima run inside the native
+    * [[graft.expr.SlidingMin]] (monotonic deque, O(grams) per doc) — a
+    * nested HOF over the gram column would quadratically inline the gram
+    * hashing (CollapseProject), and the earlier explode-window-indices
+    * shape materialized one row + one w-element slice copy per window
+    * ahead of a corpus-wide distinct shuffle. Here each document
+    * contributes one row in, ~|selected| rows out, deduped per doc before
+    * any shuffle. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16): DataFrame = {
     val grams = transform(
@@ -308,13 +312,9 @@ object TextDedup {
       i => h48(substring(col(textCol), i, lit(k))))
     docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .repartition(col(idCol))
-      .withColumn("__grams", grams)
-      .select(col(idCol), col("__grams"),
-        explode(sequence(lit(1), size(col("__grams")) - (w - 1))).as("__j"))
       .select(col(idCol),
-        array_min(slice(col("__grams"), col("__j"), lit(w))).as("hv"))
-      .distinct()
+        explode(array_distinct(
+          graft.expr.SlidingMin.slidingMin(grams, w))).as("hv"))
   }
 
   /** SimHash signatures: (id, simhash) — bit j is the sign of the sum of
