@@ -88,9 +88,24 @@ object VectorSearch {
     * valid only when one side is bounded (a probe batch, a planted-variant
     * slice). For unbounded corpora use [[blockedThresholdJoin]], which
     * blocks candidates through IVF cells first. Output:
-    * (left_id, right_id, cos — unrounded comparison, rounded output). */
+    * (left_id, right_id, cos — unrounded comparison, rounded output).
+    *
+    * Because misuse is O(|L|·|R|), the bounded contract is ENFORCED, not
+    * just documented: the left side is counted (via an early-stopping
+    * `limit`, so the check never scans past the bound) and the call throws
+    * if it exceeds `maxLeftRows`. Callers with a genuinely larger bounded
+    * side opt in by raising the bound explicitly. */
   def thresholdJoin(left: DataFrame, right: DataFrame, idCol: String,
-      vecCol: String, minCos: Double, roundTo: Int = 6): DataFrame = {
+      vecCol: String, minCos: Double, roundTo: Int = 6,
+      maxLeftRows: Long = 65536L): DataFrame = {
+    val probeBound = math.min(maxLeftRows + 1, Int.MaxValue.toLong).toInt
+    val nLeft = left.select(col(idCol)).limit(probeBound).count()
+    require(nLeft <= maxLeftRows,
+      s"thresholdJoin is an all-pairs verify: the left side has > " +
+        s"$maxLeftRows rows, so the cross join would be O(|L|*|R|). Use " +
+        s"blockedThresholdJoin (IVF-cell candidate blocking) for unbounded " +
+        s"corpora, or raise maxLeftRows explicitly if the left side is " +
+        s"genuinely a bounded probe batch.")
     val l = withNorm(left, vecCol)
       .select(col(idCol).as("left_id"), col(vecCol).as("le"), col("norm").as("ln"))
     val r = withNorm(right, vecCol)

@@ -208,12 +208,15 @@ object Advanced {
   /** Deterministic hash sampling — the scale-safe alternative to
     * `TABLESAMPLE` (whose result depends on partitioning): keep rows whose
     * portable 48-bit md5 hash of the key ≡ 0 (mod 10). Same recipe works
-    * for train/test splits of a 100 TB corpus. */
+    * for train/test splits of a 100 TB corpus. The hash is the native
+    * codegen'd [[graft.expr.Md5Prefix48]] — bit-identical to the
+    * conv/substring/md5 hex chain (pinned in ExpressionSpec) without
+    * materializing the hex string per row. */
   val sampleHash: Q = (s, d) =>
     T.lineitem(s, d)
       .withColumn("hk",
-        conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))),
-          lit(1), lit(12)), 16, 10).cast("long") % 10)
+        graft.expr.Md5Prefix48.md548(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))) % 10)
       .filter(col("hk") === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -339,14 +339,44 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
-  /** Day-over-day delta of daily event value via lag(). */
+  /** Day-over-day delta of daily event value via lag().
+    *
+    * The lag window partitions by calendar YEAR instead of running
+    * partition-less: a global `Window.orderBy(day)` moves every daily row
+    * to one task, and while the daily pre-aggregate bounds cardinality by
+    * the time span, a multi-decade × multi-metric evolution of this query
+    * is exactly how single-task stragglers are born. Each year's first row
+    * (whose in-year lag is NULL) is stitched from the latest edge row of
+    * any earlier year via a tiny broadcast join over per-year edge rows —
+    * O(#years) data, no global window anywhere. Result is identical to the
+    * global-window formulation (same oracle, same hash), including across
+    * calendar-year gaps. */
   val windowLag: Q = (s, d) => {
     val daily = T.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(dsum(col("value")).as("v"))
-    val w = Window.orderBy(col("day"))
-    daily
-      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("yr", year(col("day")))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+    val wDesc = Window.partitionBy(col("yr")).orderBy(col("day").desc)
+    val inYear = daily
+      .withColumn("prev_in_year", lag(col("v"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    // one edge row per year: the year's last (day, v)
+    val edges = daily
+      .withColumn("rnd", row_number().over(wDesc))
+      .filter(col("rnd") === 1)
+      .select(col("yr").as("eyr"), col("day").as("eday"), col("v").as("ev"))
+    // carry for year Y = v of the latest edge day among years < Y
+    // (non-equi join over O(#years) rows — calendar-bounded, not data-bounded)
+    val carry = edges.as("a")
+      .join(broadcast(edges.as("b")), col("b.eyr") < col("a.eyr"))
+      .groupBy(col("a.eyr").as("carry_yr"))
+      .agg(max(struct(col("b.eday"), col("b.ev"))).as("m"))
+      .select(col("carry_yr"), col("m.ev").as("carry_v"))
+    inYear
+      .join(broadcast(carry),
+        inYear("yr") === col("carry_yr") && inYear("rn") === 1, "left")
+      .withColumn("prev_v", coalesce(col("prev_in_year"), col("carry_v")))
       .withColumn("delta", col("v") - col("prev_v"))
       .select(col("day"), col("v"), col("prev_v"), col("delta"))
       .orderBy(col("day"))

@@ -129,6 +129,24 @@ class ApiSpec extends SparkSpecBase {
     assert(out == Set((10L, 1L), (10L, 2L), (11L, 3L), (11L, 4L)))
   }
 
+  test("thresholdJoin enforces its bounded-left contract") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f))
+    ).toDF("vid", "v").select(col("vid"), col("v").cast("array<float>").as("v"))
+    // within the bound: works
+    val ok = VectorSearch.thresholdJoin(vecs.filter(col("vid") === 1L), vecs,
+      "vid", "v", minCos = 0.9)
+    assert(ok.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+    // over the bound: refuses the all-pairs plan instead of running it
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.thresholdJoin(vecs, vecs, "vid", "v", minCos = 0.9,
+        maxLeftRows = 2L)
+    }
+    assert(e.getMessage.contains("blockedThresholdJoin"))
+  }
+
   test("VectorSearch.topK ranks an ad-hoc vector table") {
     val s = spark
     import s.implicits._

@@ -150,6 +150,25 @@ class PlanSpec extends SparkSpecBase {
       graft.core.Tables(spark, sf0001, "lineitem").count())
   }
 
+  test("no declared plan contains a partition-less Window (all-query sweep)") {
+    // A Window with an empty partitionSpec moves every row to ONE task
+    // ("WindowExec: No Partition Defined" at runtime) — the single shape
+    // guaranteed not to survive a 100x scale-up. Sweep every declared
+    // query's optimized plan so the property is pinned for all current and
+    // future keys at once.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (k, fn) =>
+        val bad = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        spark.catalog.clearCache()
+        if (bad.nonEmpty) Seq(k) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window in declared plans: ${offenders.mkString(", ")}")
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages

@@ -144,6 +144,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(w10.length == 1 && w10(0).getAs[Long]("n_events") == 1L)
   }
 
+  test("dedup stream drops late rows beyond the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val dir = Files.createTempDirectory("graft-late-dedup").toString
+    val query = Streaming.dedupStream(ms.toDF()).writeStream
+      .format("memory").queryName("late_dedup_t")
+      .outputMode("append").option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    // batch 1: one kept key + a 12:00 row → watermark advances to 11:00
+    ms.addData(Ev(1, Timestamp.valueOf("2025-01-01 10:00:00"), 1, "click", 1.0))
+    ms.addData(Ev(2, Timestamp.valueOf("2025-01-01 12:00:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    // batch 2: a NEVER-SEEN key at 09:00 — older than the watermark, so the
+    // dedup operator must drop it instead of emitting it
+    ms.addData(Ev(3, Timestamp.valueOf("2025-01-01 09:00:00"), 2, "click", 9.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("late_dedup_t")
+    assert(out.filter(col("user_id") === 2).count() == 0,
+      "late row past the watermark leaked through dedup")
+    assert(out.count() == 2)
+  }
+
   test("flatMapGroupsWithState running aggregates == batch window on sf0.001") {
     val s = spark
     import s.implicits._
