@@ -18,15 +18,25 @@ object Bench {
     // EliminateSorts drop the top-level ORDER BY (count is order-agnostic),
     // so globally-sorted queries would never pay their declared sort here.
     // queryExecution.toRdd executes the optimized physical plan as declared.
+    //
+    // Each query runs `runs` times and reports the MEDIAN: sub-second
+    // queries are dominated by codegen-compile and scheduling noise, so a
+    // single sample makes round-over-round diffs unreadable. The median of
+    // 3 is robust to one GC/JIT outlier while keeping the bench bounded.
+    val runs = 3
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted subtrees so later queries don't pay
-      // storage-memory pressure for earlier ones
-      spark.catalog.clearCache()
-      name -> dt
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persisted subtrees so later queries don't pay
+        // storage-memory pressure for earlier ones
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> median(samples)
     }
     // compact, locale-safe number formatting: the driver captures a bounded
     // tail of stdout, so the single JSON line must stay short (3 decimals,
@@ -36,7 +46,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

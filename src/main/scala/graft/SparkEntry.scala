@@ -65,6 +65,7 @@ object SparkEntry {
     // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
     "dedup_exact"      -> LlmPipeline.dedupExact,
     "dedup_near"       -> LlmPipeline.dedupNear,
+    "dedup_near_salted" -> LlmPipeline.dedupNearSalted,
     "dedup_minhash"    -> LlmPipeline.dedupMinhash,
     "dedup_simhash"    -> LlmPipeline.dedupSimhash,
     "dedup_embed"      -> LlmPipeline.dedupEmbed,

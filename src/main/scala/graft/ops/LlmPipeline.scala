@@ -126,6 +126,24 @@ object LlmPipeline {
       .orderBy(col("var_id"), col("base_id"))
   }
 
+  /** [[dedupNear]] with the hot-key salting path ACTIVE: any prefix
+    * shingle whose right-side document frequency exceeds hotDf=8 is spread
+    * deterministically over saltFactor=4 sub-keys (left rows pick one salt
+    * by id hash, right rows replicate across all four), so no single
+    * Zipfian stopword shingle can swallow a reducer. Salting is pure skew
+    * mitigation — every pair still meets in exactly one salt bucket — so
+    * the declared result is hash-identical to the UNSALTED oracle, which
+    * is precisely what the correctness gate proves. */
+  val dedupNearSalted: Q = (s, d) => {
+    val c = corpus(s, d)
+    graft.api.TextDedup.jaccardJoin(
+        c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+        "doc_id", "text", JaccThreshold, saltFactor = 4, hotDf = 8)
+      .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
+        col("jacc"))
+      .orderBy(col("var_id"), col("base_id"))
+  }
+
   // ------------------------------------------------------- dedup: MinHash-LSH
 
   /** MinHash + LSH banding dedup — the 100 TB near-dup path
@@ -457,6 +475,19 @@ object LlmPipeline {
          |ORDER BY kept_id""".stripMargin,
 
     "dedup_near" ->
+      s"""WITH $corpusSql,
+         |$shingleSetsSql
+         |SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,
+         |  round($jaccSql, 6) AS jacc
+         |FROM ssets sa JOIN ssets sb
+         |  ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |WHERE $jaccSql >= $JaccThreshold
+         |ORDER BY var_id, base_id""".stripMargin,
+
+    // salting never changes the result, so the salted declared query is
+    // checked against the UNSALTED oracle — the strongest form of the
+    // "skew mitigation is semantics-free" claim
+    "dedup_near_salted" ->
       s"""WITH $corpusSql,
          |$shingleSetsSql
          |SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,

@@ -123,6 +123,34 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Sorted-on-write key lookup — the B-tree's key-ordered page format
+    * (`/root/reference/db.cpp:61-70`: leaf cells hold key-sorted rows so a
+    * point lookup touches one page) generalized to columnar layout:
+    * lineitem is written globally sorted by `l_orderkey` (range-partitioned
+    * files whose parquet row-group min/max statistics become disjoint key
+    * ranges — a coarse sorted index), then read back with the equality
+    * predicate pushed into the scan. At 100 TB the lookup reads one
+    * row-group of one file instead of the whole table. The declared result
+    * equals `key_lookup` on the original table — sort-on-write is
+    * lossless; only the access path changes (PlanSpec pins the pushed
+    * filter on the sorted layout). */
+  val keyLookupSorted: Q = (s, d) => {
+    val dir = ioDir("key_lookup_sorted")
+    T.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(dir)
+    sortedLookupReadback(s)
+  }
+
+  /** Readback half of [[keyLookupSorted]], split out so PlanSpec can audit
+    * the scan (PushedFilters on the sorted layout) without re-writing. */
+  def sortedLookupReadback(s: SparkSession): DataFrame =
+    s.read.parquet(ioDir("key_lookup_sorted"))
+      .filter(col("l_orderkey") === 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_linenumber"))
+
   /** Readback used by PlanSpec to audit partition pruning (split out so the
     * audit sees the scan without the eager write in the same fn). */
   def partitionedReadback(s: SparkSession): DataFrame =
@@ -137,6 +165,7 @@ object Sources {
     "source_json" -> sourceJson,
     "sink_partitioned" -> sinkPartitioned,
     "source_evolution" -> sourceEvolution,
+    "key_lookup_sorted" -> keyLookupSorted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +195,11 @@ object Sources {
          |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "key_lookup_sorted" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice
+        |FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin,
 
     "source_evolution" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

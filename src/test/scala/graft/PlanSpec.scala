@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpecBase {
       "cell-candidate join is not a shuffled equi-join")
   }
 
+  test("key_lookup_sorted pushes the key predicate into the sorted layout") {
+    // materialize the sorted-on-write layout, then audit the readback scan
+    graft.ops.Sources.keyLookupSorted(spark, sf0001).collect()
+    val p = planString(graft.ops.Sources.sortedLookupReadback(spark))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_orderkey[^\\]]*\\].*"),
+      s"no pushed key filter on the sorted layout:\n${p.take(1500)}")
+  }
+
+  test("dedup_near_salted candidate generation stays equi-join under salting") {
+    val p = planString(LlmPipeline.dedupNearSalted(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "salted candidate join degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "salted candidate join degenerated to nested-loop")
+    assert(p.contains("ShuffledHashJoin"),
+      "salted verify join is not a shuffled equi-join")
+  }
+
   test("dedup_near verify join shuffles the pair set instead of broadcasting it") {
     val p = planString(LlmPipeline.dedupNear(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
