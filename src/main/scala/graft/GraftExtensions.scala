@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
     ext.injectFunction(GraftExtensions.md548Descriptor)
+    ext.injectFunction(GraftExtensions.slidingMinDescriptor)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -45,6 +46,14 @@ object GraftExtensions {
       graft.expr.Md5Prefix48(children.head)
     })
 
+  private val slidingMinDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sliding_min"),
+    new ExpressionInfo(classOf[graft.expr.SlidingMin].getName, "sliding_min"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "sliding_min(arr, w) takes exactly 2 arguments")
+      graft.expr.SlidingMin(children.head, children(1))
+    })
+
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
     * builders and table readers themselves never mutate a caller's
@@ -63,7 +72,8 @@ object GraftExtensions {
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(floatDotDescriptor, md548Descriptor).foreach { case (id, info, builder) =>
+    Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor)
+      .foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
     }
     recommendedConfs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Tables
+import graft.core.Numeric.dsumSql
 import graft.ops.{Composite, RelationalOracles}
 
 /** SQL-text front door — the modern analogue of the reference's statement
@@ -13,15 +14,29 @@ import graft.ops.{Composite, RelationalOracles}
   * as temp views; [[queriesSql]] carries runnable `spark.sql` text for the
   * declared queries whose semantics are SQL-expressible; [[sql]] executes
   * one by name. A user porting SQL workloads can run them verbatim —
-  * including the engine's native `float_dot` function, which
-  * [[GraftExtensions]] registers in the SQL function registry.
+  * including the engine's native `float_dot`, `md5_48` and `sliding_min`
+  * functions, which [[GraftExtensions]] registers in the SQL registry.
   *
   * Dialect note: the relational/TPC-H entries reuse the oracle SQL
   * strings, which are deliberately dual-dialect ANSI (DuckDB for the
   * correctness gate, Spark for this catalog). Entries whose DuckDB oracle
-  * uses list functions (`string_split`, `list_slice`, 1-based `p[i]`) get
-  * a Spark-dialect equivalent here instead. SqlEntrySpec asserts each
-  * entry's SQL result equals the DataFrame path row-for-row.
+  * uses list functions (`string_split`, `list_slice`, `unnest`, 1-based
+  * `p[i]`, `time_bucket`, `quantile_cont`) get a Spark-dialect equivalent
+  * here instead. SqlEntrySpec asserts each entry's SQL result equals the
+  * DataFrame path row-for-row.
+  *
+  * Scale note: a few SQL texts (the dedup families) spell out the
+  * SEMANTIC form — e.g. an all-pairs SimHash comparison — rather than the
+  * LSH-blocked plan the DataFrame path executes; the SQL front door is the
+  * statement-level contract, the declared DataFrame queries are the 100 TB
+  * plans. Both return identical rows, which is exactly what the spec pins.
+  *
+  * Deliberately NOT SQL-expressible (documented, DataFrame-only): the
+  * source/sink roundtrips (`sink_roundtrip`, `source_csv`, `source_json`,
+  * `sink_partitioned`, `source_evolution`, `key_lookup_sorted`) perform
+  * file writes — multi-statement side effects, not a single SELECT; and
+  * `dedup_cluster` iterates to a fixpoint (connected components), which
+  * single-statement Spark SQL cannot express.
   */
 object SqlCatalog {
 
@@ -42,42 +57,347 @@ object SqlCatalog {
     "join_range", "join_asof",
     "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
     "agg_grouping_sets",
-    "window_rank", "window_running", "window_lag",
-    "sort_limit_topk", "set_union", "set_intersect", "set_except")
+    "window_rank", "window_running",
+    "sort_limit_topk", "set_union", "set_intersect", "set_except",
+    // advanced aggregates / windows whose oracle SQL is already ANSI
+    "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
+    "subq_scalar",
+    // streaming-batch keys whose oracle SQL is already ANSI
+    "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
+    // scalar function packs that parse identically
+    "fn_string", "fn_math", "fn_map")
 
-  /** Spark-dialect SQL for keys whose oracle uses DuckDB list functions. */
+  private def oracleOf(k: String): String =
+    (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
+      graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles)(k)
+
+  // ------------------------------------------------- Spark-dialect helpers
+
+  /** Planted-variant dedup corpus (Spark dialect of LlmPipeline.corpusSql). */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |         array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Word 3-gram shingles of a token-array column `l` (Spark HOFs). */
+  private val shingles =
+    "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))"
+
+  private val shingleSetsSql =
+    s"""tok AS (SELECT doc_id, split(text, ' ') l FROM corpus),
+       |ssets AS (SELECT doc_id, array_distinct($shingles) sset FROM tok WHERE size(l) >= 3)""".stripMargin
+
+  /** Exact Jaccard of two distinct-element array columns (Spark). */
+  private val jaccSql =
+    """CAST(size(array_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      | / CAST(size(sa.sset) + size(sb.sset)
+      |        - size(array_intersect(sa.sset, sb.sset)) AS DOUBLE)""".stripMargin
+
+  /** The exact-Jaccard threshold join in its semantic (quadratic) SQL form
+    * — identical rows to the prefix-filtered DataFrame plan. */
+  private val dedupNearSql =
+    s"""WITH $corpusSql,
+       |$shingleSetsSql
+       |SELECT var_id, base_id, round(jacc, 6) AS jacc FROM (
+       |  SELECT sa.doc_id AS var_id, sb.doc_id AS base_id, $jaccSql AS jacc
+       |  FROM ssets sa JOIN ssets sb
+       |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+       |WHERE jacc >= 0.7
+       |ORDER BY var_id, base_id""".stripMargin
+
+  /** MinHash signature CTEs (Spark dialect; constants shared with
+    * [[graft.expr.MinHashAgg]] so SQL and DataFrame signatures agree). */
+  private def minhashSql: String = {
+    val (p, k, a, b) = graft.expr.MinHashAgg.params
+    val nBands = 8
+    val r = k / nBands
+    val mins = (0 until k).map(i =>
+      s"min((${a(i)} * hv + ${b(i)}) % $p) AS mh_$i").mkString(",\n    ")
+    val bands = (0 until nBands).map { bnd =>
+      val key = (0 until r).map(j => s"CAST(mh_${bnd * r + j} AS STRING)")
+        .mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $corpusSql,
+       |$shingleSetsSql,
+       |sh AS (SELECT doc_id, explode($shingles) s FROM tok WHERE size(l) >= 3),
+       |hv AS (SELECT doc_id, md5_48(s) % $p AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hv GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT a, b, round(jacc, 6) AS jacc FROM (
+       |  SELECT ia AS a, ib AS b, $jaccSql AS jacc
+       |  FROM cand
+       |    JOIN ssets sa ON sa.doc_id = ia
+       |    JOIN ssets sb ON sb.doc_id = ib)
+       |WHERE jacc >= 0.7
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** SimHash pairs in semantic (all-pairs) SQL form — same rows as the
+    * bit-block-LSH DataFrame plan. */
+  private def simhashSql: String = {
+    val bits = 48
+    val bitSums = (0 until bits).map(j =>
+      s"sum((shiftright(hv, $j) & 1) * 2 - 1) AS s_$j").mkString(",\n    ")
+    val value = (0 until bits).map(j =>
+      s"CASE WHEN s_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    // NB shingle MULTIPLICITY matters here: every occurrence votes ±1 on
+    // each bit, so the explode is over the raw shingles, not the set
+    s"""WITH $corpusSql,
+       |$shingleSetsSql,
+       |sh AS (SELECT doc_id, explode($shingles) s FROM tok WHERE size(l) >= 3),
+       |hv AS (SELECT doc_id, md5_48(s) AS hv FROM sh),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $value AS simhash FROM bits)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE bit_count(x.simhash ^ y.simhash) <= 10
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact cosine via the engine's native `float_dot` (SQL-registered). */
+  private def cosFd(x: String, y: String): String =
+    s"(float_dot($x, $y) / (sqrt(float_dot($x, $x)) * sqrt(float_dot($y, $y))))"
+
+  private val vecCorpusSql =
+    """vcorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000,
+      |         transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  /** Pixel array of the derived media raster (Spark dialect: 16 md5 bytes
+    * as ints via fixed-width hex chunks — mirrors Multimodal.pixels). */
+  private val mediaPx =
+    "transform(sequence(1, 16), i -> CAST(conv(substr(md5(text), (i - 1) * 2 + 1, 2), 16, 10) AS INT))"
+
+  /** Spark-dialect SQL for keys whose oracle text is DuckDB-specific. */
   private val sparkDialect: Map[String, String] = Map(
-    "dedup_exact" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000,
-        |         array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')
-        |  FROM documents WHERE doc_id % 7 = 0)
-        |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
-        |FROM corpus GROUP BY md5(lower(trim(text)))
-        |ORDER BY kept_id""".stripMargin,
+    // ------------------------------------------------- parser / sampling
+    "insert_parse" ->
+      """WITH lines AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ',
+        |      CASE WHEN c_custkey % 97 = 0 THEN 'update' ELSE 'insert' END,
+        |      CAST(c_custkey - 5 AS STRING),
+        |      CASE WHEN c_custkey % 50 = 0 THEN concat(c_name, repeat('x', 30))
+        |           ELSE c_name END,
+        |      CASE WHEN c_custkey % 89 = 0 THEN ''
+        |           ELSE concat(c_name, '@example.com') END) AS stmt
+        |  FROM customer),
+        |parsed AS (
+        |  SELECT stmt, split(trim(stmt), '\\s+') AS p FROM lines)
+        |SELECT id, username, email, reject_reason FROM (
+        |  SELECT
+        |    try_cast(try_element_at(p, 2) AS BIGINT) AS id,
+        |    try_element_at(p, 3) AS username,
+        |    try_element_at(p, 4) AS email,
+        |    CASE
+        |      WHEN try_element_at(p, 1) <> 'insert'
+        |        THEN concat('Unrecognized keyword at start of ''', stmt, '''')
+        |      WHEN size(p) < 4 THEN 'Syntax error. Could not parse statement'
+        |      WHEN try_cast(try_element_at(p, 2) AS BIGINT) IS NULL
+        |        THEN 'Syntax error. Could not parse statement'
+        |      WHEN try_cast(try_element_at(p, 2) AS BIGINT) < 0
+        |        THEN 'ID must be positive.'
+        |      WHEN length(try_element_at(p, 3)) > 32 THEN 'String is too long.'
+        |      WHEN length(try_element_at(p, 4)) > 255 THEN 'String is too long.'
+        |      ELSE CAST(NULL AS STRING)
+        |    END AS reject_reason
+        |  FROM parsed)
+        |ORDER BY id, username""".stripMargin,
 
-    "text_tokens" ->
-      """SELECT doc_id,
-        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(regexp_count(text, '[a-z0-9]+') AS BIGINT) AS re_tokens,
-        |  CAST(regexp_count(text, '[a-z0-9]{1,4}') AS BIGINT) AS bpe_ish
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    "text_lang" ->
-      """SELECT doc_id, lang,
-        |  CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END AS predicted,
-        |  en_score,
-        |  (CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END) = lang AS agree
+    // ------------------------------------------- advanced aggs / windows
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(percentile(o_totalprice, 0.5), 2) AS p50,
+        |  round(percentile(o_totalprice, 0.95), 2) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, n_nearby
         |FROM (
-        |  SELECT doc_id, lang,
-        |    CAST(size(filter(split(text, ' '),
-        |      x -> x IN ('the', 'a', 'data', 'value'))) AS BIGINT) AS en_score
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |      RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING) AS n_nearby
+        |  FROM orders)
+        |WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "fn_null" ->
+      """SELECT c_custkey,
+        |  round(coalesce(bal_or_null, 0.0), 2) AS bal0,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  (bal_or_null <=> CAST(NULL AS DOUBLE)) AS is_null_safe,
+        |  (bal_or_null IS NULL) AS is_null
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the partitioned-lag shape (lag within calendar year + edge-row
+    // stitch), mirroring the DataFrame plan — no partition-less window in
+    // the SQL path either
+    "window_lag" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |         ${dsumSql("value")} AS v
+         |  FROM events GROUP BY 1),
+         |base AS (
+         |  SELECT day, v, year(day) AS yr,
+         |    LAG(v, 1) OVER (PARTITION BY year(day) ORDER BY day) AS prev_in_year,
+         |    ROW_NUMBER() OVER (PARTITION BY year(day) ORDER BY day) AS rn
+         |  FROM daily),
+         |edges AS (
+         |  SELECT yr AS eyr, day AS eday, v AS ev FROM (
+         |    SELECT yr, day, v,
+         |      ROW_NUMBER() OVER (PARTITION BY yr ORDER BY day DESC) AS rnd
+         |    FROM base)
+         |  WHERE rnd = 1),
+         |carry AS (
+         |  SELECT a.eyr AS carry_yr, max_by(b.ev, b.eday) AS carry_v
+         |  FROM edges a JOIN edges b ON b.eyr < a.eyr GROUP BY a.eyr)
+         |SELECT day, v, coalesce(prev_in_year, carry_v) AS prev_v,
+         |  v - coalesce(prev_in_year, carry_v) AS delta
+         |FROM base LEFT JOIN carry ON base.yr = carry.carry_yr AND base.rn = 1
+         |ORDER BY day""".stripMargin,
+
+    // ------------------------------------------------- approx aggregates
+    // (no DuckDB oracle by declared contract; the SQL text still runs in
+    // Spark and must equal the DataFrame path bit-for-bit — same sketch
+    // algorithm, same seed, deterministic)
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |  approx_count_distinct(user_id, 0.02) AS approx_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_hll_sketch" ->
+      """WITH per_group AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    hll_sketch_agg(l_partkey) AS sk,
+        |    COUNT(DISTINCT l_partkey) AS exact_nd
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag,
+        |  hll_sketch_estimate(hll_union_agg(sk)) AS approx_nd,
+        |  SUM(exact_nd) AS sum_group_exact
+        |FROM per_group GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ------------------------------------------------------ function packs
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(size(embedding) AS BIGINT) AS n_dims,
+        |  element_at(embedding, 1) AS e0,
+        |  round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_norm,
+        |  round(aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |    (acc, x) -> acc + CAST(x AS DOUBLE)) / size(embedding), 6) AS mean_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(from_json(props, 'k INT').k AS BIGINT) AS k_struct
+        |FROM events
+        |WHERE CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    // ------------------------------------------------- streaming (batch)
+    "stream_sliding" ->
+      s"""SELECT window.start AS ws, event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY window(ts, '1 hour', '15 minutes'), event_type
+         |ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session" ->
+      """SELECT session_window.start AS session_start,
+        |  session_window.end AS session_end,
+        |  user_id, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY session_window(ts, '10 minutes'), user_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // ------------------------------------------------------ dedup family
+    "dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
+         |FROM corpus GROUP BY md5(lower(trim(text)))
+         |ORDER BY kept_id""".stripMargin,
+
+    "dedup_near" -> dedupNearSql,
+    // salting is plan-level skew mitigation; the statement-level semantics
+    // (and rows) are identical to dedup_near
+    "dedup_near_salted" -> dedupNearSql,
+    "dedup_minhash" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_embed" ->
+      s"""WITH $vecCorpusSql,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |lcells AS (
+         |  SELECT vec_id, pe, cell FROM (
+         |    SELECT v.vec_id, v.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${cosFd("v.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id >= 10000)
+         |  WHERE crnk <= 3),
+         |rcells AS (
+         |  SELECT vec_id, be, cell FROM (
+         |    SELECT b.vec_id, b.embedding AS be, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(${cosFd("b.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id < 10000)
+         |  WHERE crnk = 1)
+         |SELECT l.vec_id AS var_id, r.vec_id AS base_id,
+         |  round(${cosFd("l.pe", "r.be")}, 6) AS cos
+         |FROM lcells l JOIN rcells r ON l.cell = r.cell
+         |WHERE ${cosFd("l.pe", "r.be")} >= 0.999
+         |ORDER BY var_id, base_id""".stripMargin,
 
     // exercises the engine-registered native float_dot in SQL text
     "sim_topk" ->
@@ -94,11 +414,190 @@ object SqlCatalog {
         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
         |  FROM scored)
         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
-        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin)
+        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosFd("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |cells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.cent")}, 6) DESC, c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |scored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cosFd("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN cells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // ------------------------------------------------------ text analysis
+    "text_stats" ->
+      """SELECT d.lang, d.source, n_docs, avg_chars, n_tokens, n_vocab
+        |FROM (SELECT lang, source, count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |      FROM documents GROUP BY lang, source) d
+        |JOIN (SELECT lang, source, count(*) AS n_tokens,
+        |        count(DISTINCT tok) AS n_vocab
+        |      FROM (SELECT lang, source, explode(split(text, ' ')) AS tok
+        |            FROM documents)
+        |      GROUP BY lang, source) t
+        |  ON d.lang = t.lang AND d.source = t.source
+        |ORDER BY d.lang, d.source""".stripMargin,
+
+    "text_lang" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END AS predicted,
+        |  en_score,
+        |  (CASE WHEN en_score >= 2 THEN 'en' ELSE 'und' END) = lang AS agree
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(size(filter(split(text, ' '),
+        |      x -> x IN ('the', 'a', 'data', 'value'))) AS BIGINT) AS en_score
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tok,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(alpha_ratio, 6) AS alpha_ratio,
+        |  round(0.3 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+        |      + 0.4 * (1.0 - stop_ratio)
+        |      + 0.3 * alpha_ratio, 6) AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(size(filter(split(text, ' '),
+        |        x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |      / CAST(size(split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(regexp_count(text, '[a-z0-9]+') AS BIGINT) AS re_tokens,
+        |  CAST(regexp_count(text, '[a-z0-9]{1,4}') AS BIGINT) AS bpe_ish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_total + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, split(text, ' ') l FROM documents),
+         |sh AS (SELECT doc_id, explode(array_distinct($shingles)) s
+         |       FROM tok WHERE size(l) >= 3),
+         |hv AS (SELECT doc_id, md5_48(s) AS hv FROM sh),
+         |ranked AS (SELECT doc_id, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rnk
+         |  FROM hv)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, hv
+         |FROM ranked WHERE rnk <= 8 ORDER BY doc_id, rnk""".stripMargin,
+
+    // native sliding_min keeps the gram array referenced exactly once —
+    // the HOF-inlining trap (CollapseProject) cannot go quadratic here
+    "text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    transform(sequence(1, length(text) - 7),
+        |      i -> md5_48(substring(text, i, 8))) AS grams
+        |  FROM documents WHERE length(text) >= 23)
+        |SELECT doc_id, hv FROM (
+        |  SELECT doc_id, explode(array_distinct(sliding_min(grams, 16))) AS hv
+        |  FROM g)
+        |ORDER BY doc_id, hv""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT d.lang, e.label, count(*) AS n,
+        |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  round(CAST(sum(CAST(round(sqrt(float_dot(e.embedding, e.embedding)), 6)
+        |    AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_l2
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
+
+    // ------------------------------------------------- multimodal columns
+    "mm_meta" ->
+      """SELECT doc_id, length(unhex(md5(text))) AS n_bytes,
+        |  4 AS width, 4 AS height, 'gray8' AS fmt, 16 AS n_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_pixels" ->
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents)
+         |SELECT doc_id,
+         |  array_min(p) AS px_min, array_max(p) AS px_max,
+         |  round(CAST(aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 16.0, 6) AS px_mean,
+         |  CAST(size(filter(p, x -> x >= 0 AND x < 64)) AS BIGINT) AS h0,
+         |  CAST(size(filter(p, x -> x >= 64 AND x < 128)) AS BIGINT) AS h1,
+         |  CAST(size(filter(p, x -> x >= 128 AND x < 192)) AS BIGINT) AS h2,
+         |  CAST(size(filter(p, x -> x >= 192 AND x < 256)) AS BIGINT) AS h3
+         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents)
+         |SELECT doc_id, 4 AS n_bytes, 2 AS width, 2 AS height,
+         |  CAST(element_at(p, 1) + element_at(p, 3)
+         |     + element_at(p, 9) + element_at(p, 11) AS BIGINT) AS checksum
+         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents),
+         |fr AS (
+         |  SELECT doc_id, f.frame_no,
+         |    round(CAST(element_at(p, f.frame_no * 4 + 1) + element_at(p, f.frame_no * 4 + 2)
+         |             + element_at(p, f.frame_no * 4 + 3) + element_at(p, f.frame_no * 4 + 4)
+         |      AS DOUBLE) / 4.0, 6) AS frame_mean
+         |  FROM px CROSS JOIN (VALUES (0), (2)) AS f(frame_no))
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, frame_mean
+         |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
+
+    // the PNG codec round trip is lossless (MultimodalSpec asserts the
+    // partition-batch path byte-equal to the expression path), so the SQL
+    // statement form IS the pixel math
+    "mm_batch_stats" ->
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents)
+         |SELECT doc_id, array_min(p) AS px_min, array_max(p) AS px_max,
+         |  round(CAST(aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 16.0, 6) AS px_mean
+         |FROM px ORDER BY doc_id""".stripMargin,
+  )
 
   /** SQL text per declared query key, runnable via [[sql]]. */
   val queriesSql: Map[String, String] =
-    sharedWithOracle.map(k => k -> RelationalOracles.sql(k)).toMap ++
+    sharedWithOracle.map(k => k -> oracleOf(k)).toMap ++
       Composite.oracles ++ sparkDialect
 
   /** Run a declared query from SQL text against the catalog views. */

@@ -10,7 +10,11 @@ class SqlEntrySpec extends SparkSpecBase {
   test("every SQL-catalog entry matches the DataFrame path row-for-row") {
     GraftExtensions.install(spark) // float_dot must be SQL-callable
     val keys = SqlCatalog.queriesSql.keys.toSeq.sorted
-    assert(keys.size >= 10, "SQL catalog should cover >=10 declared queries")
+    assert(keys.size >= 70,
+      s"SQL catalog should cover >=70 declared queries, has ${keys.size}")
+    // every SQL entry must correspond to a declared query
+    val undeclared = keys.filterNot(SparkEntry.queries.contains)
+    assert(undeclared.isEmpty, s"SQL entries without declared query: $undeclared")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, sf0001)
       val viaSql = SqlCatalog.sql(k)(spark, sf0001)
