@@ -187,6 +187,18 @@ class PlanSpec extends SparkSpecBase {
       s"partition-less Window in declared plans: ${offenders.mkString(", ")}")
   }
 
+  test("no SQL-catalog plan contains a partition-less Window either") {
+    GraftExtensions.install(spark) // md5_48 / float_dot / sliding_min in SQL
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SqlCatalog.queriesSql.keys.toSeq.sorted.flatMap { k =>
+      val bad = SqlCatalog.sql(k)(spark, sf0001).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (bad.nonEmpty) Seq(k) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window in SQL plans: ${offenders.mkString(", ")}")
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages
