@@ -93,6 +93,18 @@ object SparkEntry {
   def sql(name: String): (SparkSession, String) => DataFrame =
     SqlCatalog.sql(name)
 
+  /** Multi-statement scripts for the write-roundtrip queries — the
+    * reference REPL's statement-sequence interface
+    * (`/root/reference/db.cpp:549-598`). With [[queriesSql]] this gives
+    * every declared key except the iterative `dedup_cluster` a
+    * statement-text path (SqlEntrySpec pins script ≡ DataFrame). */
+  def queriesScript: Map[String, Seq[String]] = SqlCatalog.queriesScript
+
+  /** Execute a declared query's statement script; returns the last
+    * statement's result. */
+  def runScript(name: String): (SparkSession, String) => DataFrame =
+    SqlCatalog.runScript(name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, streaming
     * engine-side semantics) get the driver's weaker rows-only check. */

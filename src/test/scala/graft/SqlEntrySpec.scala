@@ -30,4 +30,29 @@ class SqlEntrySpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
   }
+
+  test("every statement SCRIPT matches the DataFrame path row-for-row") {
+    GraftExtensions.install(spark)
+    val keys = SqlCatalog.queriesScript.keys.toSeq.sorted
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sf0001)
+      val viaScript = SqlCatalog.runScript(k)(spark, sf0001)
+      assert(df.columns.toSeq == viaScript.columns.toSeq,
+        s"$k: columns ${viaScript.columns.toSeq} != ${df.columns.toSeq}")
+      val expect = df.collect().map(_.toSeq)
+      val got = viaScript.collect().map(_.toSeq)
+      assert(expect.length == got.length,
+        s"$k: ${got.length} rows via script, ${expect.length} via DataFrame")
+      expect.zip(got).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(e == g, s"$k: row $i differs — script=$g df=$e")
+      }
+      spark.catalog.clearCache()
+    }
+    // statement-text coverage: single SELECTs + scripts must reach every
+    // declared key except the documented iterative dedup_cluster
+    val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
+    val uncovered = SparkEntry.queries.keySet -- covered
+    assert(uncovered == Set("dedup_cluster"),
+      s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
+  }
 }
