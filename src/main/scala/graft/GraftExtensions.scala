@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
     ext.injectFunction(GraftExtensions.md548Descriptor)
     ext.injectFunction(GraftExtensions.slidingMinDescriptor)
+    ext.injectFunction(GraftExtensions.gramHashDescriptor)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -54,6 +55,14 @@ object GraftExtensions {
       graft.expr.SlidingMin(children.head, children(1))
     })
 
+  private val gramHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_hash48"),
+    new ExpressionInfo(classOf[graft.expr.GramHash48].getName, "gram_hash48"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "gram_hash48(s, k) takes exactly 2 arguments")
+      graft.expr.GramHash48(children.head, children(1))
+    })
+
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
     * builders and table readers themselves never mutate a caller's
@@ -72,7 +81,8 @@ object GraftExtensions {
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor)
+    Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
+        gramHashDescriptor)
       .foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
     }

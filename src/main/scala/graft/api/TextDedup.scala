@@ -297,19 +297,21 @@ object TextDedup {
     * >= w + k - 1 between two documents yields a shared fingerprint hash.
     * Output: one (id, hv) row per distinct selected hash.
     *
-    * Expression-shape note: window minima run inside the native
-    * [[graft.expr.SlidingMin]] (monotonic deque, O(grams) per doc) — a
-    * nested HOF over the gram column would quadratically inline the gram
-    * hashing (CollapseProject), and the earlier explode-window-indices
-    * shape materialized one row + one w-element slice copy per window
-    * ahead of a corpus-wide distinct shuffle. Here each document
-    * contributes one row in, ~|selected| rows out, deduped per doc before
-    * any shuffle. */
+    * Expression-shape note: BOTH per-document stages are native
+    * expressions. Gram hashing runs in [[graft.expr.GramHash48]] (one
+    * UTF-8 boundary walk + byte-slice digests; the HOF
+    * transform/substring chain it replaces rescans the string per gram
+    * position and boxes per element — ExpressionSpec pins bit-equality).
+    * Window minima run inside [[graft.expr.SlidingMin]] (monotonic deque,
+    * O(grams) per doc) — a nested HOF over the gram column would
+    * quadratically inline the gram hashing (CollapseProject), and the
+    * earlier explode-window-indices shape materialized one row + one
+    * w-element slice copy per window ahead of a corpus-wide distinct
+    * shuffle. Here each document contributes one row in, ~|selected| rows
+    * out, deduped per doc before any shuffle. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 16): DataFrame = {
-    val grams = transform(
-      sequence(lit(1), length(col(textCol)) - (k - 1)),
-      i => h48(substring(col(textCol), i, lit(k))))
+    val grams = graft.expr.GramHash48.gramHash48(col(textCol), k)
     docs
       .filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol),
