@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.md548Descriptor)
     ext.injectFunction(GraftExtensions.slidingMinDescriptor)
     ext.injectFunction(GraftExtensions.gramHashDescriptor)
+    ext.injectFunction(GraftExtensions.shingleXxDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.simhash48Descriptor)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -63,6 +66,30 @@ object GraftExtensions {
       graft.expr.GramHash48(children.head, children(1))
     })
 
+  private val shingleXxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_xx64"),
+    new ExpressionInfo(classOf[graft.expr.ShingleXx64].getName, "shingle_xx64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "shingle_xx64(s, n) takes exactly 2 arguments")
+      graft.expr.ShingleXx64(children.head, children(1))
+    })
+
+  private val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.expr.MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "minhash_sig(s, n) takes exactly 2 arguments")
+      graft.expr.MinHashSig(children.head, children(1))
+    })
+
+  private val simhash48Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash48"),
+    new ExpressionInfo(classOf[graft.expr.SimHash48].getName, "simhash48"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "simhash48(s, n, bits) takes exactly 3 arguments")
+      graft.expr.SimHash48(children.head, children(1), children(2))
+    })
+
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
     * builders and table readers themselves never mutate a caller's
@@ -82,7 +109,8 @@ object GraftExtensions {
     * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
-        gramHashDescriptor)
+        gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
+        simhash48Descriptor)
       .foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
     }

@@ -73,16 +73,22 @@ object TextDedup {
   /** (id, text) → (id, sset: array<long>) of distinct xxhash64'd shingles;
     * docs shorter than n tokens are dropped (no shingles). Element order
     * is unspecified (set semantics — every consumer sorts or takes
-    * sizes). */
+    * sizes).
+    *
+    * Built per-row by the native [[graft.expr.ShingleXx64]] (one byte
+    * walk, each shingle hashed as a byte span of the original buffer) —
+    * NO row explosion and NO groupBy shuffle. The Generate + collect_list
+    * pipeline this replaces shuffled one row per shingle of the corpus
+    * just to reassemble per-doc sets; at 100 TB that shuffle was the
+    * dominant cost of candidate generation. Hash values are identical
+    * (ExpressionSpec pins both formulations equal), so results are
+    * unchanged. */
   def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    setsFromRows(shingleRows(docs, idCol, textCol, n), idCol)
-
-  private def setsFromRows(rows: DataFrame, idCol: String): DataFrame =
-    rows
-      .withColumn("__hv", xxhash64(col("sh")))
-      .groupBy(col(idCol))
-      .agg(array_distinct(collect_list(col("__hv"))).as("sset"))
+    docs.select(col(idCol),
+        array_distinct(
+          graft.expr.ShingleXx64.shingleXx64(col(textCol), n)).as("sset"))
+      .filter(size(col("sset")) >= 1)
 
   /** Exact Jaccard of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -175,8 +181,30 @@ object TextDedup {
   }
 
   /** MinHash signatures: (id, sig: array<long>) — K affine re-hashes of
-    * the 48-bit shingle hashes, min-aggregated in ONE pass via the typed
-    * [[MinHashAgg]] UDAF (fixed 256-byte state per doc).
+    * the 48-bit shingle hashes, min-reduced per document.
+    *
+    * Computed per ROW by the native [[graft.expr.MinHashSig]] (one
+    * token-boundary walk, one md5 per shingle byte span, K affine
+    * updates) — no shingle explosion, no aggregation state, no shuffle:
+    * the signature stage stays inside the scan's whole-stage codegen.
+    * Bit-identical to the explode → [[MinHashAgg]] pipeline
+    * (ExpressionSpec pins equality; min is idempotent so occurrence
+    * multiplicity cannot matter). For inputs that are ALREADY exploded
+    * hash rows (a different tokenizer, pre-hashed shingles), use
+    * [[sigsFromRows]] — the UDAF path with fixed 256-byte state and
+    * map-side partial merge. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sig = graft.expr.MinHashSig.minhashSig(col(textCol), n)
+    docs.select(col(idCol), sig.as("sig")).filter(col("sig").isNotNull)
+  }
+
+  /** MinHash signatures from pre-exploded hash rows (id, hv) with
+    * `hv` already reduced mod [[MinHashAgg.P]] — the distributed
+    * aggregation path ([[MinHashAgg]] UDAF, fixed 256-byte state,
+    * map-side partial merge) for callers whose shingling/hashing is
+    * custom. [[minhashSignatures]] (per-row, shuffle-free) is the
+    * preferred path when the input is (id, text).
     *
     * Perf note: ObjectHashAggregate's sort fallback defaults to 128
     * in-memory groups, far too low for tiny fixed-size sketch buffers.
@@ -184,11 +212,12 @@ object TextDedup {
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (see
     * [[graft.GraftExtensions.recommendedConfs]]); this function does NOT
     * mutate the caller's session. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    sigsFromRows(shingleRows(docs, idCol, textCol, n), idCol)
+  def sigsFromHashRows(rows: DataFrame, idCol: String, hvCol: String): DataFrame =
+    rows
+      .groupBy(col(idCol))
+      .agg(MinHashAgg.minhash(col(hvCol)).as("sig"))
 
-  private def sigsFromRows(rows: DataFrame, idCol: String): DataFrame =
+  private[graft] def sigsFromRows(rows: DataFrame, idCol: String): DataFrame =
     rows
       .withColumn("__hv", h48(col("sh")) % MinHashAgg.P)
       .groupBy(col(idCol))
@@ -203,10 +232,10 @@ object TextDedup {
       n: Int = 3, roundTo: Int = 6): DataFrame = {
     require(nBands * rowsPerBand == MinHashAgg.K,
       s"banding ${nBands}x$rowsPerBand must cover K=${MinHashAgg.K}")
-    // ONE tokenize+shingle pass feeds both the signature aggregation and
-    // the verify-side shingle sets
-    val rows = cached(shingleRows(docs, idCol, textCol, n))
-    val sigs = sigsFromRows(rows, idCol)
+    // both the signatures and the verify-side shingle sets are per-row
+    // projections (native MinHashSig / ShingleXx64) — candidate
+    // generation's only shuffles are the band join and the verify join
+    val sigs = minhashSignatures(docs, idCol, textCol, n)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
@@ -220,7 +249,7 @@ object TextDedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val sets = cached(setsFromRows(rows, idCol))
+    val sets = cached(hashedShingleSets(docs, idCol, textCol, n))
     // same driver-safety rule as jaccardJoin: the pair set is unbounded in
     // general, so verify via shuffled equi-joins, never a broadcast
     cand.hint("shuffle_hash")
@@ -320,20 +349,19 @@ object TextDedup {
   }
 
   /** SimHash signatures: (id, simhash) — bit j is the sign of the sum of
-    * ±1 votes from each shingle hash's bit j. */
+    * ±1 votes from each shingle hash's bit j.
+    *
+    * Computed per ROW by the native [[graft.expr.SimHash48]] (one
+    * token-boundary walk, one md5 per shingle occurrence, `bits` local
+    * vote counters) — the explode → `bits`-column sum() groupBy pipeline
+    * it replaces carried 48 aggregate buffers per document through a
+    * hash aggregate and a shuffle. Bit-identical (ExpressionSpec pins
+    * equality on corpus + adversarial spacing; occurrence multiplicity
+    * matters for votes and both forms count every shingle position). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 48, n: Int = 3): DataFrame = {
-    val exploded = shingleRows(docs, idCol, textCol, n)
-      .withColumn("__hv", h48(col("sh")))
-    val bitSums = (0 until bits).map(j =>
-      sum(shiftright(col("__hv"), j).bitwiseAND(1) * 2 - 1).as(s"__s_$j"))
-    exploded.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until bits).map(j =>
-          when(col(s"__s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        ).reduce(_ + _))
-      .select(col(idCol), col("simhash"))
+    val sig = graft.expr.SimHash48.simhash48(col(textCol), n, bits)
+    docs.select(col(idCol), sig.as("simhash")).filter(col("simhash").isNotNull)
   }
 
   /** All pairs (a < b) within Hamming distance <= maxHamming of their
