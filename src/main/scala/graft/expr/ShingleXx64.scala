@@ -65,31 +65,9 @@ object ShingleXx64 {
   def compute(s: UTF8String, n: Int): ArrayData = {
     require(n > 0, s"shingle_xx64 n must be positive, got $n")
     val bytes = s.getBytes
-    // token boundaries from the space positions: token i spans
-    // [starts(i), ends(i)); split(s, ' ') with Spark's limit=-1 keeps
-    // empty tokens, including trailing ones → nToks = #spaces + 1
-    var spaces = 0
-    var b = 0
-    while (b < bytes.length) {
-      if (bytes(b) == ' ') spaces += 1
-      b += 1
-    }
-    val nToks = spaces + 1
+    val (starts, ends) = TokenBounds.scan(bytes)
+    val nToks = starts.length
     if (nToks < n) return new GenericArrayData(Array.emptyLongArray)
-    val starts = new Array[Int](nToks)
-    val ends = new Array[Int](nToks)
-    var t = 0
-    starts(0) = 0
-    b = 0
-    while (b < bytes.length) {
-      if (bytes(b) == ' ') {
-        ends(t) = b
-        t += 1
-        starts(t) = b + 1
-      }
-      b += 1
-    }
-    ends(t) = bytes.length
     val out = new Array[Long](nToks - n + 1)
     var i = 0
     while (i <= nToks - n) {
