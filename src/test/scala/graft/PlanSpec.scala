@@ -199,6 +199,34 @@ class PlanSpec extends SparkSpecBase {
       s"partition-less Window in SQL plans: ${offenders.mkString(", ")}")
   }
 
+  test("signature/set construction is a zero-shuffle projection (no Exchange, no Aggregate)") {
+    // The per-row native expressions (ShingleXx64 / MinHashSig / SimHash48)
+    // exist so that dedup candidate PREPARATION never shuffles: each
+    // document's shingle set and signatures are pure projections inside
+    // the scan stage. Pin that property on the physical plans — a future
+    // reformulation that reintroduces an explode + groupBy (the r3 shape)
+    // would show up here as an Exchange or an Aggregate.
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val stages = Seq(
+      "hashedShingleSets" ->
+        graft.api.TextDedup.hashedShingleSets(docs, "doc_id", "text"),
+      "minhashSignatures" ->
+        graft.api.TextDedup.minhashSignatures(docs, "doc_id", "text"),
+      "simhashSignatures" ->
+        graft.api.TextDedup.simhashSignatures(docs, "doc_id", "text"))
+    stages.foreach { case (name, df) =>
+      val p = planString(df)
+      assert(!p.contains("Exchange"),
+        s"$name shuffles — signature construction must stay per-row:\n" +
+          p.linesIterator.take(25).mkString("\n"))
+      assert(!p.contains("Aggregate") && !p.contains("Generate"),
+        s"$name reintroduced an explode/aggregate stage:\n" +
+          p.linesIterator.take(25).mkString("\n"))
+    }
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages
