@@ -79,6 +79,7 @@ object SparkEntry {
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,
     "text_winnow"      -> LlmPipeline.textWinnow,
+    "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries

@@ -552,6 +552,24 @@ object SqlCatalog {
         |  FROM g)
         |ORDER BY doc_id, hv""".stripMargin,
 
+    "dedup_winnow" ->
+      s"""WITH $corpusSql,
+         |g AS (
+         |  SELECT doc_id,
+         |    transform(sequence(1, length(text) - 7),
+         |      i -> md5_48(substring(text, i, 8))) AS grams
+         |  FROM corpus WHERE length(text) >= 23),
+         |f AS (
+         |  SELECT doc_id, explode(array_distinct(sliding_min(grams, 16))) AS hv
+         |  FROM g),
+         |rare AS (SELECT hv FROM f GROUP BY hv HAVING count(*) <= 8),
+         |fk AS (SELECT f.doc_id, f.hv FROM f JOIN rare USING (hv))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |FROM fk x JOIN fk y ON x.hv = y.hv AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
+
     "multimodal_join" ->
       """SELECT d.lang, e.label, count(*) AS n,
         |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS avg_chars,

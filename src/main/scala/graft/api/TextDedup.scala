@@ -348,6 +348,42 @@ object TextDedup {
           graft.expr.SlidingMin.slidingMin(grams, w))).as("hv"))
   }
 
+  /** Winnowing-overlap near-dup pairs (the MOSS shape): documents whose
+    * winnowing fingerprints ([[winnowFingerprints]]) share at least
+    * `minShared` selected hashes, with the share count as the match
+    * strength. By the winnowing guarantee, any common substring of
+    * length >= w + k - 1 yields a shared fingerprint — this is the
+    * copy/boilerplate detector that Jaccard-style shingle dedup misses
+    * when the overlap is a long verbatim span inside otherwise-different
+    * documents.
+    *
+    * Scale shape: candidates come from an equi-join on the fingerprint
+    * hash (hash shuffle on `hv`, never all-pairs). Fingerprints whose
+    * document frequency exceeds `maxDf` are dropped FIRST — corpus-wide
+    * boilerplate (license headers, templates) otherwise turns one hash
+    * into a quadratic hot key; the df cap is the standard winnowing
+    * practice and bounds every hv group, so the pair space is
+    * Σ_hv df(hv)² with df <= maxDf. The pair aggregation shuffles
+    * already-bounded (a, b) rows. Output: (a, b, shared), a < b. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, minShared: Int = 2,
+      maxDf: Long = 64): DataFrame = {
+    val fp = cached(winnowFingerprints(docs, idCol, textCol, k, w))
+    val rare = fp.groupBy(col("hv"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("hv"))
+    val kept = fp.join(rare, Seq("hv"))
+    kept.as("x").hint("shuffle_hash")
+      .join(kept.as("y"),
+        col("x.hv") === col("y.hv") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash signatures: (id, simhash) — bit j is the sign of the sum of
     * ±1 votes from each shingle hash's bit j.
     *

@@ -405,6 +405,19 @@ object LlmPipeline {
         T.documents(s, d), "doc_id", "text", k = 8, w = 16)
       .orderBy(col("doc_id"), col("hv"))
 
+  /** Winnowing-overlap near-dup pairs over the planted-variant corpus
+    * ([[graft.api.TextDedup.winnowPairs]], the MOSS shape): docs sharing
+    * >= 2 winnowing fingerprints after dropping corpus-boilerplate
+    * hashes (document frequency > 8). Catches the long-verbatim-span
+    * duplicates that token-set Jaccard dilutes; the truncated near-dup
+    * variants share nearly all fingerprints with their base docs, the
+    * uppercased variants share none (byte-level grams). Candidates are
+    * an equi-join on the fingerprint hash — never all-pairs. */
+  val dedupWinnow: Q = (s, d) =>
+    graft.api.TextDedup.winnowPairs(corpus(s, d), "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 8)
+      .orderBy(col("a"), col("b"))
+
   // -------------------------------------------------------- multimodal join
 
   /** documents ⋈ embeddings by id with the vector carried through a
@@ -672,6 +685,27 @@ object LlmPipeline {
          |      j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fp
          |  FROM g)
          |SELECT doc_id, unnest(fp) AS hv FROM w ORDER BY doc_id, hv""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH $corpusSql,
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) - 6),
+         |      i -> ${h48Sql("substr(text, CAST(i AS INT), 8)")}) AS grams
+         |  FROM corpus WHERE length(text) >= 23),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(grams) - 14),
+         |      j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fp
+         |  FROM g),
+         |f AS (SELECT doc_id, unnest(fp) AS hv FROM w),
+         |rare AS (SELECT hv FROM f GROUP BY hv HAVING count(*) <= 8),
+         |fk AS (SELECT f.doc_id, f.hv FROM f JOIN rare USING (hv))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |FROM fk x JOIN fk y ON x.hv = y.hv AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (

@@ -105,6 +105,32 @@ class ApiSpec extends SparkSpecBase {
       "unrelated docs should not collide at this size")
   }
 
+  test("winnowPairs finds shared-span pairs and the df cap drops boilerplate") {
+    val s = spark
+    import s.implicits._
+    val shared = "zqxwvyjkpbdfghmn_common_block_zzqqxxwwvv" // 40 chars
+    val boiler = "GENERIC_LICENSE_HEADER_BOILERPLATE_TEXT_COMMON_TO_ALL"
+    val docs = Seq(
+      (1L, s"$boiler aaaa bbbb cccc $shared dddd eeee ffff gggg hhhh"),
+      (2L, s"$boiler 1111 2222 3333 4444 $shared 5555 6666 7777"),
+      (3L, s"$boiler totally unrelated content with no overlap whatsoever"),
+      (4L, s"$boiler other words that repeat nothing from the others here"),
+      (5L, s"$boiler yet more filler prose sharing only the header block")
+    ).toDF("id", "body")
+    // maxDf=2: the 5-doc boilerplate hashes are dropped, the 2-doc shared
+    // block survives — only (1,2) pairs, via the shared block's hashes
+    val pairs = TextDedup.winnowPairs(docs, "id", "body",
+        k = 8, w = 16, minShared = 1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the shared-block pair, got $pairs")
+    // without the df cap the boilerplate connects everything to everything
+    val all = TextDedup.winnowPairs(docs, "id", "body",
+        k = 8, w = 16, minShared = 1, maxDf = Long.MaxValue)
+      .count()
+    assert(all == 10, s"uncapped header should pair all 5 docs, got $all")
+  }
+
   test("VectorSearch.blockedThresholdJoin finds co-cell pairs on an ad-hoc table") {
     val s = spark
     import s.implicits._
