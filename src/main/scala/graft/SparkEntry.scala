@@ -62,6 +62,7 @@ object SparkEntry {
     "stream_session"   -> Streaming.streamSession,
     "stream_dedup_watermark" -> Streaming.streamDedup,
     "stream_stateful"  -> Streaming.streamStateful,
+    "stream_join"      -> Streaming.streamJoin,
     // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
     "dedup_exact"      -> LlmPipeline.dedupExact,
     "dedup_near"       -> LlmPipeline.dedupNear,
@@ -76,6 +77,8 @@ object SparkEntry {
     "text_lang"        -> LlmPipeline.textLang,
     "text_quality"     -> LlmPipeline.textQuality,
     "text_tokens"      -> LlmPipeline.textTokens,
+    "text_normalize"   -> LlmPipeline.textNormalize,
+    "text_repetition"  -> LlmPipeline.textRepetition,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,
     "text_winnow"      -> LlmPipeline.textWinnow,

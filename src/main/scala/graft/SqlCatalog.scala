@@ -74,6 +74,7 @@ object SqlCatalog {
     "subq_scalar",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
+    "stream_join",
     // scalar function packs that parse identically
     "fn_string", "fn_math", "fn_map")
 
@@ -510,6 +511,32 @@ object SqlCatalog {
         |  CAST(regexp_count(text, '[a-z0-9]{1,4}') AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  array_join(filter(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '),
+        |    t -> NOT t IN ('a', 'the') AND t <> ''), ' ') AS norm_text,
+        |  CAST(size(filter(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '),
+        |    t -> NOT t IN ('a', 'the') AND t <> '')) AS BIGINT) AS n_tokens_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS l FROM documents),
+        |stats AS (SELECT doc_id, CAST(size(l) AS BIGINT) AS n,
+        |  round(CAST(size(array_distinct(l)) AS DOUBLE)
+        |    / CAST(size(l) AS DOUBLE), 4) AS ttr
+        |  FROM tok),
+        |big AS (SELECT doc_id, bg FROM tok
+        |  LATERAL VIEW explode(transform(sequence(1, size(l) - 1),
+        |    i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))) t AS bg),
+        |mx AS (SELECT doc_id, MAX(c) AS mc FROM
+        |  (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n AS n_tokens, s.ttr,
+        |  round(CAST(m.mc AS DOUBLE) / CAST(s.n - 1 AS DOUBLE), 4)
+        |    AS top_bigram_frac
+        |FROM stats s JOIN mx m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
@@ -711,6 +738,40 @@ object SqlCatalog {
          |FROM $sinkPartTable
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    "source_orc" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_orc")}' USING orc
+         |SELECT * FROM lineitem WHERE l_orderkey % 89 = 0""".stripMargin,
+      s"""SELECT l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_discount")} AS sum_disc
+         |FROM orc.`${ioDir("source_orc")}`
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    "merge_upsert" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_upsert_base")}' USING parquet
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  CAST(0 AS BIGINT) AS version
+         |FROM orders""".stripMargin,
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_upsert")}' USING parquet
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY version DESC) AS rn
+         |  FROM (
+         |    SELECT * FROM parquet.`${ioDir("merge_upsert_base")}`
+         |    UNION ALL
+         |    SELECT o_orderkey, o_custkey, 'U', o_totalprice + 10.0,
+         |      CAST(1 AS BIGINT)
+         |    FROM orders WHERE o_orderkey % 37 = 0
+         |    UNION ALL
+         |    SELECT o_orderkey + 5000000, o_custkey, 'N', o_totalprice,
+         |      CAST(1 AS BIGINT)
+         |    FROM orders WHERE o_orderkey % 97 = 0))
+         |WHERE rn = 1""".stripMargin,
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+         |FROM parquet.`${ioDir("merge_upsert")}`
+         |ORDER BY o_orderkey""".stripMargin),
 
     "source_evolution" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_evolution")}/batch=1' USING parquet

@@ -333,6 +333,48 @@ object LlmPipeline {
       .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("bpe_ish"))
       .orderBy(col("doc_id"))
 
+  /** Canonical text normalization — the first stage of every training-data
+    * pipeline: lowercase, trim, collapse runs of whitespace, then drop
+    * stopword tokens ('a'/'the') and empties via an array HOF. Pure per-row
+    * codegen'd work (no shuffle at all until the declared ORDER BY); at
+    * 100 TB this runs at scan speed. */
+  val textNormalize: Q = (s, d) => {
+    val toks = filter(
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "),
+      t => !t.isin("a", "the") && t =!= "")
+    T.documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), array_join(col("toks"), " ").as("norm_text"),
+        size(col("toks")).cast("long").as("n_tokens_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition signals (the Gopher/C4-style quality gates): per-doc
+    * type-token ratio and the frequency share of the most repeated word
+    * bigram. Bigrams are built once per doc with a sequence/transform HOF,
+    * then exploded; both aggregations key on doc_id, so every shuffle is
+    * per-document — no cross-doc skew beyond document length. */
+  val textRepetition: Q = (s, d) => {
+    val docs = T.documents(s, d)
+      .withColumn("l", split(col("text"), " "))
+      .withColumn("n", size(col("l")).cast("long"))
+    val stats = docs.select(col("doc_id"), col("n"),
+      round(size(array_distinct(col("l"))).cast("double") /
+        col("n").cast("double"), 4).as("ttr"))
+    val bigrams = docs.select(col("doc_id"), col("n"),
+      explode(transform(sequence(lit(1), size(col("l")) - 1),
+        i => concat_ws(" ", element_at(col("l"), i),
+          element_at(col("l"), i + 1)))).as("bg"))
+    val mx = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mc"))
+    stats.join(mx, "doc_id")
+      .select(col("doc_id"), col("n").as("n_tokens"), col("ttr"),
+        round(col("mc").cast("double") /
+          (col("n") - 1).cast("double"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top terms: per (doc, term) score tf * ln((N+1)/(df+1)), top-3
     * terms per doc (score desc, term asc — total order). Two shuffles:
     * term explode → (doc, term) counts, then df per term joined back;
@@ -654,6 +696,31 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      raw"""SELECT doc_id,
+           |  array_to_string(list_filter(
+           |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           |    t -> t NOT IN ('a', 'the') AND t <> ''), ' ') AS norm_text,
+           |  CAST(len(list_filter(
+           |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           |    t -> t NOT IN ('a', 'the') AND t <> '')) AS BIGINT) AS n_tokens_norm
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |stats AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+        |  round(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 4) AS ttr
+        |  FROM tok),
+        |big AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g),
+        |mx AS (SELECT doc_id, MAX(c) AS mc FROM
+        |  (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, s.n AS n_tokens, s.ttr,
+        |  round(CAST(m.mc AS DOUBLE) / (s.n - 1), 4) AS top_bigram_frac
+        |FROM stats s JOIN mx m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "dedup_cluster" ->
       s"""WITH RECURSIVE $corpusSql,

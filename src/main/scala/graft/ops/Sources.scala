@@ -151,6 +151,71 @@ object Sources {
         col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_linenumber"))
 
+  /** ORC interchange roundtrip — the second columnar container (ORC ships
+    * in Spark's core distribution alongside Parquet). A lineitem slice is
+    * written ORC and aggregated from the READBACK; the oracle computes the
+    * same aggregate from the original parquet, proving the format boundary
+    * is lossless. Same predicate/column pushdown machinery as parquet
+    * applies at scale (ORC carries its own min/max stripe statistics). */
+  val sourceOrc: Q = (s, d) => {
+    val dir = ioDir("source_orc")
+    T.lineitem(s, d).filter(col("l_orderkey") % 89 === 0)
+      .write.mode("overwrite").orc(dir)
+    orcReadback(s)
+  }
+
+  /** Readback half of [[sourceOrc]], split out so PlanSpec can audit that
+    * the aggregate really consumes the ORC scan. */
+  def orcReadback(s: SparkSession): DataFrame =
+    s.read.orc(ioDir("source_orc"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .orderBy(col("l_linestatus"))
+
+  /** Copy-on-write UPSERT merge — the reference's INSERT (`db.cpp:455-476`,
+    * append into a key-ordered tree) generalized to the maintenance
+    * operation a 100 TB table actually needs: a base snapshot merged with a
+    * change batch (updates to existing keys + brand-new keys), latest
+    * version wins per key, result rewritten as the new snapshot. The merge
+    * is one hash shuffle on the key (`row_number` over (key, version desc))
+    * — the same shape a Delta/Iceberg MERGE compiles to; at scale the
+    * rewrite would be partition-scoped rather than full-table, but the
+    * per-partition plan is exactly this. The declared result reads the
+    * merged snapshot back, so the oracle (a CASE projection of the change
+    * rules over the original table) pins end-to-end losslessness. */
+  val mergeUpsert: Q = (s, d) => {
+    val baseDir = ioDir("merge_upsert_base")
+    val mergedDir = ioDir("merge_upsert")
+    val cols = Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val o = T.orders(s, d)
+    o.select(cols :+ lit(0L).as("version"): _*)
+      .write.mode("overwrite").parquet(baseDir)
+    // change batch: price bump + status flip on keys % 37, fresh inserts
+    // with shifted keys on keys % 97 — both tagged version 1
+    val updates = o.filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        lit(1L).as("version"))
+    val inserts = o.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    s.read.parquet(baseDir)
+      .unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .write.mode("overwrite").parquet(mergedDir)
+    s.read.parquet(mergedDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("version"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Readback used by PlanSpec to audit partition pruning (split out so the
     * audit sees the scan without the eager write in the same fn). */
   def partitionedReadback(s: SparkSession): DataFrame =
@@ -166,6 +231,8 @@ object Sources {
     "sink_partitioned" -> sinkPartitioned,
     "source_evolution" -> sourceEvolution,
     "key_lookup_sorted" -> keyLookupSorted,
+    "source_orc" -> sourceOrc,
+    "merge_upsert" -> mergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +267,34 @@ object Sources {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |  l_extendedprice
         |FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin,
+
+    "source_orc" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_discount")} AS sum_disc
+         |FROM lineitem WHERE l_orderkey % 89 = 0
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // latest-version-wins merge re-derived declaratively: the oracle never
+    // sees the base/merged snapshots, only the change rules applied to the
+    // original table — pinning that the write→merge→rewrite cycle loses
+    // nothing
+    "merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'U' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CAST(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_custkey, 'N', o_totalprice,
+        |    CAST(1 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "source_evolution" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

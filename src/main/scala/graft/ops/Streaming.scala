@@ -52,6 +52,26 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Event-time interval join: each purchase matched to the same user's
+    * view events in the 2 hours leading up to it (attribution lookback).
+    * The join is an EQUI-join on user_id with the time range as a
+    * post-condition — it hash-shuffles both sides on the user key, never a
+    * cartesian; at 100 TB the range bound is also what lets the streaming
+    * engine evict state (see [[intervalJoinStream]]). */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    p.join(v, col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   // ------------------------------------------------ declared batch queries
 
   val streamTumbling: Q = (s, d) =>
@@ -100,6 +120,9 @@ object Streaming {
       .orderBy(col("user_id"), col("running_n"))
   }
 
+  val streamJoin: Q = (s, d) =>
+    intervalJoin(T.events(s, d)).orderBy(col("purchase_id"), col("view_id"))
+
   // --------------------------------------------------- streaming builders
 
   /** Streaming flavor of [[tumblingCounts]] with a watermark for state
@@ -115,6 +138,22 @@ object Streaming {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream flavor of [[intervalJoin]]: both sides watermarked; the
+    * interval condition bounds how long each view row must be retained
+    * (watermark + 2 h lookback), so the join state is evicted instead of
+    * growing with the stream — the only way a stream-stream join survives
+    * at scale. Semantics on in-order data equal the batch join
+    * (StreamingSpec asserts row-for-row equality). */
+  def intervalJoinStream(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    val v = views.withWatermark("view_ts", "1 hour")
+    p.join(v, col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
 
   /** Custom per-key state via flatMapGroupsWithState — the streaming
     * execution of [[streamStateful]]: state = (running count, running
@@ -193,6 +232,17 @@ object Streaming {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS UNBOUNDED PRECEDING))
         |ORDER BY user_id, running_n""".stripMargin,
+
+    // dual-dialect ANSI: runs unchanged under DuckDB (oracle) and
+    // spark.sql (SqlCatalog front door)
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |  p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id
+        |  AND v.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
 
     "stream_dedup_watermark" ->
       """SELECT user_id, event_type, event_id AS first_event_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-import graft.ops.{LlmPipeline, Relational}
+import graft.ops.{LlmPipeline, Relational, Sources}
 
 /** Physical-plan audits (the 100 TB design contract): filters reach the
   * parquet scan, projections prune columns at the reader, small dims
@@ -118,6 +118,32 @@ class PlanSpec extends SparkSpecBase {
     val p = planString(LlmPipeline.dedupNear(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
       "candidate-pair verify join is not a shuffled equi-join")
+  }
+
+  test("stream_join is an equi-join on the user key, never a nested loop") {
+    // the interval condition must ride as a post-condition on a hash
+    // join keyed by user_id — a pure-range plan (BNLJ/cartesian) scans
+    // |purchases| x |views| and dies at scale
+    val p = planString(graft.ops.Streaming.streamJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "interval join planned cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to nested-loop — user_id equality not used")
+  }
+
+  test("text_normalize is shuffle-free before the declared sort") {
+    // normalization must fuse into the scan: per-row HOFs only, no
+    // aggregate, no join — the only exchange is the final ORDER BY's range
+    // partitioning
+    val o = LlmPipeline.textNormalize(spark, sf0001).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val bad = o.collect { case a: Aggregate => a; case j: Join => j }
+    assert(bad.isEmpty, s"text_normalize plans ${bad.size} agg/join nodes")
+  }
+
+  test("source_orc readback scans ORC, not a re-read of the parquet source") {
+    Sources.sourceOrc(spark, sf0001).count() // materialize the write
+    val p = planString(Sources.orcReadback(spark))
+    assert(p.toLowerCase.contains("orc"), s"readback not ORC:\n${p.take(800)}")
   }
 
   test("tpch_q5 six-way join broadcasts every dim (fact shuffles once at most)") {

@@ -187,6 +187,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("interval join: stream-stream == batch on sf0.001 events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = T.events(spark, sf0001)
+    val rows = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val df = ms.toDF()
+    val p = df.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val v = df.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    val query = Streaming.intervalJoinStream(p, v).writeStream
+      .format("memory").queryName("ij_t").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val streamed = spark.table("ij_t")
+    val batch = Streaming.intervalJoin(events)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(batch.count() > 0, "interval join sample must be non-empty")
+  }
+
   test("declared batch queries equal their streaming execution on sf0.001 events") {
     val events = T.events(spark, sf0001)
     // stream the parquet-backed events table itself via MemoryStream rows
