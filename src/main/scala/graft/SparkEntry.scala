@@ -33,6 +33,8 @@ object SparkEntry {
     "join_anti"        -> Relational.joinAnti,
     "join_range"       -> Relational.joinRange,
     "join_asof"        -> Relational.joinAsof,
+    "join_full"        -> Relational.joinFull,
+    "join_cross"       -> Relational.joinCross,
     // aggregations
     "agg_hash"         -> Relational.aggHash,
     "agg_distinct"     -> Relational.aggDistinct,
@@ -44,6 +46,7 @@ object SparkEntry {
     "window_rank"      -> Relational.windowRank,
     "window_running"   -> Relational.windowRunning,
     "window_lag"       -> Relational.windowLag,
+    "agg_collect"      -> Relational.aggCollect,
     // sorts / set ops
     "sort_limit_topk"  -> Relational.sortLimitTopk,
     "set_union"        -> Relational.setUnion,

@@ -64,14 +64,14 @@ object SqlCatalog {
     "scan_full", "scan_project", "scan_ordered", "key_lookup",
     "insert_append", "filter_pred", "constraint_check",
     "join_inner", "join_broadcast", "join_left", "join_semi", "join_anti",
-    "join_range", "join_asof",
+    "join_range", "join_asof", "join_full", "join_cross",
     "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
     "agg_grouping_sets",
     "window_rank", "window_running",
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
-    "subq_scalar",
+    "subq_scalar", "agg_hist",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -239,6 +239,21 @@ object SqlCatalog {
         |FROM lineitem
         |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT o_custkey,
+        |  array_join(sort_array(collect_list(o_orderkey)), ',') AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey % 50 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE md5_48(concat_ws('|', doc_id)) % 100
+        |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20
+        |         ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
 
     // ------------------------------------------- advanced aggs / windows
     "agg_percentile" ->

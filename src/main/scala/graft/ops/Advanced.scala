@@ -221,6 +221,38 @@ object Advanced {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Stratified deterministic sampling — the data-mixing step of a
+    * training pipeline: per-stratum keep rates (en 50 %, de 20 %, rest
+    * 10 %) applied via the same portable 48-bit hash as [[sampleHash]], so
+    * membership is a pure row property — reproducible across engines,
+    * partitionings and reruns, and a row's fate never changes when the
+    * corpus grows. Zero shuffles before the declared sort. */
+  val sampleStratified: Q = (s, d) => {
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 20)
+      .otherwise(10)
+    T.documents(s, d)
+      .withColumn("hk",
+        graft.expr.Md5Prefix48.md548(concat_ws("|", col("doc_id"))) % 100)
+      .filter(col("hk") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-width histogram (the profiling primitive behind every range
+    * partitioner and NDV estimate): bucket = floor(price / 10000), one
+    * two-phase hash aggregate — bucket count is bounded by the value
+    * domain, not the row count, so the final aggregation state is tiny at
+    * any scale. */
+  val aggHist: Q = (s, d) =>
+    T.lineitem(s, d)
+      .withColumn("bucket", floor(col("l_extendedprice") / 10000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
   /** Mergeable-sketch pipeline (the re-aggregable distinct-count story at
     * 100 TB): HLL sketches built per (returnflag, linestatus) group with
     * `hll_sketch_agg`, then UNIONED up to per-flag estimates with
@@ -254,6 +286,8 @@ object Advanced {
     "agg_pivot" -> aggPivot,
     "fn_null" -> fnNull,
     "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
+    "agg_hist" -> aggHist,
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +395,23 @@ object Advanced {
         |WHERE CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 12)
         |        AS BIGINT) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20
+        |         ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // dual-dialect ANSI: also serves as the SqlCatalog entry
+    "agg_hist" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  round(MIN(l_extendedprice), 2) AS lo,
+        |  round(MAX(l_extendedprice), 2) AS hi
+        |FROM lineitem
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -216,6 +216,38 @@ object Relational {
       .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
+  /** FULL OUTER join with unmatched rows on BOTH sides (even keys vs
+    * multiples of 3): null-extension in each direction plus an in_both
+    * marker. Same shuffle shape as the inner join — one hash exchange per
+    * side on the key. */
+  val joinFull: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("ka"), col("o_totalprice").as("pa"))
+    val b = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("kb"), col("o_totalprice").as("pb"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        round(coalesce(col("pa"), lit(0.0)), 2).as("price_a"),
+        round(coalesce(col("pb"), lit(0.0)), 2).as("price_b"),
+        (col("ka").isNotNull && col("kb").isNotNull).as("in_both"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Explicit CROSS JOIN — legitimate ONLY when one side is a bounded
+    * dimension that broadcasts (here: 5-row region replicated against
+    * nation). Every unbounded cross join in this engine is a bug by
+    * definition; this query documents the one sanctioned shape. */
+  val joinCross: Q = (s, d) => {
+    val n = T.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = T.region(s, d).select(col("r_regionkey"), col("r_name"))
+    n.crossJoin(broadcast(r))
+      .select(col("n_nationkey"), col("n_name"), col("r_regionkey"),
+        col("r_name"), (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+      .orderBy(col("n_nationkey"), col("r_regionkey"))
+  }
+
   /** As-of join: each event matched to the latest order of the same
     * customer with o_orderdate <= ts. Implemented scale-first as the
     * union-and-carry-forward pattern (sort within key, carry the last
@@ -324,6 +356,20 @@ object Relational {
       .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
+
+  /** Ordered array aggregation (collect + canonical sort): per-customer
+    * order-key list. The list is emitted as a canonical joined string —
+    * content-identical across engines and partition orders. collect_list
+    * itself is partition-order-dependent; the sort_array makes the
+    * aggregate deterministic, which is the only way an array agg is
+    * declarable at scale. */
+  val aggCollect: Q = (s, d) =>
+    T.orders(s, d).filter(col("o_custkey") % 50 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
 
   /** Running revenue per customer — cumulative frame. Decimal running sum
     * keeps the declared result order-independent. */

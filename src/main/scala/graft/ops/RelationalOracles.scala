@@ -135,6 +135,25 @@ object RelationalOracles {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
+    "join_full" ->
+      """SELECT COALESCE(a.ka, b.kb) AS o_orderkey,
+        |  round(COALESCE(a.pa, 0.0), 2) AS price_a,
+        |  round(COALESCE(b.pb, 0.0), 2) AS price_b,
+        |  (a.ka IS NOT NULL AND b.kb IS NOT NULL) AS in_both
+        |FROM (SELECT o_orderkey AS ka, o_totalprice AS pa FROM orders
+        |      WHERE o_orderkey % 2 = 0) a
+        |FULL OUTER JOIN
+        |     (SELECT o_orderkey AS kb, o_totalprice AS pb FROM orders
+        |      WHERE o_orderkey % 3 = 0) b
+        |  ON a.ka = b.kb
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name,
+        |  (n_regionkey = r_regionkey) AS is_home
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+
     "join_range" ->
       """SELECT e1.user_id AS user_id, e1.event_id AS signup_id,
         |  e2.event_id AS purchase_id
@@ -198,6 +217,14 @@ object RelationalOracles {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    // DuckDB list dialect; the Spark-text twin lives in SqlCatalog
+    "agg_collect" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey % 50 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "window_rank" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (

@@ -146,6 +146,42 @@ class PlanSpec extends SparkSpecBase {
     assert(p.toLowerCase.contains("orc"), s"readback not ORC:\n${p.take(800)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape for fact⋈(selectively filtered dim) when the dim is
+    // too big to broadcast: build a bloom filter over the dim's join keys
+    // and push might_contain into the fact scan, skipping most of the
+    // shuffle write. Engine confs opt in; the thresholds below force the
+    // optimizer's size gates open on the tiny test data.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.core.Tables.lineitem(spark, sf0001)
+      val o = graft.core.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(col("*")).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no bloom runtime filter injected:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("tpch_q5 six-way join broadcasts every dim (fact shuffles once at most)") {
     val p = planString(graft.ops.Composite.tpchQ5(spark, sf0001))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
