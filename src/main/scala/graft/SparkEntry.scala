@@ -76,11 +76,14 @@ object SparkEntry {
     "dedup_cluster"    -> LlmPipeline.dedupCluster,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
+    "sim_knn_join"     -> LlmPipeline.simKnnJoin,
+    "dedup_contaminate" -> LlmPipeline.dedupContaminate,
     "text_stats"       -> LlmPipeline.textStats,
     "text_lang"        -> LlmPipeline.textLang,
     "text_quality"     -> LlmPipeline.textQuality,
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_normalize"   -> LlmPipeline.textNormalize,
+    "text_pii"         -> LlmPipeline.textPii,
     "text_repetition"  -> LlmPipeline.textRepetition,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,

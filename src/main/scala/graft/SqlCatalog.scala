@@ -71,7 +71,7 @@ object SqlCatalog {
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
-    "subq_scalar", "agg_hist",
+    "subq_scalar", "agg_hist", "merge_scd2",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -425,6 +425,34 @@ object SqlCatalog {
          |WHERE ${cosFd("l.pe", "r.be")} >= 0.999
          |ORDER BY var_id, base_id""".stripMargin,
 
+    // the corpus-self kNN join: ONE ranked-cells CTE serves both the
+    // candidate sharding (crnk = 1) and the probe replicas (crnk <= 3) —
+    // the statement form of VectorSearch.knnJoin's single argmin pass
+    "sim_knn_join" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |ranked_cells AS (
+         |  SELECT vec_id, embedding, cell, crnk FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosFd("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crnk <= 3),
+         |cells AS (SELECT vec_id AS cand_id, embedding AS ce, cell
+         |          FROM ranked_cells WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cell FROM ranked_cells),
+         |scored AS (
+         |  SELECT p.probe_id, s.cand_id, round(${cosFd("p.pe", "s.ce")}, 6) AS cos
+         |  FROM probes p JOIN cells s ON p.cell = s.cell
+         |  WHERE s.cand_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
     // exercises the engine-registered native float_dot in SQL text
     "sim_topk" ->
       """WITH e AS (
@@ -474,6 +502,83 @@ object SqlCatalog {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "dedup_contaminate" ->
+      s"""WITH $corpusSql,
+         |shard AS (SELECT doc_id, split(lower(trim(text)), ' ') AS l
+         |          FROM corpus WHERE doc_id >= 100000),
+         |bench AS (SELECT doc_id AS eval_id, split(lower(trim(text)), ' ') AS l
+         |          FROM documents WHERE doc_id % 7 = 0 OR doc_id % 10 = 0),
+         |sg AS (SELECT doc_id, md5_48(g) AS hv FROM (
+         |  SELECT doc_id, explode(transform(sequence(1, size(l) - 12),
+         |    i -> concat_ws(' ', slice(l, i, 13)))) AS g
+         |  FROM shard WHERE size(l) >= 13)),
+         |bg AS (SELECT DISTINCT eval_id, md5_48(g) AS hv FROM (
+         |  SELECT eval_id, explode(transform(sequence(1, size(l) - 12),
+         |    i -> concat_ws(' ', slice(l, i, 13)))) AS g
+         |  FROM bench WHERE size(l) >= 13))
+         |SELECT s.doc_id,
+         |  count(DISTINCT s.hv) AS n_gram_hits,
+         |  count(DISTINCT b.eval_id) AS n_eval_docs
+         |FROM sg s JOIN bg b ON s.hv = b.hv
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Spark string literals process backslash escapes (DuckDB's don't),
+    // so every regex backslash is doubled relative to the oracle text
+    "text_pii" ->
+      raw"""WITH pii AS (
+           |  SELECT doc_id,
+           |    text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source ||
+           |      CAST(doc_id AS STRING) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+           |      CAST(doc_id % 256 AS STRING) || '.' ||
+           |      CAST((doc_id * 7) % 256 AS STRING) || '.' ||
+           |      CAST((doc_id * 13) % 256 AS STRING) ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+           |      CAST(doc_id % 900 + 100 AS STRING) || '-' ||
+           |      CAST(doc_id % 9000 + 1000 AS STRING) ELSE '' END AS ptext
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(regexp_count(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}') AS BIGINT) AS n_emails,
+           |  CAST(regexp_count(ptext, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') AS BIGINT) AS n_ips,
+           |  CAST(regexp_count(ptext, '\\b555-\\d{3}-\\d{4}\\b') AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(ptext,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>'),
+           |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
+           |    '\\b555-\\d{3}-\\d{4}\\b', '<PHONE>') AS redacted
+           |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "agg_ts_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT explode(sequence(h0, h1, interval 1 hour)) AS hour FROM b),
+        |grid AS (SELECT s.hour, t.event_type
+        |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(20,8))), 2) AS DOUBLE) AS hour_value
+        |  FROM events WHERE value > 99 GROUP BY 1, 2)
+        |SELECT g.hour, g.event_type,
+        |  coalesce(h.n_events, CAST(0 AS BIGINT)) AS n_events,
+        |  last_value(h.hour_value, true)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.hour) AS fill_value,
+        |  (h.n_events IS NULL) AS is_gap
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.hour = h.hour AND g.event_type = h.event_type
+        |ORDER BY g.hour, g.event_type""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT o_custkey, latest.o_orderdate AS latest_date,
+        |  latest.o_orderkey AS latest_key,
+        |  latest.o_totalprice AS latest_price, n_orders
+        |FROM (
+        |  SELECT o_custkey,
+        |    max(named_struct('o_orderdate', o_orderdate, 'o_orderkey', o_orderkey,
+        |      'o_totalprice', o_totalprice)) AS latest,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     // ------------------------------------------------------ text analysis
     "text_stats" ->

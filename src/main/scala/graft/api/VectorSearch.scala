@@ -84,6 +84,54 @@ object VectorSearch {
         col("cand_id"), col("cos"))
   }
 
+  /** Corpus-self k-NN JOIN through IVF cells — every vector of ONE corpus
+    * finds its k approximate nearest neighbours among all the others (the
+    * batch kNN-graph build behind embedding dedup clustering and kNN-graph
+    * ANN indexes). Unlike [[ivfTopK]] (bounded probe batch vs corpus), the
+    * probe side IS the corpus, so the cell assignment is computed ONCE:
+    * a single broadcast-centroid argmin pass ranks each vector's `nprobe`
+    * nearest cells; rank-1 rows shard the corpus into candidate cells,
+    * rank ≤ nprobe rows are the probe replicas. Candidates meet probes via
+    * a shuffled equi-join on cell id — never |N|², and the only cross
+    * product is against the broadcast centroid model. Output:
+    * (probe_id, rnk, cand_id, cos), k rows per vector. */
+  def knnJoin(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 3, roundTo: Int = 6): DataFrame = {
+    val ct = broadcast(withNorm(cents, vecCol)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent"), col("norm").as("ctn")))
+    val e = withNorm(corpus, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__e"), col("norm").as("__n"))
+    val wCell = Window.partitionBy(col("__id"))
+      .orderBy(col("__ccos").desc, col("cent_id"))
+    // one argmin pass serves both sides of the join
+    val ranked = e.crossJoin(ct)
+      .withColumn("__ccos", cos(col("__e"), col("cent"), col("__n"), col("ctn"), roundTo))
+      .withColumn("__crnk", row_number().over(wCell))
+      .filter(col("__crnk") <= nprobe)
+      .select(col("__id"), col("__e"), col("__n"), col("cent_id").as("cell"),
+        col("__crnk"))
+      // eager localCheckpoint, not persist(): computed once, lineage
+      // truncated, blocks freed by the ContextCleaner on GC — no caching
+      // contract leaks to the caller (same rule as TextDedup.cached)
+      .localCheckpoint(true)
+    val cells = ranked.filter(col("__crnk") === 1)
+      .select(col("__id").as("cand_id"), col("__e").as("ce"), col("__n").as("cn"),
+        col("cell"))
+    val probes = ranked
+      .select(col("__id").as("probe_id"), col("__e").as("pe"), col("__n").as("pn"),
+        col("cell"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val out = probes.hint("shuffle_hash").join(cells, "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cos(col("pe"), col("ce"), col("pn"), col("cn"), roundTo))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+    out
+  }
+
   /** Bipartite cosine-threshold join: EXACT all-pairs verify — O(|L|·|R|),
     * valid only when one side is bounded (a probe batch, a planted-variant
     * slice). For unbounded corpora use [[blockedThresholdJoin]], which

@@ -273,6 +273,86 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Time-series RESAMPLE + GAP FILL — the dashboard/feature-store shape:
+    * sparse hourly aggregates (events with value > 99) joined onto a
+    * dense generated calendar spine (every hour × every event type), gaps
+    * carried forward from the last observed hour (`last` IGNORE NULLS
+    * over an hour-ordered window; hours before a type's first observation
+    * stay NULL).
+    *
+    * 100 TB shape: the spine is GENERATED (`sequence` over the time
+    * bounds crossed with the broadcast type dim) — cardinality is the
+    * time domain × type domain, independent of event volume; the window
+    * partitions by type and orders by the bounded hour axis. The raw
+    * events only pass through one filtered two-phase aggregate. */
+  val aggTsGapfill: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val hourly = ev.filter(col("value") > 99)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("hour_value"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      .crossJoin(broadcast(types))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("fill_value",
+        last(col("hour_value"), ignoreNulls = true).over(w))
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("fill_value"), col("is_gap"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Struct (nested-row) surface: per-customer ARGMAX via `max(struct)` —
+    * structs order lexicographically by field position, so
+    * `max(struct(date, key, price))` finds each customer's latest order
+    * (key breaks same-day ties) in ONE two-phase hash aggregate, where
+    * the window/self-join formulations shuffle the whole table to rank
+    * rows they immediately discard. Fields come back out by dotted path.
+    * The oracle pins the equivalent `row_number() = 1` window form. */
+  val fnStruct: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("latest"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        col("latest.o_orderdate").as("latest_date"),
+        col("latest.o_orderkey").as("latest_key"),
+        col("latest.o_totalprice").as("latest_price"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Slowly-changing-dimension TYPE-2 history build (the warehouse
+    * companion of `merge_upsert`'s latest-wins snapshot): each customer's
+    * order stream becomes versioned validity intervals —
+    * `effective_from` = version date, `effective_to` = the NEXT version's
+    * date (half-open intervals: no date arithmetic, no gaps), NULL `to`
+    * marks the current row. Same-day collisions first reduce to the
+    * day's last order via the `max(struct)` argmax.
+    *
+    * 100 TB shape: one hash aggregate on (key, day) then one window
+    * partitioned by key — both shuffle on the dimension key only; history
+    * length per key is bounded by the time domain. */
+  val mergeScd2: Q = (s, d) => {
+    val daily = T.orders(s, d).filter(col("o_custkey") % 10 === 0)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("v"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("v.o_orderkey").as("src_order"), col("v.o_totalprice").as("price"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    daily
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderdate").as("effective_from"),
+        col("effective_to"), col("src_order"), col("price"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("effective_from"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -288,6 +368,9 @@ object Advanced {
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "agg_hist" -> aggHist,
+    "agg_ts_gapfill" -> aggTsGapfill,
+    "fn_struct" -> fnStruct,
+    "merge_scd2" -> mergeScd2,
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,5 +496,49 @@ object Advanced {
         |  round(MAX(l_extendedprice), 2) AS hi
         |FROM lineitem
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_ts_gapfill" ->
+      s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+         |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+         |grid AS (SELECT s.hour, t.event_type
+         |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+         |hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+         |    COUNT(*) AS n_events, ${dsumSql("value")} AS hour_value
+         |  FROM events WHERE value > 99 GROUP BY 1, 2)
+         |SELECT g.hour, g.event_type,
+         |  coalesce(h.n_events, 0) AS n_events,
+         |  last_value(h.hour_value IGNORE NULLS)
+         |    OVER (PARTITION BY g.event_type ORDER BY g.hour) AS fill_value,
+         |  h.n_events IS NULL AS is_gap
+         |FROM grid g LEFT JOIN hourly h
+         |  ON g.hour = h.hour AND g.event_type = h.event_type
+         |ORDER BY g.hour, g.event_type""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT o_custkey, o_orderdate AS latest_date, o_orderkey AS latest_key,
+        |  o_totalprice AS latest_price, n_orders
+        |FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    // dual-dialect ANSI: also serves as the SqlCatalog entry
+    "merge_scd2" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |v AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |      FROM daily WHERE rn = 1)
+        |SELECT o_custkey, o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS effective_to,
+        |  o_orderkey AS src_order, o_totalprice AS price,
+        |  (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL) AS is_current
+        |FROM v ORDER BY o_custkey, effective_from""".stripMargin,
   )
 }

@@ -234,6 +234,43 @@ object LlmPipeline {
       .orderBy(col("var_id"), col("base_id"))
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark DECONTAMINATION — the training-pipeline stage that keeps
+    * eval data out of the training set: a training shard is flagged when
+    * it shares ≥ 1 distinct 13-token-gram with any benchmark document
+    * (the n-gram-overlap rule used by GPT-3/PaLM-style decontam, n=13).
+    *
+    * Shard under test = the planted variants (doc_id ≥ 100000);
+    * benchmark = the base documents that have planted derivatives
+    * (doc_id%7==0 near / doc_id%10==0 exact). Both sides normalize
+    * (lower/trim) before shingling, so the uppercased exact variants are
+    * caught too. Grams hash through the portable md5-derived
+    * [[graft.api.TextDedup.h48]].
+    *
+    * 100 TB shape: a benchmark set is small and FIXED (eval suites, not
+    * corpus-sized), so its distinct gram set BROADCASTS; the corpus side
+    * streams through a map-side hash join — no shuffle of corpus grams at
+    * all — then one aggregate keyed on doc_id. Output: one row per
+    * contaminated doc, (doc_id, n_gram_hits, n_eval_docs). */
+  val dedupContaminate: Q = (s, d) => {
+    val n = 13
+    val norm = (df: DataFrame) => df.withColumn("text", lower(trim(col("text"))))
+    val shard = norm(corpus(s, d).filter(col("doc_id") >= 100000L))
+    val bench = norm(
+      T.documents(s, d).filter(col("doc_id") % 7 === 0 || col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("text")))
+    val shardGrams = graft.api.TextDedup.shingleRows(shard, "doc_id", "text", n)
+      .select(col("doc_id"), h48(col("sh")).as("hv"))
+    val benchGrams = graft.api.TextDedup.shingleRows(bench, "eval_id", "text", n)
+      .select(col("eval_id"), h48(col("sh")).as("hv")).distinct()
+    shardGrams.join(broadcast(benchGrams), "hv")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("hv")).as("n_gram_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- similarity search
 
   /** Brute-force exact cosine top-5 for a fixed probe set (vec_id < 10) —
@@ -259,6 +296,23 @@ object LlmPipeline {
         probes = e.filter(col("vec_id") < 10), cands = e,
         cents = e.filter(col("vec_id") % 50 === 0),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Corpus-self k-NN JOIN — every embedding finds its 3 approximate
+    * nearest neighbours among all the others via
+    * [[graft.api.VectorSearch.knnJoin]]: ONE broadcast-centroid argmin
+    * pass ranks each vector's 3 nearest IVF cells; rank-1 rows shard the
+    * corpus into cells, rank ≤ 3 rows are the probe replicas, and
+    * candidates meet probes in a shuffled cell equi-join. This is the
+    * batch kNN-graph build (the precursor of embedding-cluster dedup and
+    * graph-ANN indexes): where `sim_topk_ivf` answers a bounded probe
+    * batch, this one scales with the corpus itself — still never |N|². */
+  val simKnnJoin: Q = (s, d) => {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.api.VectorSearch.knnJoin(e,
+        cents = e.filter(col("vec_id") % 50 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 3, nprobe = 3)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
@@ -346,6 +400,56 @@ object LlmPipeline {
       .withColumn("toks", toks)
       .select(col("doc_id"), array_join(col("toks"), " ").as("norm_text"),
         size(col("toks")).cast("long").as("n_tokens_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII regexes — shared between the DataFrame path, the Spark-SQL text
+    * and the DuckDB oracle. Restricted to syntax Java regex and RE2 parse
+    * identically (char classes, bounded repeats, `\b`, no backrefs). */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b555-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction — the scrubbing stage every training-data
+    * pipeline runs before anything else sees the text (emails, IPv4s,
+    * phone numbers → typed placeholders). The harness corpus is synthetic
+    * token soup with no PII, so the query PLANTS deterministic PII derived
+    * from table values (doc_id%3 → an email, %4 → an IP, %5 → a phone —
+    * built identically in the oracle SQL), then counts and redacts it
+    * with engine-portable regexes. Redaction order matters and is fixed:
+    * email → IP → phone (an email contains dots that the IP pattern must
+    * never see first).
+    *
+    * 100 TB shape: pure per-row codegen'd regex work, zero shuffles before
+    * the declared sort — runs at scan speed next to `text_normalize`. */
+  val textPii: Q = (s, d) => {
+    val idS = col("doc_id").cast("string")
+    val pii = T.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .withColumn("ptext", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact "), col("source"), idS, lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+            ((col("doc_id") * 13) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+            lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+          .otherwise(lit(""))))
+    pii
+      .withColumn("n_emails", regexp_count(col("ptext"), lit(PiiEmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("ptext"), lit(PiiIpRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("ptext"), lit(PiiPhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("ptext"), PiiEmailRe, "<EMAIL>"),
+            PiiIpRe, "<IP>"),
+          PiiPhoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted"))
       .orderBy(col("doc_id"))
   }
 
@@ -646,6 +750,74 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_knn_join" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+         |ranked_cells AS (
+         |  SELECT vec_id, embedding, cell, crnk FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE crnk <= 3),
+         |cells AS (SELECT vec_id AS cand_id, embedding AS ce, cell
+         |          FROM ranked_cells WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cell FROM ranked_cells),
+         |scored AS (
+         |  SELECT p.probe_id, s.cand_id, round(${cosineSql("p.pe", "s.ce")}, 6) AS cos
+         |  FROM probes p JOIN cells s ON p.cell = s.cell
+         |  WHERE s.cand_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    "dedup_contaminate" ->
+      s"""WITH $corpusSql,
+         |shard AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+         |          FROM corpus WHERE doc_id >= 100000),
+         |bench AS (SELECT doc_id AS eval_id, string_split(lower(trim(text)), ' ') AS l
+         |          FROM documents WHERE doc_id % 7 = 0 OR doc_id % 10 = 0),
+         |sg AS (SELECT doc_id, ${h48Sql("g")} AS hv FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 11),
+         |    i -> array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 12], ' '))) AS g
+         |  FROM shard WHERE len(l) >= 13)),
+         |bg AS (SELECT DISTINCT eval_id, ${h48Sql("g")} AS hv FROM (
+         |  SELECT eval_id, unnest(list_transform(range(1, len(l) - 11),
+         |    i -> array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 12], ' '))) AS g
+         |  FROM bench WHERE len(l) >= 13))
+         |SELECT s.doc_id,
+         |  count(DISTINCT s.hv) AS n_gram_hits,
+         |  count(DISTINCT b.eval_id) AS n_eval_docs
+         |FROM sg s JOIN bg b ON s.hv = b.hv
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      raw"""WITH pii AS (
+           |  SELECT doc_id,
+           |    text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source ||
+           |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+           |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           |      CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+           |      CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+           |      CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+           |      CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS ptext
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(ptext, '\b555-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(ptext,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+           |FROM pii ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT d.lang, d.source, n_docs, avg_chars, n_tokens, n_vocab

@@ -127,6 +127,62 @@ class LlmPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_knn_join: k rows per probe, high recall vs exact brute force") {
+    val knn = LlmPipeline.simKnnJoin(spark, sf0001).collect()
+    // exactly k=3 neighbours per vector, ranks 1..3, never self
+    knn.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(rs.length == 3, s"probe $pid has ${rs.length} neighbours")
+      assert(rs.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
+      assert(rs.forall(_.getLong(2) != pid), s"probe $pid matched itself")
+    }
+    // recall against the exact brute-force top-3 over the same corpus
+    val e = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = graft.api.VectorSearch.topK(e, e, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = knn.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"kNN-join recall $recall too low")
+  }
+
+  test("dedup_contaminate flags planted variants and only them") {
+    val out = LlmPipeline.dedupContaminate(spark, sf0001).collect()
+    val flagged = out.map(_.getLong(0)).toSet
+    // only shard docs (planted variants) can be flagged
+    assert(flagged.forall(_ >= 100000L))
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1, "contaminated doc with zero gram hits")
+      assert(r.getLong(2) >= 1, "contaminated doc with zero eval docs")
+    }
+    // every exact variant of a benchmark doc with >= 13 tokens must be hit
+    // (normalization makes it token-identical to its eval source)
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 10 === 0 &&
+        size(split(col("text"), " ")) >= 13)
+      .select("doc_id").collect().map(_.getLong(0))
+    docs.foreach { id =>
+      assert(flagged.contains(id + 100000L),
+        s"exact variant of benchmark doc $id escaped decontamination")
+    }
+  }
+
+  test("text_pii: planted PII is counted and fully redacted") {
+    val out = LlmPipeline.textPii(spark, sf0001).collect()
+    out.foreach { r =>
+      val (id, emails, ips, phones, red) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(emails == (if (id % 3 == 0) 1 else 0), s"doc $id email count")
+      assert(ips == (if (id % 4 == 0) 1 else 0), s"doc $id ip count")
+      assert(phones == (if (id % 5 == 0) 1 else 0), s"doc $id phone count")
+      assert(!red.contains("@example.com"), s"doc $id leaked an email")
+      assert(!red.contains(" from 10."), s"doc $id leaked an IP")
+      assert(!red.contains(" call 555-"), s"doc $id leaked a phone")
+      if (id % 3 == 0) assert(red.contains("<EMAIL>"))
+      if (id % 4 == 0) assert(red.contains("<IP>"))
+      if (id % 5 == 0) assert(red.contains("<PHONE>"))
+    }
+  }
+
   test("text_fingerprint: exactly ≤8 ascending hashes per doc") {
     val rows = LlmPipeline.textFingerprint(spark, sf0001).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>

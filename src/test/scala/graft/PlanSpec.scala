@@ -96,6 +96,30 @@ class PlanSpec extends SparkSpecBase {
       "cell-candidate join is not a shuffled equi-join")
   }
 
+  test("sim_knn_join meets candidates in a cell equi-join, never |N|^2") {
+    val p = planString(LlmPipeline.simKnnJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "kNN join degenerated to a full cartesian product")
+    assert(p.contains("ShuffledHashJoin"),
+      "probe-candidate cell join is not a shuffled equi-join")
+  }
+
+  test("dedup_contaminate broadcasts the benchmark gram set (corpus never shuffles)") {
+    val p = planString(LlmPipeline.dedupContaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark gram set is not broadcast — corpus grams would shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "contamination probe fell back to a corpus-side shuffle join")
+  }
+
+  test("text_pii is shuffle-free before the declared sort") {
+    // regex scrubbing must fuse into the scan: per-row work only
+    val o = LlmPipeline.textPii(spark, sf0001).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val bad = o.collect { case a: Aggregate => a; case j: Join => j }
+    assert(bad.isEmpty, s"text_pii plans ${bad.size} agg/join nodes")
+  }
+
   test("key_lookup_sorted pushes the key predicate into the sorted layout") {
     // materialize the sorted-on-write layout, then audit the readback scan
     graft.ops.Sources.keyLookupSorted(spark, sf0001).collect()
