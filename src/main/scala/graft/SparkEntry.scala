@@ -87,6 +87,7 @@ object SparkEntry {
     "text_repetition"  -> LlmPipeline.textRepetition,
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,
+    "text_unigram_lm"  -> LlmPipeline.textUnigramLm,
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,

@@ -71,7 +71,7 @@ object SqlCatalog {
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
-    "subq_scalar", "agg_hist", "merge_scd2",
+    "subq_scalar", "agg_hist", "merge_scd2", "agg_topk",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -579,6 +579,32 @@ object SqlCatalog {
         |    count(*) AS n_orders
         |  FROM orders GROUP BY o_custkey)
         |ORDER BY o_custkey""".stripMargin,
+
+    "text_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, explode(split(text, ' ')) AS tok
+        |              FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |  CAST(LEAST(COUNT(*), 24) + 1 AS BIGINT) AS v_size FROM counts),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 24),
+        |scored AS (SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
+        |    round(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+        |      / (s.n_total + s.v_size)), 8) AS logp
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s)
+        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(ROUND(SUM(CAST(logp AS DECIMAL(20,8))), 6) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT o_orderstatus, round(q[0], 2) AS p50_approx,
+        |  round(q[1], 2) AS p95_approx, n
+        |FROM (SELECT o_orderstatus,
+        |    approx_percentile(o_totalprice, array(0.5, 0.95), 10000) AS q,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // ------------------------------------------------------ text analysis
     "text_stats" ->

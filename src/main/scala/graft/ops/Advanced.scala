@@ -353,6 +353,44 @@ object Advanced {
       .orderBy(col("o_custkey"), col("effective_from"))
   }
 
+  /** Grouped TOP-K via the native bounded-heap aggregate
+    * ([[graft.expr.TopKAgg]]): top-3 orders by price per customer. The
+    * `row_number` window form (which the oracle pins) SORTS every
+    * customer's full order list; the aggregate keeps a k-slot sorted
+    * buffer per group with map-side partial merge — the shuffle carries
+    * ≤ k rows per (group × map task) and nothing is ever fully sorted.
+    * At 100 TB this is the difference between shuffling the scored
+    * stream and shuffling k rows per key. Identical output (the heap
+    * comparator is the same (price desc, key asc) total order; ApiSpec
+    * asserts row-for-row equality with the window form). */
+  val aggTopk: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(graft.expr.TopKAgg.topk(3)(col("o_totalprice"), col("o_orderkey"))
+        .as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+
+  /** Mergeable approximate quantiles — the declared scale path next to
+    * the exact `agg_percentile` (which sorts every group's payload):
+    * `approx_percentile` keeps a fixed-size mergeable summary per group
+    * (map-side combine, no sort), the answer any 100 TB percentile
+    * dashboard actually runs. Like the HLL sketches, the summary is
+    * engine-specific so there is no DuckDB oracle; PropertySpec bounds
+    * the estimates against the exact percentiles and the driver records
+    * a rows-present check (declared ✗ in SURVEY §2.2). */
+  val aggApproxQuantile: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+        .as("q"), count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("q"), 1), 2).as("p50_approx"),
+        round(element_at(col("q"), 2), 2).as("p95_approx"), col("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -371,6 +409,8 @@ object Advanced {
     "agg_ts_gapfill" -> aggTsGapfill,
     "fn_struct" -> fnStruct,
     "merge_scd2" -> mergeScd2,
+    "agg_topk" -> aggTopk,
+    "agg_approx_quantile" -> aggApproxQuantile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,5 +580,16 @@ object Advanced {
         |  o_orderkey AS src_order, o_totalprice AS price,
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL) AS is_current
         |FROM v ORDER BY o_custkey, effective_from""".stripMargin,
+
+    // dual-dialect ANSI (also the SqlCatalog entry): the semantic
+    // row_number form of the native bounded-heap TopKAgg plan
+    "agg_topk" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
   )
 }

@@ -506,6 +506,44 @@ object LlmPipeline {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Unigram language-model scoring — the perplexity-filter stage of a
+    * training pipeline (the KenLM gate, reduced to its relational shape):
+    * corpus unigram counts → a BOUNDED top-V vocabulary (V=24 of the
+    * corpus's 31 token types here, standing in for top-1M at scale; ties
+    * broken (count desc, token asc) so the vocab is deterministic) →
+    * per-token Laplace-smoothed log-probs, OOV tokens scored by the
+    * shared ln(1/(N+V+1)) floor → per-doc mean log-prob.
+    *
+    * Float discipline: each log-prob is rounded to 8 decimals BEFORE the
+    * exact decimal sum (engine libm ulp differences vanish; the sum is
+    * order-independent), and the mean divides once in double.
+    *
+    * 100 TB shape: token counts are one hash shuffle; the vocab is
+    * top-V BOUNDED so it broadcasts (map-side join against the token
+    * stream — the corpus never shuffles for scoring); the per-doc mean
+    * keys on doc_id. */
+  val textUnigramLm: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok")).limit(24)
+    val scal = counts.agg(sum(col("c")).as("n_total"),
+      (least(count(lit(1)), lit(24L)) + 1L).as("v_size"))
+    val logp = round(
+      log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+        (col("n_total") + col("v_size")).cast("double")), 8)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+        logp.cast("decimal(20,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("oov")).as("n_oov"),
+        round(round(sum(col("lp")), 6).cast("double") / count(lit(1)), 6)
+          .as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-8 sketch of 3-gram shingle hashes (the
     * order-independent cousin of winnowing — a stable content signature
     * for sketch-based containment/overlap checks). Exploded to one row per
@@ -868,6 +906,23 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS bpe_ish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |  CAST(LEAST(COUNT(*), 24) + 1 AS BIGINT) AS v_size FROM counts),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 24),
+        |scored AS (SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
+        |    round(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+        |      / (s.n_total + s.v_size)), 8) AS logp
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s)
+        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(ROUND(SUM(CAST(logp AS DECIMAL(20,8))), 6) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       raw"""SELECT doc_id,

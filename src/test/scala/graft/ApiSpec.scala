@@ -184,4 +184,29 @@ class ApiSpec extends SparkSpecBase {
       .orderBy("rnk").collect().map(_.getLong(2))
     assert(out.toSeq == Seq(2L, 3L)) // nearest first
   }
+
+  test("TopKAgg equals the row_number window form, at any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.core.Tables(spark, sf0001, "orders")
+      // many small partitions force real partial-buffer merges
+      .repartition(13)
+    val viaAgg = orders
+      .groupBy(col("o_custkey"))
+      .agg(graft.expr.TopKAgg.topk(3)(col("o_totalprice"), col("o_orderkey"))
+        .as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("okey"), col("col._1").as("price"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"),
+        col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+    val a = viaAgg.orderBy("o_custkey", "rnk").collect().map(_.toSeq)
+    val b = viaWindow.orderBy("o_custkey", "rnk").collect().map(_.toSeq)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
 }

@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"text_pii plans ${bad.size} agg/join nodes")
   }
 
+  test("agg_topk runs as a bounded-state aggregate, not a window sort") {
+    val df = graft.ops.Advanced.aggTopk(spark, sf0001)
+    val p = planString(df)
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKAgg did not plan as an object hash aggregate")
+    assert(!p.contains("Window"),
+      "grouped top-k fell back to a window (full partition sort)")
+  }
+
   test("key_lookup_sorted pushes the key predicate into the sorted layout") {
     // materialize the sorted-on-write layout, then audit the readback scan
     graft.ops.Sources.keyLookupSorted(spark, sf0001).collect()

@@ -70,6 +70,23 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("approx_percentile is within 5% of the exact percentile (sf0.001)") {
+    // covers the oracle-less agg_approx_quantile (SURVEY §2.2): the
+    // mergeable-summary estimates must track the exact sorted percentiles
+    val approx = graft.ops.Advanced.aggApproxQuantile(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.ops.Advanced.aggPercentile(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / (math.abs(p50) + 1) <= 0.05,
+        s"$k p50: approx=$a50 exact=$p50")
+      assert(math.abs(a95 - p95) / (math.abs(p95) + 1) <= 0.05,
+        s"$k p95: approx=$a95 exact=$p95")
+    }
+  }
+
   test("cosine similarity is symmetric, bounded, and 1.0 on self (sf0.001)") {
     val e = T.embeddings(spark, sf0001).limit(20)
       .select(col("vec_id"), col("embedding"))
