@@ -90,6 +90,8 @@ object SparkEntry {
     "text_unigram_lm"  -> LlmPipeline.textUnigramLm,
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
+    "text_pack"        -> LlmPipeline.textPack,
+    "cluster_kmeans"   -> LlmPipeline.clusterKmeans,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries

@@ -71,7 +71,8 @@ object SqlCatalog {
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
-    "subq_scalar", "agg_hist", "merge_scd2", "agg_topk",
+    "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
+    "events_funnel",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -591,11 +592,16 @@ object SqlCatalog {
         |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
         |    round(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
         |      / (s.n_total + s.v_size)), 8) AS logp
-        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s)
-        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
-        |  round(CAST(ROUND(SUM(CAST(logp AS DECIMAL(20,8))), 6) AS DOUBLE)
-        |    / COUNT(*), 6) AS mean_logp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |    CAST(SUM(CAST(logp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_oov,
+        |  CAST(CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+        |       ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END AS DOUBLE)
+        |    / 1000000.0 AS mean_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "agg_approx_quantile" ->
       """SELECT o_orderstatus, round(q[0], 2) AS p50_approx,
@@ -794,6 +800,89 @@ object SqlCatalog {
          |SELECT doc_id, array_min(p) AS px_min, array_max(p) AS px_max,
          |  round(CAST(aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 16.0, 6) AS px_mean
          |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" -> {
+      val dhash = (for { r <- 0 until 4; c <- 0 until 3 } yield
+        s"CASE WHEN element_at(p, ${r * 4 + c + 1}) < element_at(p, ${r * 4 + c + 2}) " +
+          s"THEN CAST(${1L << (r * 3 + c)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val ahash = (0 until 16).map(i =>
+        s"CASE WHEN CAST(element_at(p, ${i + 1}) AS BIGINT) * 16 > psum " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents),
+         |ps AS (SELECT doc_id, p,
+         |  aggregate(p, CAST(0 AS BIGINT), (a, x) -> a + x) AS psum FROM px),
+         |sig AS (SELECT doc_id, $dhash AS dhash, $ahash AS ahash FROM ps)
+         |SELECT dhash, COUNT(*) AS n_imgs, MIN(doc_id) AS rep_doc_id,
+         |  COUNT(DISTINCT ahash) AS n_ahash
+         |FROM sig GROUP BY dhash HAVING COUNT(*) > 1
+         |ORDER BY dhash""".stripMargin
+    },
+
+    // --------------------------------------- round-4 additions (this file)
+    // mergeable exact distinct via Spark's bitmap functions — the SQL text
+    // runs the REAL bitmap plan (not the COUNT DISTINCT the oracle pins)
+    "agg_bitmap" ->
+      """WITH per_status AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    bitmap_bucket_number(l_partkey) AS bucket,
+        |    bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+        |  FROM lineitem
+        |  GROUP BY l_returnflag, l_linestatus, bitmap_bucket_number(l_partkey)),
+        |per_bucket AS (
+        |  SELECT l_returnflag, bucket, bitmap_count(bitmap_or_agg(bm)) AS bucket_nd
+        |  FROM per_status GROUP BY l_returnflag, bucket)
+        |SELECT l_returnflag, SUM(bucket_nd) AS distinct_parts
+        |FROM per_bucket GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(floor(cum_before / 2048.0) AS BIGINT) AS seq,
+        |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens, MIN(doc_id) AS first_doc,
+        |  round(SUM(n_tok) / CAST(2048.0 AS DOUBLE), 4) AS fill_ratio
+        |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
+        |ORDER BY lang, seq""".stripMargin,
+
+    // Lloyd's k-means, 2 unrolled iterations in exact integer micro-units
+    // (the statement form of LlmPipeline.clusterKmeans — same seeds, same
+    // argmin tie-break, same half-up integer centroid rounding)
+    "cluster_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, pos + 1 AS dim,
+        |    CAST(round(CAST(col AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT q.vec_id AS cluster, dim, v AS c
+        |       FROM q JOIN seeds USING (vec_id)),
+        |d1 AS (SELECT q.vec_id, c0.cluster,
+        |         SUM((q.v - c0.c) * (q.v - c0.c)) AS d2
+        |       FROM q JOIN c0 ON q.dim = c0.dim GROUP BY q.vec_id, c0.cluster),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a1.cluster, q.dim,
+        |         CAST(floor(CAST(2 * SUM(q.v) + COUNT(*) AS DOUBLE)
+        |           / CAST(2 * COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        |       FROM q JOIN a1 USING (vec_id) GROUP BY a1.cluster, q.dim),
+        |d2_ AS (SELECT q.vec_id, c1.cluster,
+        |          SUM((q.v - c1.c) * (q.v - c1.c)) AS d2
+        |        FROM q JOIN c1 ON q.dim = c1.dim GROUP BY q.vec_id, c1.cluster),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_)
+        |       WHERE rn = 1)
+        |SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_vec_id
+        |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 
   /** SQL text per declared query key, runnable via [[sql]]. */

@@ -391,6 +391,87 @@ object Advanced {
         round(element_at(col("q"), 2), 2).as("p95_approx"), col("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Mergeable EXACT distinct counting via roaring-style bitmaps — the
+    * third point on the distinct-count spectrum next to the exact
+    * shuffle-heavy `agg_distinct` and the approximate `agg_hll_sketch`:
+    * per (flag, status, bucket) the part keys collapse into a 4 KiB
+    * bitmap (`bitmap_construct_agg`), bitmaps OR-merge up to the flag
+    * level (`bitmap_or_agg` — dedup across statuses happens inside the
+    * bitmap, no raw keys re-read), and `bitmap_count` emits the exact
+    * count. At 100 TB the shuffle carries one bitmap per (group × 32 Ki
+    * key range) instead of every distinct key occurrence, and the
+    * per-status bitmaps are re-aggregable to any coarser rollup. The
+    * oracle pins exactness against a plain COUNT(DISTINCT). */
+  val aggBitmap: Q = (s, d) => {
+    val perStatus = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .as("bm"))
+    perStatus
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("bucket_nd"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("bucket_nd")).as("distinct_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-group z-score anomaly flagging — the outlier gate of a metrics
+    * pipeline: each event type's mean/σ come from EXACT decimal moment
+    * sums (the [[aggStats]] recipe — order-independent where the
+    * streaming `stddev` is not), the tiny per-type model broadcasts back
+    * onto the stream, and rows with |z| ≥ 2.5 surface with their score.
+    * One two-phase aggregate + one broadcast join; the event volume is
+    * never shuffled. The z arithmetic is a fixed IEEE double sequence on
+    * exact-decimal-derived inputs, so scores are bit-identical across
+    * engines (oracle mirrors the same moment algebra). */
+  val aggZscore: Q = (s, d) => {
+    def sd(c: Column) = sum(c.cast("decimal(28,8)"))
+    val ev = T.events(s, d)
+    val model = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sd(col("value")).as("sx"),
+        sd(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), {
+        val nd = col("n").cast("double")
+        val sx = col("sx").cast("double")
+        val sxx = col("sxx").cast("double")
+        (sxx - sx * sx / nd) / (nd - 1)
+      }.as("variance"), (col("sx").cast("double") / col("n").cast("double")).as("mu"))
+    ev.join(broadcast(model), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Ordered conversion FUNNEL over the event stream (signup → click →
+    * purchase, each stage strictly after the previous): stage timestamps
+    * resolve via three sequential MIN-CASE windows over the same user
+    * partition — one shuffle on user_id total, every later window reuses
+    * the first one's exchange — then users roll up to their deepest
+    * stage. At 100 TB this is the canonical "sessionless funnel" shape:
+    * no self-joins (the naive form joins events^3), no per-user sort,
+    * state bounded by one row per user. */
+  val eventsFunnel: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = T.events(s, d)
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+    val s2 = ev.withColumn("t2",
+      min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+    val s3 = s2.withColumn("t3",
+      min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    s3.withColumn("stage",
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0))
+      .groupBy(col("stage"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -411,6 +492,9 @@ object Advanced {
     "merge_scd2" -> mergeScd2,
     "agg_topk" -> aggTopk,
     "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_bitmap" -> aggBitmap,
+    "agg_zscore" -> aggZscore,
+    "events_funnel" -> eventsFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,5 +675,45 @@ object Advanced {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    // bitmap distinct is EXACT, so the oracle is the plain COUNT(DISTINCT)
+    "agg_bitmap" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same exact-moment algebra as the Spark side: decimal sums → double
+    // once → fixed IEEE op sequence, so z-scores are bit-identical
+    "agg_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, round(value, 2) AS value,
+        |  round((value - sx / nd) / sqrt((sxx - sx * sx / nd) / (nd - 1)), 4) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((value - sx / nd) / sqrt((sxx - sx * sx / nd) / (nd - 1))) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    // dual-dialect ANSI: runs unchanged under DuckDB and spark.sql
+    "events_funnel" ->
+      """WITH staged AS (
+        |  SELECT user_id, t1, t2,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM (
+        |    SELECT user_id, event_type, ts, t1,
+        |      MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |        OVER (PARTITION BY user_id) AS t2
+        |    FROM (
+        |      SELECT user_id, event_type, ts,
+        |        MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t1
+        |      FROM events) s1) s2)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin,
   )
 }

@@ -539,8 +539,17 @@ object LlmPipeline {
         logp.cast("decimal(20,8)").as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("oov")).as("n_oov"),
-        round(round(sum(col("lp")), 6).cast("double") / count(lit(1)), 6)
-          .as("mean_logp"))
+        // Σlp is an exact DECIMAL(·,8); ×1e8 is an exact integer. The
+        // 6-decimal mean then rounds in INTEGER arithmetic (half-up away
+        // from zero) — a double `round(Σ/n, 6)` can land on a decimal
+        // half, where Spark's BigDecimal HALF_UP and an engine that
+        // rounds `x*1e6` in binary disagree by 1 ulp (bit us at one sf).
+        (sum(col("lp")) * 100000000L).cast("long").as("s8"))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+          |     ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END""".stripMargin))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("mean_micro").cast("double") / 1e6).as("mean_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -588,6 +597,93 @@ object LlmPipeline {
     graft.api.TextDedup.winnowFingerprints(
         T.documents(s, d), "doc_id", "text", k = 8, w = 16)
       .orderBy(col("doc_id"), col("hv"))
+
+  /** Training-SEQUENCE PACKING — the batch-assembly step between a
+    * filtered corpus and the trainer: docs are laid end-to-end per
+    * language shard in doc_id order and cut into 2048-token sequences; a
+    * doc's sequence is `floor(cum_tokens_before / 2048)` (offset-based
+    * packing — deterministic, no greedy state). Output is one row per
+    * (lang, seq): docs packed, token payload, fill ratio.
+    *
+    * 100 TB shape: ONE window partitioned by the shard key (lang) doing
+    * a running token sum, then one hash aggregate — both shuffle on the
+    * shard key; no per-sequence state, no driver loop. A production
+    * packer shards finer (lang × hash bucket) for balance, which is the
+    * same plan with a composite key. */
+  val textPack: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("cum_before") / 2048.0).cast("long"))
+      .groupBy(col("lang"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("lang"), col("seq"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), round(col("n_tokens") / 2048.0, 4).as("fill_ratio"))
+      .orderBy(col("lang"), col("seq"))
+  }
+
+  /** K-MEANS clustering of the embedding corpus (Lloyd's algorithm, k=4,
+    * 2 unrolled iterations) — the grouping step behind semantic dedup,
+    * topic balancing and IVF index builds. Everything runs in exact
+    * integer micro-units so the declared result is bit-reproducible on
+    * any engine/partitioning (no float-mean drift):
+    * vectors quantize to `round(x * 1e6)` longs; a centroid component is
+    * the half-up-rounded integer mean `floor((2*Σv + n) / (2n))`; the
+    * assignment argmin uses exact integer squared-L2 with lowest-cluster
+    * tie-break. Init = the k lowest vec_ids' vectors.
+    *
+    * 100 TB shape per iteration: centroids are a k×D fixed-size model —
+    * they BROADCAST (`crossJoin(broadcast)`, k rows) against the corpus
+    * for assignment (codegen'd integer HOF math, one argmin aggregate
+    * keyed on vec_id), and the update is one (cluster, dim) hash
+    * aggregate after a posexplode — the corpus shuffles on its own key
+    * only. Iterations are data-independent plan layers (no driver-side
+    * convergence read in the declared 2-step query); the open-iteration
+    * variant would localCheckpoint between rounds like
+    * [[graft.api.TextDedup.connectedComponents]]. */
+  val clusterKmeans: Q = (s, d) => {
+    val k = 4
+    // µ-quantized integer vectors: float → double is exact, ×1e6 and the
+    // half-up round are the same IEEE ops in any engine
+    val vecs = T.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("long")).as("v"))
+    // seed = the k lowest vec_ids; the seed id IS the cluster label (no
+    // global row_number window — labels stay deterministic and the
+    // argmin tie-break "lowest cluster" is "lowest seed id")
+    val init = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"), col("v").as("c"))
+    // exact integer squared-L2 between vector and centroid arrays
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2(col("v"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"), col("v"))
+    // integer mean with deterministic half-up rounding: floor((2Σ+n)/2n)
+    // evaluated in double — Σ|v| ≤ 5e11 here so 2Σ+n is exact in a double
+    // and the division is a single correctly-rounded IEEE op
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cmu", floor((col("s") * 2 + col("n")).cast("double")
+          / (col("n") * 2).cast("double")).cast("long"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cmu")))).as("pc"))
+        .select(col("cluster"), expr("transform(pc, x -> x.cmu)").as("c"))
+    val round2 = assign(update(assign(init)))
+    round2.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_vec_id"))
+      .orderBy(col("cluster"))
+  }
 
   /** Winnowing-overlap near-dup pairs over the planted-variant corpus
     * ([[graft.api.TextDedup.winnowPairs]], the MOSS shape): docs sharing
@@ -918,11 +1014,16 @@ object LlmPipeline {
         |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
         |    round(ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
         |      / (s.n_total + s.v_size)), 8) AS logp
-        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s)
-        |SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
-        |  round(CAST(ROUND(SUM(CAST(logp AS DECIMAL(20,8))), 6) AS DOUBLE)
-        |    / COUNT(*), 6) AS mean_logp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN scal s),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |    CAST(SUM(CAST(logp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_oov,
+        |  CAST(CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
+        |       ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS DOUBLE)
+        |    / 1000000.0 AS mean_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       raw"""SELECT doc_id,
@@ -1036,5 +1137,54 @@ object LlmPipeline {
          |  round(CAST(sum(CAST(round(sqrt(${dotSql("e.embedding", "e.embedding")}), 6) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_l2
          |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
+
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(floor(cum_before / 2048.0) AS BIGINT) AS seq,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  round(CAST(SUM(n_tok) AS BIGINT) / 2048.0, 4) AS fill_ratio
+        |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
+        |ORDER BY lang, seq""".stripMargin,
+
+    // same exact integer micro-unit arithmetic as the Spark plan: quantize
+    // → seed on the 4 lowest vec_ids → (assign → update) × 2 → cluster
+    // sizes; every distance/mean is integer-exact so rows are bit-equal
+    "cluster_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, i.i AS dim,
+        |    CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT q.vec_id AS cluster, dim, v AS c
+        |       FROM q JOIN seeds USING (vec_id)),
+        |d1 AS (SELECT q.vec_id, c0.cluster,
+        |         SUM((q.v - c0.c) * (q.v - c0.c)) AS d2
+        |       FROM q JOIN c0 ON q.dim = c0.dim GROUP BY q.vec_id, c0.cluster),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a1.cluster, q.dim,
+        |         CAST(floor(CAST(2 * SUM(q.v) + COUNT(*) AS DOUBLE)
+        |           / CAST(2 * COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+        |       FROM q JOIN a1 USING (vec_id) GROUP BY a1.cluster, q.dim),
+        |d2_ AS (SELECT q.vec_id, c1.cluster,
+        |          SUM((q.v - c1.c) * (q.v - c1.c)) AS d2
+        |        FROM q JOIN c1 ON q.dim = c1.dim GROUP BY q.vec_id, c1.cluster),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |         SELECT vec_id, cluster, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_)
+        |       WHERE rn = 1)
+        |SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_vec_id
+        |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

@@ -169,12 +169,54 @@ object Multimodal {
     }(outEnc).orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash IMAGE DEDUP — the visual cousin of the text dedup
+    * family: every raster folds to two tiny locality-sensitive signatures
+    * (dHash: 12 bits of horizontal gradient signs — robust to brightness
+    * shifts; aHash: 16 bits of above-mean pixels), then one hash-groupBy
+    * on the dHash surfaces collision clusters (count + representative).
+    * All integer compares on the decoded pixels — fully codegen'd, and
+    * the signature math is engine-portable so the clusters are
+    * oracle-checked end to end.
+    *
+    * 100 TB shape: identical to `dedup_exact` — per-row signature (no
+    * shuffle), one hash-shuffle groupBy on a short key; near-dup banding
+    * (split the hash into blocks, equi-join per block) would follow the
+    * `dedup_simhash` pigeonhole recipe on the same signatures. */
+  /** dHash of a 4×4 pixel array column: bit (r*3+c) set when
+    * px[r][c] < px[r][c+1] — horizontal gradient signs, invariant under
+    * any brightness shift (tested in MultimodalSpec). */
+  private[graft] def dhashOf(px: Column): Column =
+    (for { r <- 0 until 4; c <- 0 until 3 } yield
+      when(element_at(px, r * 4 + c + 1) < element_at(px, r * 4 + c + 2),
+        lit(1L << (r * 3 + c))).otherwise(0L)).reduce(_ + _)
+
+  /** aHash of a 4×4 pixel array column: bit i set when 16·px[i] > Σpx
+    * (integer-exact above-mean compare — no float mean). */
+  private[graft] def ahashOf(px: Column): Column = {
+    val psum = aggregate(px, lit(0L), (a, p) => a + p)
+    (for { i <- 0 until 16 } yield
+      when(element_at(px, i + 1).cast("long") * 16 > psum,
+        lit(1L << i)).otherwise(0L)).reduce(_ + _)
+  }
+
+  val mmPhash: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    media(s, d)
+      .withColumn("dhash", dhashOf(px)).withColumn("ahash", ahashOf(px))
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_doc_id"),
+        countDistinct(col("ahash")).as("n_ahash"))
+      .filter(col("n_imgs") > 1)
+      .orderBy(col("dhash"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_pixels" -> mmPixels,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
     "mm_batch_stats" -> mmBatchStats,
+    "mm_phash" -> mmPhash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +257,22 @@ object Multimodal {
          |SELECT doc_id, list_min(p) AS px_min, list_max(p) AS px_max,
          |  round(CAST(list_sum(p) AS DOUBLE) / 16.0, 6) AS px_mean
          |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" -> {
+      val dhash = (for { r <- 0 until 4; c <- 0 until 3 } yield
+        s"CASE WHEN p[${r * 4 + c + 1}] < p[${r * 4 + c + 2}] " +
+          s"THEN CAST(${1L << (r * 3 + c)} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      val ahash = (0 until 16).map(i =>
+        s"CASE WHEN CAST(p[${i + 1}] AS BIGINT) * 16 > CAST(list_sum(p) AS BIGINT) " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents),
+         |sig AS (SELECT doc_id, $dhash AS dhash, $ahash AS ahash FROM px)
+         |SELECT dhash, COUNT(*) AS n_imgs, MIN(doc_id) AS rep_doc_id,
+         |  COUNT(DISTINCT ahash) AS n_ahash
+         |FROM sig GROUP BY dhash HAVING COUNT(*) > 1
+         |ORDER BY dhash""".stripMargin
+    },
   )
 }

@@ -49,4 +49,26 @@ class MultimodalSpec extends SparkSpecBase {
         r.getAs[Double]("frame_mean") <= 255.0))
     }
   }
+
+  test("dHash is brightness-shift invariant; aHash flips with the mean") {
+    // the perceptual-hash CONTRACT: dHash compares neighboring pixels, so
+    // adding a constant to every pixel must not change it; aHash compares
+    // against the image mean, so a half-bright/half-dark split must yield
+    // a nonzero signature that the shift also preserves
+    import spark.implicits._
+    val base = Seq.tabulate(16)(i => 10 + i * 3) // strictly increasing rows
+    val shifted = base.map(_ + 40)
+    val split = Seq.fill(8)(20) ++ Seq.fill(8)(200)
+    val df = Seq((1L, base), (2L, shifted), (3L, split))
+      .toDF("id", "px")
+      .select(col("id"), Multimodal.dhashOf(col("px")).as("dh"),
+        Multimodal.ahashOf(col("px")).as("ah"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(df(1)._1 == df(2)._1, "dHash changed under brightness shift")
+    assert(df(1)._2 == df(2)._2, "aHash changed under uniform shift")
+    // increasing base: every horizontal step is <, so all 12 dhash bits set
+    assert(df(1)._1 == (1L << 12) - 1)
+    // split image: exactly the bright half is above the mean
+    assert(df(3)._2 == ((1L << 16) - 1) - ((1L << 8) - 1))
+  }
 }

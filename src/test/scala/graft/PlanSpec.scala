@@ -129,6 +129,52 @@ class PlanSpec extends SparkSpecBase {
       "grouped top-k fell back to a window (full partition sort)")
   }
 
+  test("agg_bitmap counts distinct via bitmaps, never a distinct Expand") {
+    // the point of the bitmap plan: exact distinct with NO expand of the
+    // raw keys (count-distinct's Expand doubles the shuffled row count)
+    // and a mergeable fixed-size state per (group, bucket)
+    val df = graft.ops.Advanced.aggBitmap(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("Expand"),
+      "bitmap distinct fell back to a count-distinct Expand")
+    // bitmap_construct_agg carries a binary buffer (declarative, not
+    // hashable) → partial + final SortAggregate pairs; the property that
+    // matters at scale is the MAP-SIDE PARTIAL before each exchange, so
+    // the shuffle carries bitmaps, never raw key occurrences
+    val p1 = df.queryExecution.executedPlan.toString
+    val nAggs = "SortAggregate|ObjectHashAggregate".r.findAllIn(p1).size
+    assert(nAggs >= 2, s"no partial+final bitmap aggregate pair:\n$p1")
+  }
+
+  test("events_funnel resolves all three stages over ONE user shuffle") {
+    val df = graft.ops.Advanced.eventsFunnel(spark, sf0001)
+    val p = planString(df)
+    // three sequential stage windows…
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 3, s"expected 3 stage windows, saw $nWindows")
+    // …but only ONE exchange partitioned by user_id alone (later windows
+    // reuse the first one's partitioning; a per-stage reshuffle would
+    // show up as extra hashpartitioning(user_id…) exchanges). Count on a
+    // single physical-plan rendering (planString concatenates two).
+    val p1 = df.queryExecution.executedPlan.toString
+    val nUserShuffles = "hashpartitioning\\(user_id".r.findAllIn(p1).size
+    assert(nUserShuffles == 1,
+      s"expected exactly 1 user_id shuffle for 3 windows, saw $nUserShuffles")
+  }
+
+  test("cluster_kmeans broadcasts centroids; the corpus never shuffle-joins") {
+    val df = graft.ops.LlmPipeline.clusterKmeans(spark, sf0001)
+    val p = planString(df)
+    // both assignment passes replicate the k-row centroid model to the
+    // corpus — a broadcast nested-loop over a bounded side, the IVF shape
+    assert(!p.contains("CartesianProduct"),
+      "centroid assignment degenerated to a cartesian product")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled into a sort-merge join against the fixed-size model")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      "expected 2 broadcast assignment passes (one per Lloyd iteration)")
+  }
+
   test("key_lookup_sorted pushes the key predicate into the sorted layout") {
     // materialize the sorted-on-write layout, then audit the readback scan
     graft.ops.Sources.keyLookupSorted(spark, sf0001).collect()
