@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "text_pack"        -> LlmPipeline.textPack,
     "cluster_kmeans"   -> LlmPipeline.clusterKmeans,
+    "pipeline_e2e"     -> LlmPipeline.pipelineE2e,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries

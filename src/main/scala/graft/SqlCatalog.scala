@@ -852,6 +852,48 @@ object SqlCatalog {
         |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
         |ORDER BY lang, seq""".stripMargin,
 
+    // the composed pipeline as one statement: normalize → gate → exact
+    // dedup → near-dedup (semantic quadratic form — same rows as the
+    // prefix-filtered DataFrame plan) → pack
+    "pipeline_e2e" ->
+      s"""WITH $corpusSql,
+         |norm AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS ntext
+         |  FROM corpus),
+         |gated AS (SELECT doc_id, ntext,
+         |    CAST(size(split(ntext, ' ')) AS BIGINT) AS n_tok
+         |  FROM norm WHERE size(split(ntext, ' ')) >= 15),
+         |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(ntext)),
+         |kept AS (SELECT g.doc_id, g.ntext, g.n_tok
+         |  FROM gated g JOIN exact e USING (doc_id)),
+         |ktok AS (SELECT doc_id, split(ntext, ' ') l FROM kept),
+         |ksets AS (SELECT doc_id, array_distinct($shingles) sset
+         |  FROM ktok WHERE size(l) >= 3),
+         |drops AS (SELECT DISTINCT sa.doc_id
+         |  FROM ksets sa JOIN ksets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= 0.7),
+         |surv AS (SELECT k.doc_id, k.n_tok FROM kept k
+         |  LEFT ANTI JOIN drops dr ON k.doc_id = dr.doc_id),
+         |packed AS (SELECT s.doc_id, s.n_tok, doc.lang,
+         |    COALESCE(SUM(s.n_tok) OVER (PARTITION BY doc.lang ORDER BY s.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id % 100000)
+         |SELECT lang, CAST(floor(cum_before / 1024.0) AS BIGINT) AS seq,
+         |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens, MIN(doc_id) AS first_doc,
+         |  round(SUM(n_tok) / CAST(1024.0 AS DOUBLE), 4) AS fill_ratio
+         |FROM packed GROUP BY lang, CAST(floor(cum_before / 1024.0) AS BIGINT)
+         |ORDER BY lang, seq""".stripMargin,
+
+    // statement form of the binaryFile round trip: like mm_batch_stats,
+    // the write+readback is proven lossless by the oracle, so the SQL
+    // text IS the recomputation from the catalog table
+    "source_binary" ->
+      s"""SELECT doc_id, CAST(16 AS BIGINT) AS length,
+         |  aggregate($mediaPx, CAST(0 AS BIGINT), (a, x) -> a + x) AS px_sum
+         |FROM documents WHERE doc_id % 100 = 0
+         |ORDER BY doc_id""".stripMargin,
+
     // Lloyd's k-means, 2 unrolled iterations in exact integer micro-units
     // (the statement form of LlmPipeline.clusterKmeans — same seeds, same
     // argmin tie-break, same half-up integer centroid rounding)

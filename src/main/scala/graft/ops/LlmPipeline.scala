@@ -625,6 +625,62 @@ object LlmPipeline {
       .orderBy(col("lang"), col("seq"))
   }
 
+  /** END-TO-END TRAINING-DATA PIPELINE — the composed operator a corpus
+    * team actually runs, declared as ONE query so the oracle pins the
+    * whole chain: normalize (lower/trim/whitespace-collapse) → quality
+    * gate (≥ 15 tokens) → exact dedup (min doc_id per normalized hash,
+    * payload carried atomically via min(struct)) → near-dedup of the
+    * incoming variant batch against the base corpus (prefix-filtered
+    * exact Jaccard ≥ 0.7 — [[graft.api.TextDedup.jaccardJoin]]) →
+    * sequence packing of the survivors into 1024-token bins per language
+    * shard. Output: one row per packed sequence.
+    *
+    * 100 TB shape: stages 0–2 are scan-fused projections plus ONE hash
+    * shuffle (the dedup groupBy); stage 3 is the AllPairs equi-join
+    * (never all-pairs); stage 4 is one window + one aggregate on the
+    * shard key. Nothing in the chain collects, re-reads, or materializes
+    * driver-side — composition stays lazy end to end, which is the point
+    * of declaring the pipeline as a single plan. */
+  val pipelineE2e: Q = (s, d) => {
+    // stage 0+1: normalize + quality gate (pure per-row codegen)
+    val norm = corpus(s, d).select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("ntext"))
+      .withColumn("n_tok", size(split(col("ntext"), " ")).cast("long"))
+      .filter(col("n_tok") >= 15)
+    // stage 2: exact dedup — one hash shuffle; keep lowest id, carry the
+    // normalized payload in the same struct so the row stays atomic
+    val exact = norm
+      .groupBy(md5(col("ntext")).as("__h"))
+      .agg(min(struct(col("doc_id"), col("ntext"), col("n_tok"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.ntext").as("ntext"),
+        col("keep.n_tok").as("n_tok"))
+    // stage 3: near-dedup the incoming variant batch against the base
+    // corpus (the exact-dup family is already gone — identical after
+    // normalization — so only the +200000 truncated variants remain)
+    val vars = exact.filter(col("doc_id") >= 200000L)
+    val bases = exact.filter(col("doc_id") < 200000L)
+    val drops = graft.api.TextDedup
+      .jaccardJoin(vars, bases, "doc_id", "ntext", JaccThreshold)
+      .select(col("left_id").as("doc_id")).distinct()
+    val survivors = exact.join(drops, Seq("doc_id"), "left_anti")
+    // stage 4: pack survivors into 1024-token sequences per language
+    // shard (variants inherit their base document's language)
+    val langs = T.documents(s, d).select(col("doc_id").as("orig_id"), col("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("orig_id", col("doc_id") % 100000L)
+      .join(langs, Seq("orig_id"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("cum_before") / 1024.0).cast("long"))
+      .groupBy(col("lang"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("lang"), col("seq"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), round(col("n_tokens") / 1024.0, 4).as("fill_ratio"))
+      .orderBy(col("lang"), col("seq"))
+  }
+
   /** K-MEANS clustering of the embedding corpus (Lloyd's algorithm, k=4,
     * 2 unrolled iterations) — the grouping step behind semantic dedup,
     * topic balancing and IVF index builds. Everything runs in exact
@@ -644,46 +700,12 @@ object LlmPipeline {
     * convergence read in the declared 2-step query); the open-iteration
     * variant would localCheckpoint between rounds like
     * [[graft.api.TextDedup.connectedComponents]]. */
-  val clusterKmeans: Q = (s, d) => {
-    val k = 4
-    // µ-quantized integer vectors: float → double is exact, ×1e6 and the
-    // half-up round are the same IEEE ops in any engine
-    val vecs = T.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1e6, 0).cast("long")).as("v"))
-    // seed = the k lowest vec_ids; the seed id IS the cluster label (no
-    // global row_number window — labels stay deterministic and the
-    // argmin tie-break "lowest cluster" is "lowest seed id")
-    val init = vecs.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cluster"), col("v").as("c"))
-    // exact integer squared-L2 between vector and centroid arrays
-    def dist2(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", dist2(col("v"), col("c")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("best"),
-          first(col("v")).as("v"))
-        .select(col("vec_id"), col("best.cluster").as("cluster"), col("v"))
-    // integer mean with deterministic half-up rounding: floor((2Σ+n)/2n)
-    // evaluated in double — Σ|v| ≤ 5e11 here so 2Σ+n is exact in a double
-    // and the division is a single correctly-rounded IEEE op
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cmu", floor((col("s") * 2 + col("n")).cast("double")
-          / (col("n") * 2).cast("double")).cast("long"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cmu")))).as("pc"))
-        .select(col("cluster"), expr("transform(pc, x -> x.cmu)").as("c"))
-    val round2 = assign(update(assign(init)))
-    round2.groupBy(col("cluster"))
+  val clusterKmeans: Q = (s, d) =>
+    graft.api.Clustering
+      .fit(T.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 2)
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep_vec_id"))
       .orderBy(col("cluster"))
-  }
 
   /** Winnowing-overlap near-dup pairs over the planted-variant corpus
     * ([[graft.api.TextDedup.winnowPairs]], the MOSS shape): docs sharing
@@ -1154,6 +1176,41 @@ object LlmPipeline {
         |  round(CAST(SUM(n_tok) AS BIGINT) / 2048.0, 4) AS fill_ratio
         |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
         |ORDER BY lang, seq""".stripMargin,
+
+    // the whole pipeline as one CTE chain: the oracle re-derives every
+    // stage (normalize → gate → exact dedup → NAIVE quadratic near-dedup
+    // → pack) — the prefix filter provably changes nothing, so the rows
+    // must match the lazy composed Spark plan exactly
+    "pipeline_e2e" ->
+      s"""WITH $corpusSql,
+         |norm AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+         |  FROM corpus),
+         |gated AS (SELECT doc_id, ntext,
+         |    CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_tok
+         |  FROM norm WHERE len(string_split(ntext, ' ')) >= 15),
+         |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(ntext)),
+         |kept AS (SELECT g.doc_id, g.ntext, g.n_tok
+         |  FROM gated g JOIN exact e USING (doc_id)),
+         |ktok AS (SELECT doc_id, string_split(ntext, ' ') l FROM kept),
+         |ksets AS (SELECT doc_id, list_distinct($shinglesSql) sset
+         |  FROM ktok WHERE len(l) >= 3),
+         |drops AS (SELECT DISTINCT sa.doc_id
+         |  FROM ksets sa JOIN ksets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= 0.7),
+         |surv AS (SELECT k.doc_id, k.n_tok FROM kept k
+         |  LEFT JOIN drops dr ON k.doc_id = dr.doc_id WHERE dr.doc_id IS NULL),
+         |packed AS (SELECT s.doc_id, s.n_tok, doc.lang,
+         |    COALESCE(SUM(s.n_tok) OVER (PARTITION BY doc.lang ORDER BY s.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id % 100000)
+         |SELECT lang, CAST(floor(cum_before / 1024.0) AS BIGINT) AS seq,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  round(CAST(SUM(n_tok) AS BIGINT) / 1024.0, 4) AS fill_ratio
+         |FROM packed GROUP BY lang, CAST(floor(cum_before / 1024.0) AS BIGINT)
+         |ORDER BY lang, seq""".stripMargin,
 
     // same exact integer micro-unit arithmetic as the Spark plan: quantize
     // → seed on the 4 lowest vec_ids → (assign → update) × 2 → cluster

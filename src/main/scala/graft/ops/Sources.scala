@@ -224,6 +224,46 @@ object Sources {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
 
+  /** Raw-asset ingestion via the `binaryFile` source — how media actually
+    * lands in a multimodal pipeline: one opaque `.bin` file per sampled
+    * document (its 16-byte md5 raster), written by the executors
+    * themselves (`foreachPartition` — each task writes its own files, no
+    * driver funnel), then read back as (path, length, content) rows with
+    * the doc id recovered from the file name and the blob decoded with
+    * the same pixel math as `mm_pixels`. The oracle recomputes everything
+    * from the documents table, so the filesystem round trip is proven
+    * byte-lossless.
+    *
+    * 100 TB shape: `binaryFile` parallelizes over files and
+    * `pathGlobFilter` prunes at listing time — a bucket of opaque blobs
+    * keyed by name, joined to catalog metadata by parsed id, is exactly
+    * the asset-drop interface production multimodal pipelines ingest. */
+  val sourceBinary: Q = (s, d) => {
+    val dir = ioDir("source_binary")
+    val root = new java.io.File(dir)
+    if (root.exists()) root.listFiles().foreach(f => { f.delete(); () })
+    root.mkdirs()
+    T.documents(s, d).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    val px = transform(sequence(lit(1), lit(16)), i =>
+      conv(substring(hex(col("content")), (i - 1) * 2 + 1, lit(2)), 16, 10)
+        .cast("int"))
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"),
+        aggregate(px, lit(0L), (a, p) => a + p).as("px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -233,6 +273,7 @@ object Sources {
     "key_lookup_sorted" -> keyLookupSorted,
     "source_orc" -> sourceOrc,
     "merge_upsert" -> mergeUpsert,
+    "source_binary" -> sourceBinary,
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +345,16 @@ object Sources {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders WHERE o_orderkey % 40 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle never touches the files: it recomputes id, byte length
+    // and pixel sum from the documents table — equality proves the
+    // write→binaryFile-read round trip byte-lossless
+    "source_binary" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS length,
+        |  CAST(list_sum(list_transform(range(1, 17),
+        |    i -> CAST(('0x' || substr(md5(text), (i-1)*2 + 1, 2)) AS INT)))
+        |    AS BIGINT) AS px_sum
+        |FROM documents WHERE doc_id % 100 = 0
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -209,4 +209,29 @@ class ApiSpec extends SparkSpecBase {
     assert(a.length == b.length && a.length > 0)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
+
+  test("Clustering.fit is partition-invariant and assigns every vector once") {
+    val embs = graft.core.Tables(spark, sf0001, "embeddings")
+    def labels(df: org.apache.spark.sql.DataFrame, iters: Int,
+        checkpoint: Boolean = false) =
+      graft.api.Clustering
+        .fit(df, "vec_id", "embedding", k = 4, iters = iters,
+          checkpoint = checkpoint)
+        .select("vec_id", "cluster")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit-reproducible under repartitioning — the integer-arithmetic claim
+    val a = labels(embs, 2)
+    val b = labels(embs.repartition(13), 2)
+    assert(a == b, "assignment changed under a different input partitioning")
+    // a partition of the corpus: every vector exactly once, labels ⊆ seeds
+    val n = embs.count()
+    assert(a.size.toLong == n)
+    val seeds = embs.select("vec_id").orderBy("vec_id").limit(4)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.values.toSet.subsetOf(seeds))
+    // deep fit with lineage truncation still yields a full assignment and
+    // at least as tight a clustering (iterations only refine)
+    val c = labels(embs, 3, checkpoint = true)
+    assert(c.size.toLong == n && c.values.toSet.subsetOf(seeds))
+  }
 }
