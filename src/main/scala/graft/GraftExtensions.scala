@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleXxDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.simhash48Descriptor)
+    ext.injectFunction(GraftExtensions.thetaAggDescriptor)
+    ext.injectFunction(GraftExtensions.thetaEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.thetaIntersectDescriptor)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -90,6 +93,30 @@ object GraftExtensions {
       graft.expr.SimHash48(children.head, children(1), children(2))
     })
 
+  private val thetaAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_sketch_agg"),
+    new ExpressionInfo(classOf[graft.expr.ThetaSketchAgg].getName, "theta_sketch_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "theta_sketch_agg(v) takes exactly 1 argument")
+      graft.expr.ThetaSketchAgg(children.head)
+    })
+
+  private val thetaEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_estimate"),
+    new ExpressionInfo(classOf[graft.expr.ThetaEstimate].getName, "theta_estimate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "theta_estimate(sk) takes exactly 1 argument")
+      graft.expr.ThetaEstimate(children.head)
+    })
+
+  private val thetaIntersectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_intersect"),
+    new ExpressionInfo(classOf[graft.expr.ThetaIntersect].getName, "theta_intersect"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "theta_intersect(a, b) takes exactly 2 arguments")
+      graft.expr.ThetaIntersect(children.head, children(1))
+    })
+
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
     * builders and table readers themselves never mutate a caller's
@@ -110,7 +137,8 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
         gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
-        simhash48Descriptor)
+        simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
+        thetaIntersectDescriptor)
       .foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
     }

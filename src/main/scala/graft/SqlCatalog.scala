@@ -331,6 +331,23 @@ object SqlCatalog {
         |  COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // theta sketches via the engine-registered native aggregate — the SQL
+    // text runs the same two-level sketch→merge→intersect plan
+    "agg_theta_sketch" ->
+      """WITH per_status AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    theta_sketch_agg(l_partkey) AS sk
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |per_flag AS (
+        |  SELECT l_returnflag, theta_sketch_agg(sk) AS sk
+        |  FROM per_status GROUP BY l_returnflag)
+        |SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+        |  round(theta_estimate(a.sk), 1) AS approx_a,
+        |  round(theta_estimate(b.sk), 1) AS approx_b,
+        |  round(theta_estimate(theta_intersect(a.sk, b.sk)), 1) AS approx_shared
+        |FROM per_flag a JOIN per_flag b ON a.l_returnflag < b.l_returnflag
+        |ORDER BY flag_a, flag_b""".stripMargin,
+
     "agg_hll_sketch" ->
       """WITH per_group AS (
         |  SELECT l_returnflag, l_linestatus,

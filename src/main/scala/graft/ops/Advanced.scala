@@ -416,6 +416,35 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Theta-sketch distinct counting with SET INTERSECTION — the audience-
+    * overlap question the built-in HLL surface cannot answer (HLL unions
+    * only): per (flag, status) the part keys sketch into a bounded theta
+    * sketch ([[graft.expr.ThetaSketchAgg]]); sketches MERGE up to the
+    * flag level (second aggregation, raw keys never re-read); then each
+    * flag pair reports its overlap via [[graft.expr.ThetaIntersect]].
+    * Estimates are exact below the sketch's k=4096 retained entries and
+    * deterministic at any partitioning (the retained set is "the k
+    * smallest key hashes" — order-free; PropertySpec pins both). No
+    * DuckDB oracle by the same declared contract as `agg_hll_sketch`. */
+  val aggThetaSketch: Q = (s, d) => {
+    import graft.expr.ThetaSketch._
+    val perStatus = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sketchAgg(col("l_partkey")).as("sk"))
+    val perFlag = perStatus.groupBy(col("l_returnflag"))
+      .agg(sketchAgg(col("sk")).as("sk")) // binary input → merge level
+    perFlag.as("a").crossJoin(broadcast(perFlag.as("b")))
+      .filter(col("a.l_returnflag") < col("b.l_returnflag"))
+      .select(
+        col("a.l_returnflag").as("flag_a"),
+        col("b.l_returnflag").as("flag_b"),
+        round(estimate(col("a.sk")), 1).as("approx_a"),
+        round(estimate(col("b.sk")), 1).as("approx_b"),
+        round(estimate(intersect(col("a.sk"), col("b.sk"))), 1)
+          .as("approx_shared"))
+      .orderBy(col("flag_a"), col("flag_b"))
+  }
+
   /** Per-group z-score anomaly flagging — the outlier gate of a metrics
     * pipeline: each event type's mean/σ come from EXACT decimal moment
     * sums (the [[aggStats]] recipe — order-independent where the
@@ -495,6 +524,7 @@ object Advanced {
     "agg_bitmap" -> aggBitmap,
     "agg_zscore" -> aggZscore,
     "events_funnel" -> eventsFunnel,
+    "agg_theta_sketch" -> aggThetaSketch,
   )
 
   val oracles: Map[String, String] = Map(

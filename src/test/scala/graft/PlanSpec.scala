@@ -175,6 +175,17 @@ class PlanSpec extends SparkSpecBase {
       "expected 2 broadcast assignment passes (one per Lloyd iteration)")
   }
 
+  test("pipeline_e2e composes without a cartesian or nested-loop join") {
+    // the whole chain — normalize → gate → exact dedup → near-dedup →
+    // pack — must keep the near-dup candidate step an equi-join (the
+    // AllPairs property) even when fed by upstream stages
+    val p = planString(LlmPipeline.pipelineE2e(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "composed near-dedup degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "composed near-dedup degenerated to a nested loop")
+  }
+
   test("key_lookup_sorted pushes the key predicate into the sorted layout") {
     // materialize the sorted-on-write layout, then audit the readback scan
     graft.ops.Sources.keyLookupSorted(spark, sf0001).collect()

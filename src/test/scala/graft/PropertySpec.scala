@@ -70,6 +70,45 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("theta sketch: exact below k, exact intersection, partition-invariant") {
+    // covers the oracle-less agg_theta_sketch: at sf0.001 every flag holds
+    // < 4096 distinct partkeys, so the sketch is in exact mode — the
+    // estimates and the pairwise intersections must EQUAL the true counts
+    val li = T.lineitem(spark, sf0001)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def parts(flag: String): Set[Long] = li
+      .filter(col("l_returnflag") === flag).select("l_partkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rows = graft.ops.Advanced.aggThetaSketch(spark, sf0001).collect()
+    assert(rows.length == 3) // 3 flags → 3 unordered pairs
+    rows.foreach { r =>
+      val (fa, fb) = (r.getString(0), r.getString(1))
+      assert(r.getDouble(2) == exact(fa).toDouble, s"approx_a for $fa")
+      assert(r.getDouble(3) == exact(fb).toDouble, s"approx_b for $fb")
+      val shared = (parts(fa) intersect parts(fb)).size.toDouble
+      assert(r.getDouble(4) == shared, s"intersection $fa∩$fb")
+    }
+    // the retained set is "the k smallest hashes of the input SET" —
+    // independent of partitioning, so results are bit-reproducible
+    val again = graft.ops.Advanced
+      .aggThetaSketch(spark, sf0001) // plan over a reshuffled scan
+    val viaRepart = graft.core.Tables(spark, sf0001, "lineitem")
+      .repartition(13)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(graft.expr.ThetaSketch.sketchAgg(col("l_partkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(graft.expr.ThetaSketch.estimate(
+        graft.expr.ThetaSketch.sketchAgg(col("sk"))), 1).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, nd) =>
+      assert(viaRepart(flag) == nd.toDouble,
+        s"repartitioned sketch drifted for $flag")
+    }
+    assert(again.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("approx_percentile is within 5% of the exact percentile (sf0.001)") {
     // covers the oracle-less agg_approx_quantile (SURVEY §2.2): the
     // mergeable-summary estimates must track the exact sorted percentiles
