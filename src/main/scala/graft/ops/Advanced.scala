@@ -475,24 +475,24 @@ object Advanced {
   }
 
   /** Ordered conversion FUNNEL over the event stream (signup → click →
-    * purchase, each stage strictly after the previous): stage timestamps
-    * resolve via three sequential MIN-CASE windows over the same user
-    * partition — one shuffle on user_id total, every later window reuses
-    * the first one's exchange — then users roll up to their deepest
-    * stage. At 100 TB this is the canonical "sessionless funnel" shape:
-    * no self-joins (the naive form joins events^3), no per-user sort,
-    * state bounded by one row per user. */
+    * purchase, each stage strictly after the previous AND within a 1-day
+    * attribution window of it): stage timestamps resolve via three
+    * sequential MIN-CASE windows over the same user partition — one
+    * shuffle on user_id total, every later window reuses the first one's
+    * exchange — then users roll up to their deepest stage. At 100 TB
+    * this is the canonical "sessionless funnel" shape: no self-joins
+    * (the naive form joins events³), no per-user sort, state bounded by
+    * one row per user. */
   val eventsFunnel: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id"))
+    def withinDay(stage: String, prev: Column): Column =
+      min(when(col("event_type") === stage && col("ts") > prev &&
+        col("ts") <= prev + expr("INTERVAL 1 DAY"), col("ts"))).over(w)
     val ev = T.events(s, d)
       .withColumn("t1",
         min(when(col("event_type") === "signup", col("ts"))).over(w))
-    val s2 = ev.withColumn("t2",
-      min(when(col("event_type") === "click" && col("ts") > col("t1"),
-        col("ts"))).over(w))
-    val s3 = s2.withColumn("t3",
-      min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-        col("ts"))).over(w))
+    val s2 = ev.withColumn("t2", withinDay("click", col("t1")))
+    val s3 = s2.withColumn("t3", withinDay("purchase", col("t2")))
     s3.withColumn("stage",
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1).otherwise(0))
@@ -730,11 +730,13 @@ object Advanced {
     "events_funnel" ->
       """WITH staged AS (
         |  SELECT user_id, t1, t2,
-        |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |             AND ts <= t2 + INTERVAL 1 DAY THEN ts END)
         |      OVER (PARTITION BY user_id) AS t3
         |  FROM (
         |    SELECT user_id, event_type, ts, t1,
-        |      MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |               AND ts <= t1 + INTERVAL 1 DAY THEN ts END)
         |        OVER (PARTITION BY user_id) AS t2
         |    FROM (
         |      SELECT user_id, event_type, ts,
