@@ -33,6 +33,7 @@ object SparkEntry {
     "join_anti"        -> Relational.joinAnti,
     "join_range"       -> Relational.joinRange,
     "join_asof"        -> Relational.joinAsof,
+    "join_asof_fwd"    -> Relational.joinAsofFwd,
     "join_full"        -> Relational.joinFull,
     "join_cross"       -> Relational.joinCross,
     // aggregations

@@ -54,4 +54,38 @@ object AsOfJoin {
         leftRest.map(col) ++
         payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of: for each left row, attach the EARLIEST right-side
+    * `payload` columns whose `rightTime` >= the row's `leftTime` (the
+    * "next event after" direction — e.g. first fill after an order).
+    * Same union-sweep shape as [[backward]] with the frame reversed:
+    * `first(_, ignoreNulls)` over the FOLLOWING frame on the same sort.
+    * Ties at equal time match (inclusive), right-row ties resolve by the
+    * payload values in order. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTime)
+    val payloadType = StructType(payload.map(c => right.schema(c)))
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
+        leftRest.map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
+    // at equal __t the left row must sort BEFORE the right row so the
+    // following frame still sees it (inclusive forward match)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(2).as("__is_left")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_left"), col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__carry", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftRest.map(col) ++
+        payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
+  }
 }

@@ -268,6 +268,25 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of: each event matched to the user's EARLIEST order at or
+    * after the event (the "next action after exposure" direction of
+    * attribution). Same union-sweep shape as [[joinAsof]] with the frame
+    * reversed ([[graft.api.AsOfJoin.forward]]) — one key shuffle, one
+    * sort, never join-then-rank. */
+  val joinAsofFwd: Q = (s, d) => {
+    val ev = T.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+    val o = T.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.api.AsOfJoin.forward(ev, o, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("next_orderkey"),
+        col("asof_o_totalprice").as("next_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** TPC-H Q1 shape: hash aggregate with partial (map-side) combine —

@@ -176,6 +176,21 @@ object RelationalOracles {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // forward direction: earliest order at-or-after the event; ties at
+    // the same date resolve to the lowest orderkey (= the union-sweep's
+    // first-over-following on the (orderkey, price) payload struct)
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id, o_orderkey AS next_orderkey,
+        |  o_totalprice AS next_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC NULLS LAST,
+        |               o.o_orderkey ASC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -35,6 +35,29 @@ class ApiSpec extends SparkSpecBase {
       ("B", 7L, None), ("C", 8L, None)))
   }
 
+  test("AsOfJoin.forward attaches the earliest following right row per key") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(
+      ("A", ts("2025-01-01 10:00:00"), 10.0),
+      ("A", ts("2025-01-01 10:05:00"), 11.0),
+      ("B", ts("2025-01-01 10:01:00"), 20.0)
+    ).toDF("sym", "at", "px")
+    val trades = Seq(
+      ("A", ts("2025-01-01 10:03:00"), 5L),  // next A quote at 10:05 -> 11.0
+      ("A", ts("2025-01-01 10:00:00"), 6L),  // at 10:00 (inclusive) -> 10.0
+      ("B", ts("2025-01-01 10:02:00"), 7L),  // after the only B quote -> null
+      ("C", ts("2025-01-01 10:00:00"), 8L)   // key never quoted -> null
+    ).toDF("sym", "at", "qty")
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "at", "at", Seq("px"))
+      .orderBy("sym", "at")
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("A", 6L, Some(10.0)), ("A", 5L, Some(11.0)),
+      ("B", 7L, None), ("C", 8L, None)))
+  }
+
   test("TextDedup.exact and jaccardJoin work on an ad-hoc corpus") {
     val s = spark
     import s.implicits._
