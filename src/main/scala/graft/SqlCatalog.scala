@@ -72,7 +72,7 @@ object SqlCatalog {
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
-    "events_funnel",
+    "events_funnel", "events_path",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -330,6 +330,21 @@ object SqlCatalog {
         |  approx_count_distinct(user_id, 0.02) AS approx_users,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Spark's datediff takes (end, start) where DuckDB's date_diff takes
+    // ('day', start, end) — dialect twin of the oracle
+    "agg_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(datediff(day, cohort_day) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE datediff(day, cohort_day) IN (0, 1, 3, 7)
+        |GROUP BY cohort_day, CAST(datediff(day, cohort_day) AS BIGINT)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // theta sketches via the engine-registered native aggregate — the SQL
     // text runs the same two-level sketch→merge→intersect plan

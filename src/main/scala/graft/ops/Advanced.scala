@@ -501,6 +501,45 @@ object Advanced {
       .orderBy(col("stage"))
   }
 
+  /** Cohort RETENTION analysis — the standard growth-analytics matrix:
+    * users cohort by first-active day, then each (cohort, day-offset ∈
+    * {0,1,3,7}) cell counts the cohort's users still active that much
+    * later. Three keyed aggregates and one user-key join — the per-user
+    * first-seen reduction is the only pass over raw events; the
+    * (user, day) activity grid is already distinct-compressed before the
+    * offset join. At 100 TB everything shuffles on user_id or the
+    * day-grid key; no window over raw event volume. */
+  val aggRetention: Q = (s, d) => {
+    val ev = T.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val activity = ev.distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset").isin(0L, 1L, 3L, 7L))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Event PATH analysis (the transition matrix behind sankey/funnels):
+    * each user's stream ordered by time, consecutive event-type pairs
+    * counted. One lag window partitioned by user + one hash aggregate on
+    * the bounded (from, to) type grid — raw volume shuffles once on
+    * user_id, the aggregate state is |types|². */
+  val eventsPath: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -525,6 +564,8 @@ object Advanced {
     "agg_zscore" -> aggZscore,
     "events_funnel" -> eventsFunnel,
     "agg_theta_sketch" -> aggThetaSketch,
+    "agg_retention" -> aggRetention,
+    "events_path" -> eventsPath,
   )
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +788,34 @@ object Advanced {
         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    // DuckDB dialect (date_diff argument order differs from Spark's
+    // datediff, so this one is not in the shared front-door set)
+    "agg_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE date_diff('day', cohort_day, day) IN (0, 1, 3, 7)
+        |GROUP BY cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // dual-dialect ANSI; ordering on CAST(ts AS TIMESTAMP) pins both
+    // engines to the same µs tie-break before the event_id fallback
+    "events_path" ->
+      """SELECT from_type, to_type, COUNT(*) AS n_transitions FROM (
+        |  SELECT user_id,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events) t
+        |WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -252,8 +252,8 @@ class ApiSpec extends SparkSpecBase {
     val seeds = embs.select("vec_id").orderBy("vec_id").limit(4)
       .collect().map(_.getLong(0)).toSet
     assert(a.values.toSet.subsetOf(seeds))
-    // deep fit with lineage truncation still yields a full assignment and
-    // at least as tight a clustering (iterations only refine)
+    // deep fit with lineage truncation still yields a full assignment
+    // over the same label vocabulary
     val c = labels(embs, 3, checkpoint = true)
     assert(c.size.toLong == n && c.values.toSet.subsetOf(seeds))
   }
