@@ -77,8 +77,10 @@ object Clustering {
       .select(col(idCol), col("best.cluster").as("cluster"), col("v"))
 
   /** One update pass: per-(cluster, dim) half-up integer mean, arrays
-    * rebuilt in dim order. 2Σ+n stays far under 2^53 for µ-unit inputs,
-    * so the double division is a single correctly-rounded IEEE op. */
+    * rebuilt in dim order. The mean is exact while 2·|Σv| + n < 2^53 —
+    * i.e. cluster size × max|component| below ~4.5e15 µ-units (unit-norm
+    * embeddings: trillions of members) — because both operands of the
+    * single IEEE division are then exactly representable doubles. */
   private def update(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))

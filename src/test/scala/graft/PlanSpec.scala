@@ -339,6 +339,22 @@ class PlanSpec extends SparkSpecBase {
       s"partition-less Window in declared plans: ${offenders.mkString(", ")}")
   }
 
+  test("no declared plan contains a CartesianProduct (all-query sweep)") {
+    // The one join shape that cannot survive any scale-up. Bounded
+    // replication is fine (crossJoin(broadcast(model)) plans a
+    // BroadcastNestedLoopJoin over a k-row side); an unhinted
+    // CartesianProductExec — both sides unbounded — never is. Sweep every
+    // declared query's PHYSICAL plan so future keys inherit the pin.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (k, fn) =>
+        val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        if (p.contains("CartesianProduct")) Seq(k) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in declared plans: ${offenders.mkString(", ")}")
+  }
+
   test("no SQL-catalog plan contains a partition-less Window either") {
     GraftExtensions.install(spark) // md5_48 / float_dot / sliding_min in SQL
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
