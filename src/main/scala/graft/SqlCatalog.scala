@@ -331,6 +331,24 @@ object SqlCatalog {
         |  COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // sequence + explode is the Spark spelling of the oracle's
+    // generate_series + unnest (both inclusive)
+    "agg_active_users" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM grid GROUP BY day),
+        |ex AS (SELECT user_id,
+        |         explode(sequence(day, day + INTERVAL 6 DAY,
+        |                          INTERVAL 1 DAY)) AS day
+        |       FROM grid),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |        FROM ex GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin,
+
     // Spark's datediff takes (end, start) where DuckDB's date_diff takes
     // ('day', start, end) — dialect twin of the oracle
     "agg_retention" ->

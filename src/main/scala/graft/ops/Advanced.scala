@@ -524,6 +524,31 @@ object Advanced {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Rolling ACTIVE USERS (DAU / 7-day WAU / stickiness) — the dashboard
+    * trio. Distinct-over-a-sliding-window cannot use a window frame
+    * (distinct doesn't retract); the scale shape is: compress events to
+    * the distinct (user, day) grid once, then each grid row SUPPORTS the
+    * 7 window-days it falls into (a bounded ×7 explode), and WAU is a
+    * plain distinct count per supported day. Every shuffle keys on the
+    * day grid; raw event volume is touched exactly once. */
+  val aggActiveUsers: Q = (s, d) => {
+    val grid = T.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = grid.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = grid
+      .select(col("user_id"), explode(
+        expr("sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Event PATH analysis (the transition matrix behind sankey/funnels):
     * each user's stream ordered by time, consecutive event-type pairs
     * counted. One lag window partitioned by user + one hash aggregate on
@@ -566,6 +591,7 @@ object Advanced {
     "agg_theta_sketch" -> aggThetaSketch,
     "agg_retention" -> aggRetention,
     "events_path" -> eventsPath,
+    "agg_active_users" -> aggActiveUsers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,5 +843,24 @@ object Advanced {
         |  FROM events) t
         |WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    // DuckDB dialect: generate_series (inclusive, like Spark's sequence)
+    "agg_active_users" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM grid GROUP BY day),
+        |ex AS (SELECT user_id,
+        |         unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                                INTERVAL 1 DAY)) AS day
+        |       FROM grid),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau
+        |        FROM ex GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin,
   )
 }
