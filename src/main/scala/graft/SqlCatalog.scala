@@ -935,6 +935,14 @@ object SqlCatalog {
          |FROM packed GROUP BY lang, CAST(floor(cum_before / 1024.0) AS BIGINT)
          |ORDER BY lang, seq""".stripMargin,
 
+    // statement form of the footer introspection: the layout summary a
+    // faithful writer must produce, recomputed from the source table
+    "meta_layout" ->
+      """SELECT CAST(0 AS INT) AS row_group,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
+
     // statement form of the binaryFile round trip: like mm_batch_stats,
     // the write+readback is proven lossless by the oracle, so the SQL
     // text IS the recomputation from the catalog table

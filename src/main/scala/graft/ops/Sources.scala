@@ -264,6 +264,30 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Storage-layout introspection as a DECLARED query — the reference
+    * REPL's `.btree` meta-command (`/root/reference/db.cpp:448-457`,
+    * which prints the leaf's keys in storage order) generalized to the
+    * columnar layout: write a key-sorted slice, then report each parquet
+    * row group's key range and row count from the file footers
+    * ([[graft.core.Meta.layout]]). On a sorted layout the ranges are
+    * ordered and disjoint — the generalized B-tree invariant behind
+    * min/max row-group pruning. The oracle recomputes the expected
+    * key-range summary from the source table, pinning that the footer
+    * statistics faithfully describe the written data (the single bounded
+    * slice fits one row group at harness scales; MetaSpec covers the
+    * multi-group disjointness property separately). */
+  val metaLayout: Q = (s, d) => {
+    val dir = ioDir("meta_layout")
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartition(1)
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(dir)
+    graft.core.Meta.layout(s, dir, "l_orderkey")
+      .select(col("row_group"), col("min_key"), col("max_key"), col("n_rows"))
+      .orderBy(col("row_group"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -274,6 +298,7 @@ object Sources {
     "source_orc" -> sourceOrc,
     "merge_upsert" -> mergeUpsert,
     "source_binary" -> sourceBinary,
+    "meta_layout" -> metaLayout,
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +381,13 @@ object Sources {
         |    AS BIGINT) AS px_sum
         |FROM documents WHERE doc_id % 100 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the footer statistics must describe exactly the data that was
+    // written: expected key range + row count recomputed from the source
+    "meta_layout" ->
+      """SELECT CAST(0 AS INT) AS row_group,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
   )
 }
