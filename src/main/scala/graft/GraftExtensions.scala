@@ -22,16 +22,7 @@ import graft.expr.FloatDotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.floatDotDescriptor)
-    ext.injectFunction(GraftExtensions.md548Descriptor)
-    ext.injectFunction(GraftExtensions.slidingMinDescriptor)
-    ext.injectFunction(GraftExtensions.gramHashDescriptor)
-    ext.injectFunction(GraftExtensions.shingleXxDescriptor)
-    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
-    ext.injectFunction(GraftExtensions.simhash48Descriptor)
-    ext.injectFunction(GraftExtensions.thetaAggDescriptor)
-    ext.injectFunction(GraftExtensions.thetaEstimateDescriptor)
-    ext.injectFunction(GraftExtensions.thetaIntersectDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.expr.RewriteFloatDot)
   }
 }
@@ -101,6 +92,14 @@ object GraftExtensions {
       graft.expr.ThetaSketchAgg(children.head)
     })
 
+  private val misraGriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[graft.expr.MisraGriesAgg].getName, "misra_gries"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "misra_gries(item, k) takes exactly 2 arguments")
+      graft.expr.MisraGriesAgg(children.head, children(1))
+    })
+
   private val thetaEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("theta_estimate"),
     new ExpressionInfo(classOf[graft.expr.ThetaEstimate].getName, "theta_estimate"),
@@ -132,14 +131,19 @@ object GraftExtensions {
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Every engine function, registered by BOTH installation routes (the
+    * extensions constructor and [[install]]) — one list, so a new
+    * function can't be visible on one route and missing on the other. */
+  private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
+      gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
+      simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
+      thetaIntersectDescriptor, misraGriesDescriptor)
+
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
-        gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
-        simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
-        thetaIntersectDescriptor)
-      .foreach { case (id, info, builder) =>
+    descriptors.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
     }
     recommendedConfs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -943,6 +943,47 @@ object SqlCatalog {
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
 
+    // statement form of the clustered rewrite: the write is proven
+    // lossless by the oracle, so the SQL text is the same slice taken
+    // straight from the catalog table
+    "sink_zorder" ->
+      """SELECT event_id, user_id, ts, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 30
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    // the GENUINE sketch path in statement form: the native misra_gries
+    // aggregate (GraftExtensions) exploded back to rows
+    "agg_heavy_hitters" ->
+      """SELECT day, e.item AS item, e.est_count AS est_count
+        |FROM (SELECT date_trunc('DAY', ts) AS day,
+        |        misra_gries(event_type, 8) AS hh
+        |      FROM events GROUP BY date_trunc('DAY', ts)) g
+        |LATERAL VIEW explode(hh) t AS e
+        |ORDER BY day, est_count DESC, item""".stripMargin,
+
+    // Spark dialect (the DuckDB oracle spells duration via date_diff)
+    "events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+        |  FROM events WHERE user_id % 5 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(MAX(ts) AS LONG) - CAST(MIN(ts) AS LONG) AS duration_sec
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
     // statement form of the binaryFile round trip: like mm_batch_stats,
     // the write+readback is proven lossless by the oracle, so the SQL
     // text IS the recomputation from the catalog table

@@ -565,6 +565,55 @@ object Advanced {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-day HEAVY HITTERS via the mergeable Misra–Gries summary
+    * ([[graft.expr.MisraGriesAgg]]) — the frequent-items member of the
+    * sketch family (next to theta/HLL distinct and approx quantiles),
+    * here over the event stream: each day's dominant event types with
+    * their counts. The aggregation state is ≤ k slots per day regardless
+    * of event volume, with map-side partial merge — at 100 TB the shuffle
+    * carries k·days rows, not the per-(day, type) grid the exact GROUP BY
+    * pays. Capacity k=8 exceeds the event-type domain, so the summary is
+    * provably exact here and a plain GROUP BY oracle hash-checks the
+    * sketch path end to end; PropertySpec separately pins the undercount
+    * and coverage bounds in the approximate (k < distinct) regime. */
+  val aggHeavyHitters: Q = (s, d) => {
+    T.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(graft.expr.MisraGries.agg(col("event_type"), 8).as("hh"))
+      .select(col("day"), explode(col("hh")).as("e"))
+      .select(col("day"), col("e.item").as("item"),
+        col("e.est_count").as("est_count"))
+      .orderBy(col("day"), desc("est_count"), col("item"))
+  }
+
+  /** Gap-based SESSIONIZATION — the batch twin of `stream_session`'s
+    * session windows, and the canonical event-analytics primitive: a
+    * user's events sort within their partition, a >30-minute silence
+    * starts a new session (lag + running sum of boundaries — the
+    * standard two-window idiom), and sessions roll up to start/end/
+    * duration/size. Both windows partition by user_id and reuse ONE
+    * shuffle (the second window's ordering is a prefix of the first's);
+    * per-user state is bounded by that user's events, never the stream.
+    * The user_id sample predicate pushes into the parquet scan. */
+  val eventsSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .filter(col("user_id") % 5 === 0)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .withColumn("duration_sec",
+        col("session_end").cast("long") - col("session_start").cast("long"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -592,6 +641,8 @@ object Advanced {
     "agg_retention" -> aggRetention,
     "events_path" -> eventsPath,
     "agg_active_users" -> aggActiveUsers,
+    "agg_heavy_hitters" -> aggHeavyHitters,
+    "events_sessionize" -> eventsSessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -862,5 +913,35 @@ object Advanced {
         |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 4) AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day
         |ORDER BY d.day""".stripMargin,
+
+    // capacity 8 > |event_type domain| = 5, so the Misra-Gries summary is
+    // exact and the sketch path must reproduce the plain GROUP BY
+    "agg_heavy_hitters" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, est_count DESC, item""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) >
+        |              CAST(LAG(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id % 5 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_no
+        |  FROM marked)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
   )
 }

@@ -288,6 +288,55 @@ object Sources {
       .orderBy(col("row_group"))
   }
 
+  /** Z-ORDER clustered write + two-column pruned readback — the
+    * multi-column generalization of `key_lookup_sorted`'s single-key
+    * layout (and of the B-tree's one-dimensional key order,
+    * `/root/reference/db.cpp:61-70`): events cluster on the Morton
+    * interleave of (user_id, event day) ([[graft.api.ZOrder]]), so every
+    * written file covers a small rectangle of the (user, time) domain and
+    * a filter on EITHER dimension prunes files by parquet min/max footer
+    * stats alone — the Delta/Iceberg `OPTIMIZE ZORDER BY` recipe built
+    * from codegen'd bitwise expressions. Normalization bounds come from a
+    * one-row aggregate broadcast back over the stream (at 100 TB: footer
+    * statistics). The oracle recomputes the filtered slice from the
+    * source table, proving the clustered rewrite lossless; MetaSpec pins
+    * the locality property (per-file spans bounded in BOTH dimensions),
+    * PlanSpec the pushed-down readback filters. */
+  val sinkZorder: Q = (s, d) => {
+    import graft.api.ZOrder
+    val dir = ioDir("sink_zorder")
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("day", datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long"))
+    val b = ev.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(b))
+      .withColumn("z", ZOrder.zval(
+        ZOrder.normalize(col("user_id"), col("u0"), col("u1")),
+        ZOrder.normalize(col("day"), col("d0"), col("d1"))))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    zorderReadback(s)
+  }
+
+  /** Readback half of [[sinkZorder]], split out so PlanSpec can audit the
+    * scan (PushedFilters on BOTH clustered dimensions) without
+    * re-writing. */
+  def zorderReadback(s: SparkSession): DataFrame =
+    s.read.parquet(ioDir("sink_zorder"))
+      .filter(col("user_id").between(10, 30) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -299,6 +348,7 @@ object Sources {
     "merge_upsert" -> mergeUpsert,
     "source_binary" -> sourceBinary,
     "meta_layout" -> metaLayout,
+    "sink_zorder" -> sinkZorder,
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +439,16 @@ object Sources {
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    // the clustered rewrite must be lossless: the filtered readback has to
+    // equal the same slice taken straight from the source table
+    "sink_zorder" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 30
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -51,4 +51,40 @@ class MetaSpec extends SparkSpecBase {
     assert(lay.map(_._3).sum ==
       graft.core.Tables(spark, sf0001, "lineitem").count())
   }
+
+  test("z-order layout bounds per-file spans in BOTH clustered dimensions") {
+    // materialize the clustered write, then audit per-file min/max spans.
+    // On a Morton layout files cover small RECTANGLES of the (user, day)
+    // domain, so min/max footer stats prune on EITHER column. Individual
+    // boundary files can legitimately span one full dimension (a z range
+    // crossing a top-bit flip), so the pinned property is the AVERAGE
+    // span per dimension: a single-column sort yields exactly 1.0 in the
+    // secondary dimension, the z layout stays well below in BOTH.
+    graft.ops.Sources.sinkZorder(spark, sf0001).collect()
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/sink_zorder"
+    val perFile = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("user_id"),
+        to_date(col("ts")).as("day"))
+      .groupBy(col("f"))
+      .agg(min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+        min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .collect()
+    assert(perFile.length >= 4, s"expected several files, got ${perFile.length}")
+    val (users, days) = {
+      val r = spark.read.parquet(dir)
+        .agg(min(col("user_id")), max(col("user_id")),
+          min(to_date(col("ts"))), max(to_date(col("ts")))).head
+      (r.getLong(1) - r.getLong(0),
+        r.getDate(3).toLocalDate.toEpochDay - r.getDate(2).toLocalDate.toEpochDay)
+    }
+    val spans = perFile.map { r =>
+      ((r.getLong(2) - r.getLong(1)).toDouble / users,
+        (r.getDate(4).toLocalDate.toEpochDay -
+          r.getDate(3).toLocalDate.toEpochDay).toDouble / days)
+    }
+    val avgU = spans.map(_._1).sum / spans.length
+    val avgD = spans.map(_._2).sum / spans.length
+    assert(avgU <= 0.7, s"avg user-domain span $avgU — no locality in user_id")
+    assert(avgD <= 0.7, s"avg day-domain span $avgD — no locality in day")
+  }
 }

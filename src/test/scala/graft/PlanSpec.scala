@@ -194,6 +194,18 @@ class PlanSpec extends SparkSpecBase {
       s"no pushed key filter on the sorted layout:\n${p.take(1500)}")
   }
 
+  test("sink_zorder readback pushes filters on BOTH clustered dimensions") {
+    // materialize the clustered layout, then audit the readback scan: the
+    // point of the Morton layout is that user_id AND ts predicates both
+    // reach the parquet reader (file/row-group pruning off footer stats)
+    graft.ops.Sources.sinkZorder(spark, sf0001).collect()
+    val p = planString(graft.ops.Sources.zorderReadback(spark))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*user_id[^\\]]*\\].*"),
+      s"no pushed user_id filter on the z-ordered layout:\n${p.take(1500)}")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*ts[^\\]]*\\].*"),
+      s"no pushed ts filter on the z-ordered layout:\n${p.take(1500)}")
+  }
+
   test("dedup_near_salted candidate generation stays equi-join under salting") {
     val p = planString(LlmPipeline.dedupNearSalted(spark, sf0001))
     assert(!p.contains("CartesianProduct"),

@@ -109,6 +109,44 @@ class PropertySpec extends SparkSpecBase {
     assert(again.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("misra_gries: exact when k >= distinct; MG bounds when k < distinct") {
+    val li = T.lineitem(spark, sf0001)
+    // exact regime — what the declared agg_heavy_hitters oracle relies on:
+    // capacity above the domain size reproduces the plain GROUP BY
+    val item = col("l_returnflag")
+    val exact = li.groupBy(item).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaMg = li.agg(graft.expr.MisraGries.agg(item, 16).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMg == exact, "capacity >= distinct must be exact")
+
+    // approximate regime (k << distinct part keys): the two Misra-Gries
+    // guarantees — every count undercounts by <= N/(k+1), and every item
+    // with true frequency > N/(k+1) survives in the summary
+    val k = 16
+    val key = col("l_partkey").cast("string")
+    val trueCounts = li.groupBy(key.as("i")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = trueCounts.values.sum
+    assert(trueCounts.size > k, "need the approximate regime for this test")
+    val summary = li.agg(graft.expr.MisraGries.agg(key, k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.size <= k, "summary exceeded its capacity")
+    val slack = n / (k + 1)
+    summary.foreach { case (i, c) =>
+      assert(c <= trueCounts(i), s"overcounted $i: $c > ${trueCounts(i)}")
+      assert(c >= trueCounts(i) - slack,
+        s"undercounted $i beyond N/(k+1): $c < ${trueCounts(i)} - $slack")
+    }
+    trueCounts.filter(_._2 > slack).keys.foreach { i =>
+      assert(summary.contains(i), s"heavy item $i (> N/(k+1)) missing")
+    }
+  }
+
   test("approx_percentile is within 5% of the exact percentile (sf0.001)") {
     // covers the oracle-less agg_approx_quantile (SURVEY §2.2): the
     // mergeable-summary estimates must track the exact sorted percentiles
