@@ -82,6 +82,7 @@ object SparkEntry {
     "text_stats"       -> LlmPipeline.textStats,
     "text_lang"        -> LlmPipeline.textLang,
     "text_quality"     -> LlmPipeline.textQuality,
+    "text_curriculum"  -> LlmPipeline.textCurriculum,
     "text_tokens"      -> LlmPipeline.textTokens,
     "text_normalize"   -> LlmPipeline.textNormalize,
     "text_pii"         -> LlmPipeline.textPii,

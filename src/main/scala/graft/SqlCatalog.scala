@@ -706,6 +706,32 @@ object SqlCatalog {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // Spark dialect of the curriculum sampler (native md5_48 in the gate)
+    "text_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id, round(
+        |    0.3 * least(1.0, CAST(size(split(text, ' ')) AS DOUBLE) / 100.0)
+        |    + 0.4 * (1.0 - CAST(size(filter(split(text, ' '),
+        |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |        / CAST(size(split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE), 6) AS score
+        |  FROM documents),
+        |tiered AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score >= 0.8 THEN 'high'
+        |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
+        |  FROM scored),
+        |rated AS (
+        |  SELECT doc_id, tier,
+        |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
+        |  FROM tiered)
+        |SELECT doc_id, tier,
+        |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
+        |FROM rated
+        |WHERE md5_48(CAST(doc_id AS STRING)) % 100 < rate
+        |ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -375,6 +375,40 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** CURRICULUM sampling — the quality-weighted data-mix step between
+    * scoring and training: docs tier by their [[textQuality]] score
+    * (fixed thresholds — at 100 TB thresholds come from a one-off
+    * quantile profile, then stay FROZEN so the mix is reproducible), each
+    * tier keeps a deterministic hash-sampled fraction (high 100%, mid
+    * 40%, low 10% — the same `md5_48` keep/drop fate as `sample_hash`,
+    * stable under repartitioning and corpus growth), and every kept doc
+    * carries its inverse-rate weight for loss reweighting. One pass, zero
+    * shuffles before the declared sort: score, tier, rate and the hash
+    * gate are all per-row codegen'd expressions fused into the scan. */
+  val textCurriculum: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val score = round(
+      lit(0.3) * least(lit(1.0), size(toks).cast("double") / 100.0) +
+        lit(0.4) * (lit(1.0) -
+          size(filter(toks, x => x.isin("the", "a", "value", "data")))
+            .cast("double") / size(toks).cast("double")) +
+        lit(0.3) * (length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text")).cast("double")), 6)
+    T.documents(s, d)
+      .withColumn("score", score)
+      .withColumn("tier",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.7, "mid").otherwise("low"))
+      .withColumn("rate",
+        when(col("tier") === "high", 100)
+          .when(col("tier") === "mid", 40).otherwise(10))
+      .filter(graft.expr.Md5Prefix48.md548(
+        concat_ws("|", col("doc_id"))) % 100 < col("rate"))
+      .select(col("doc_id"), col("tier"),
+        (lit(100.0) / col("rate").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting two ways: whitespace split vs regex word extraction vs
     * a BPE-ish bounded-chunk split (≤ 4 chars per piece). */
   val textTokens: Q = (s, d) =>
@@ -1016,6 +1050,34 @@ object LlmPipeline {
         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
         |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same score formula as text_quality (bit-exact, proven by that
+    // oracle), fixed tier thresholds, md5_48 hash gate, inverse-rate weight
+    "text_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id, round(
+        |    0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+        |    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE), 6) AS score
+        |  FROM documents),
+        |tiered AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score >= 0.8 THEN 'high'
+        |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
+        |  FROM scored),
+        |rated AS (
+        |  SELECT doc_id, tier,
+        |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
+        |  FROM tiered)
+        |SELECT doc_id, tier,
+        |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
+        |FROM rated
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 100 < rate
         |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->

@@ -232,6 +232,16 @@ class PlanSpec extends SparkSpecBase {
       "interval join degenerated to nested-loop — user_id equality not used")
   }
 
+  test("text_curriculum fuses score/tier/gate into the scan (no agg, no join)") {
+    // the whole curriculum step is per-row expressions: fixed thresholds
+    // and a hash gate, so nothing may plan an aggregate or a join — the
+    // only exchange is the final ORDER BY's range partitioning
+    val o = LlmPipeline.textCurriculum(spark, sf0001).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val bad = o.collect { case a: Aggregate => a; case j: Join => j }
+    assert(bad.isEmpty, s"text_curriculum plans ${bad.size} agg/join nodes")
+  }
+
   test("text_normalize is shuffle-free before the declared sort") {
     // normalization must fuse into the scan: per-row HOFs only, no
     // aggregate, no join — the only exchange is the final ORDER BY's range
