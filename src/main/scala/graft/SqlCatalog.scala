@@ -72,7 +72,7 @@ object SqlCatalog {
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
-    "events_funnel", "events_path",
+    "events_funnel", "events_path", "meta_profile",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",

@@ -565,6 +565,32 @@ object Advanced {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Column PROFILE — the ANALYZE TABLE / statistics-collection pass every
+    * engine ships (and the optimizer's food: row counts, null counts, NDV
+    * and min/max bounds drive join reorder, broadcast decisions and range
+    * pruning). ONE scan aggregates all metrics for the profiled columns,
+    * then the scalar row unpivots to one row per column. The exact
+    * `countDistinct` triple plans a single Expand pass here (oracle needs
+    * exactness); the 100 TB profile swaps it for `approx_count_distinct` /
+    * HLL sketches — same one-pass shape, mergeable state, no Expand
+    * (SCALING.md). */
+  val metaProfile: Q = (s, d) => {
+    val li = T.lineitem(s, d)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"nul_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** Per-day HEAVY HITTERS via the mergeable Misra–Gries summary
     * ([[graft.expr.MisraGriesAgg]]) — the frequent-items member of the
     * sketch family (next to theta/HLL distinct and approx quantiles),
@@ -643,6 +669,7 @@ object Advanced {
     "agg_active_users" -> aggActiveUsers,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "events_sessionize" -> eventsSessionize,
+    "meta_profile" -> metaProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -943,5 +970,26 @@ object Advanced {
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    // dual-dialect ANSI: also serves as the SqlCatalog entry. The SUM cast
+    // folds DuckDB's HUGEINT back to BIGINT; no-op in Spark.
+    "meta_profile" ->
+      """SELECT col_name, n_rows, n_nulls, ndv, min_v, max_v FROM (
+        |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    COUNT(DISTINCT l_orderkey) AS ndv,
+        |    MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_partkey), MIN(l_partkey), MAX(l_partkey)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_suppkey), MIN(l_suppkey), MAX(l_suppkey)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
   )
 }
