@@ -990,6 +990,39 @@ object SqlCatalog {
         |LATERAL VIEW explode(hh) t AS e
         |ORDER BY day, est_count DESC, item""".stripMargin,
 
+    // Spark dialect (`DIV` where the DuckDB oracle spells `//`); the same
+    // two unrolled exact-integer power iterations as the DataFrame loop
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS w
+        |  FROM e0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT from_type AS t FROM edges UNION SELECT to_type FROM edges),
+        |outw AS (SELECT from_type, SUM(w) AS ow FROM edges GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM nodes),
+        |r0 AS (SELECT t, 1000000 DIV (SELECT nn FROM n) AS r FROM nodes),
+        |c1 AS (SELECT e.to_type AS t, SUM((r0.r * e.w) DIV o.ow) AS c
+        |       FROM edges e JOIN r0 ON e.from_type = r0.t
+        |       JOIN outw o ON e.from_type = o.from_type GROUP BY 1),
+        |r1 AS (SELECT nodes.t,
+        |         150000 DIV (SELECT nn FROM n)
+        |           + (85 * COALESCE(c1.c, 0)) DIV 100 AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.t = c1.t),
+        |c2 AS (SELECT e.to_type AS t, SUM((r1.r * e.w) DIV o.ow) AS c
+        |       FROM edges e JOIN r1 ON e.from_type = r1.t
+        |       JOIN outw o ON e.from_type = o.from_type GROUP BY 1),
+        |r2 AS (SELECT nodes.t,
+        |         150000 DIV (SELECT nn FROM n)
+        |           + (85 * COALESCE(c2.c, 0)) DIV 100 AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.t = c2.t)
+        |SELECT t AS event_type, CAST(r AS BIGINT) AS rank_micro
+        |FROM r2 ORDER BY rank_micro DESC, event_type""".stripMargin,
+
     // Spark dialect (the DuckDB oracle spells duration via date_diff)
     "events_sessionize" ->
       """WITH marked AS (

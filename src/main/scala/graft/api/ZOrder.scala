@@ -1,9 +1,9 @@
 package graft.api
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.Bridge
+
+import graft.core.Numeric.idiv
 
 /** Z-ORDER (Morton-curve) clustering keys — multi-column data layout for
   * min/max pruning (SURVEY §2.6 storage-layout generalization).
@@ -46,16 +46,12 @@ object ZOrder {
   }
 
   /** Rank `v` into [0, 65535] given its inclusive bounds (degenerate
-    * domains map to 0). Integer arithmetic only — `/` on Columns is
-    * always DOUBLE division in Spark, so the quotient is a catalyst
-    * `IntegralDivide` (the SQL `DIV` operator): exact on longs, stays
-    * LONG for the bitwise cascade, codegen'd like the rest. */
-  def normalize(v: Column, vMin: Column, vMax: Column): Column = {
-    val q = Bridge.column(new IntegralDivide(
-      Bridge.expression((v - vMin).cast("long") * lit(65535L)),
-      Bridge.expression((vMax - vMin).cast("long"))))
-    when(vMax <= vMin, lit(0L)).otherwise(q)
-  }
+    * domains map to 0). Integer arithmetic only ([[idiv]] — exact on
+    * longs, stays LONG for the bitwise cascade, codegen'd like the
+    * rest). */
+  def normalize(v: Column, vMin: Column, vMax: Column): Column =
+    when(vMax <= vMin, lit(0L)).otherwise(
+      idiv((v - vMin).cast("long") * lit(65535L), (vMax - vMin).cast("long")))
 
   /** 32-bit Morton key of two 16-bit normalized columns: bits of `a` at
     * even positions, bits of `b` at odd. Rows sorted by this key follow

@@ -33,6 +33,20 @@ object Numeric {
   def davg(e: Column): Column =
     dsum(e) / count(lit(1))
 
+  /** Exact integer division on long columns — the SQL `DIV` operator.
+    * `Column./` is always DOUBLE division in Spark, so fixed-point integer
+    * algorithms (k-means centroids, PageRank ranks, z-order ranks) route
+    * through the catalyst `IntegralDivide` to stay exact and
+    * engine-portable. Dialect note: Spark `DIV` truncates toward zero,
+    * DuckDB `//` floors — identical results on the NON-NEGATIVE operands
+    * every engine call site uses; keep operands non-negative in any
+    * oracle-checked use. */
+  def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** SQL-side rendering of [[dsum]] for oracle queries. */
   def dsumSql(e: String): String =
     s"CAST(ROUND(SUM(CAST(($e) AS DECIMAL(20,8))), 2) AS DOUBLE)"

@@ -565,6 +565,48 @@ object Advanced {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** PAGERANK over the event-type transition graph — iterative GRAPH
+    * analytics beyond connected components (`dedup_cluster`): edges are
+    * the lag-window transition counts (`events_path`'s matrix), and two
+    * damped power-iteration rounds run in EXACT fixed-point micro-units
+    * (ranks ×1e6, contributions via [[graft.core.Numeric.idiv]] — the
+    * same integer discipline as `cluster_kmeans`, so a DuckDB oracle with
+    * unrolled-CTE iterations matches bit-for-bit; float PageRank would
+    * drift by summation order). Scale shape: raw events reduce to the
+    * edge list ONCE (one user-key shuffle, aggregated on the bounded
+    * |types|² grid, lineage truncated); each iteration is one
+    * rank-to-edge equi-join + one aggregate on the destination key — the
+    * standard distributed PageRank round, O(|E|) per iteration, never
+    * touching raw event volume again. Dangling mass is dropped (no
+    * outgoing edges → contribution lost), documented and mirrored by the
+    * oracle. */
+  val graphPagerank: Q = (s, d) => {
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = T.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(win))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = edges.select(col("from_type").as("t"))
+      .union(edges.select(col("to_type"))).distinct().localCheckpoint()
+    val outw = edges.groupBy(col("from_type")).agg(sum(col("w")).as("ow"))
+    val e = edges.join(outw, Seq("from_type"))
+    val nn = nodes.count() // scalar driver agg, like dedup_cluster's check
+    var ranks = nodes.select(col("t"), idiv(lit(1000000L), lit(nn)).as("r"))
+    for (_ <- 1 to 2) {
+      val contrib = e.join(ranks.withColumnRenamed("t", "from_type"), Seq("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(idiv(col("r") * col("w"), col("ow"))).as("c"))
+      ranks = nodes.join(contrib, nodes("t") === contrib("to_type"), "left")
+        .select(col("t"),
+          (idiv(lit(150000L), lit(nn)) +
+            idiv(lit(85L) * coalesce(col("c"), lit(0L)), lit(100L))).as("r"))
+    }
+    ranks.select(col("t").as("event_type"), col("r").as("rank_micro"))
+      .orderBy(desc("rank_micro"), col("event_type"))
+  }
+
   /** Column PROFILE — the ANALYZE TABLE / statistics-collection pass every
     * engine ships (and the optimizer's food: row counts, null counts, NDV
     * and min/max bounds drive join reorder, broadcast decisions and range
@@ -670,6 +712,7 @@ object Advanced {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
+    "graph_pagerank" -> graphPagerank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -991,5 +1034,38 @@ object Advanced {
         |    COUNT(DISTINCT l_suppkey), MIN(l_suppkey), MAX(l_suppkey)
         |  FROM lineitem)
         |ORDER BY col_name""".stripMargin,
+
+    // DuckDB dialect (// integer division); two unrolled power iterations
+    // in exact micro-units — bit-identical to the DataFrame loop
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS w
+        |  FROM e0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT from_type AS t FROM edges UNION SELECT to_type FROM edges),
+        |outw AS (SELECT from_type, SUM(w) AS ow FROM edges GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM nodes),
+        |r0 AS (SELECT t, 1000000 // (SELECT nn FROM n) AS r FROM nodes),
+        |c1 AS (SELECT e.to_type AS t, SUM((r0.r * e.w) // o.ow) AS c
+        |       FROM edges e JOIN r0 ON e.from_type = r0.t
+        |       JOIN outw o ON e.from_type = o.from_type GROUP BY 1),
+        |r1 AS (SELECT nodes.t,
+        |         150000 // (SELECT nn FROM n)
+        |           + (85 * COALESCE(c1.c, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.t = c1.t),
+        |c2 AS (SELECT e.to_type AS t, SUM((r1.r * e.w) // o.ow) AS c
+        |       FROM edges e JOIN r1 ON e.from_type = r1.t
+        |       JOIN outw o ON e.from_type = o.from_type GROUP BY 1),
+        |r2 AS (SELECT nodes.t,
+        |         150000 // (SELECT nn FROM n)
+        |           + (85 * COALESCE(c2.c, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.t = c2.t)
+        |SELECT t AS event_type, CAST(r AS BIGINT) AS rank_micro
+        |FROM r2 ORDER BY rank_micro DESC, event_type""".stripMargin,
   )
 }

@@ -154,6 +154,34 @@ class ApiSpec extends SparkSpecBase {
     assert(all == 10, s"uncapped header should pair all 5 docs, got $all")
   }
 
+  test("ZOrder.zval matches a bit-by-bit reference Morton interleave") {
+    import graft.api.ZOrder
+    val s = spark
+    import s.implicits._
+    // reference: bit i of a -> position 2i, bit i of b -> position 2i+1
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }.reduce(_ | _)
+    val samples = Seq((0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535),
+      (65535, 65535), (12345, 54321), (40000, 1), (255, 256), (43690, 21845))
+    val got = samples.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.zval(col("a").cast("long"), col("b").cast("long")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    samples.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b),
+        s"zval($a, $b) = ${got((a, b))}, reference ${ref(a, b)}")
+    }
+    // normalize: endpoints map to 0 and 65535, midpoint to the floor rank
+    val n = Seq((0L, 0L, 100L), (100L, 0L, 100L), (50L, 0L, 100L), (7L, 7L, 7L))
+      .toDF("v", "lo", "hi")
+      .select(ZOrder.normalize(col("v"), col("lo"), col("hi")).as("r"))
+      .collect().map(_.getLong(0))
+    assert(n.sameElements(Array(0L, 65535L, 65535L * 50 / 100, 0L)))
+  }
+
   test("VectorSearch.blockedThresholdJoin finds co-cell pairs on an ad-hoc table") {
     val s = spark
     import s.implicits._
