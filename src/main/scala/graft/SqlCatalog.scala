@@ -990,6 +990,20 @@ object SqlCatalog {
         |LATERAL VIEW explode(hh) t AS e
         |ORDER BY day, est_count DESC, item""".stripMargin,
 
+    // Spark dialect: datediff(end, start) + DIV for the integer week age
+    "agg_decay" ->
+      """WITH mx AS (SELECT date_trunc('DAY', max(ts)) AS d1 FROM events),
+        |e AS (
+        |  SELECT user_id, value,
+        |    CAST(datediff((SELECT d1 FROM mx), date_trunc('DAY', ts))
+        |      AS BIGINT) DIV 7 AS w
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(ROUND(SUM(CAST(value * pow(CAST(0.5 AS DOUBLE), w)
+        |    AS DECIMAL(20,8))), 2) AS DOUBLE) AS decayed_value,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Spark dialect (`DIV` where the DuckDB oracle spells `//`); the same
     // two unrolled exact-integer power iterations as the DataFrame loop
     "graph_pagerank" ->

@@ -565,6 +565,31 @@ object Advanced {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Recency-DECAYED engagement (half-life weighting) — the feature-store
+    * aggregate behind "recent activity" signals: each event's value decays
+    * by 0.5 per week of age before a per-user sum. Determinism at scale is
+    * the design point: the half-life is a POWER OF TWO and the age is an
+    * INTEGER week count, so `pow(0.5, w)` is exact in IEEE double and the
+    * per-row product `value * 2^-w` is a pure exponent shift (no rounding
+    * at all); the products are ≤8-decimal-digit values, so the [[dsum]]
+    * decimal-sum discipline applies unchanged and the result is
+    * independent of partitioning and reduction order. A free-form
+    * `exp(-λ·age)` decay would be none of these things. One broadcast
+    * scalar (the anchor day) + one hash aggregate on user_id. */
+  val aggDecay: Q = (s, d) => {
+    val ev = T.events(s, d)
+      .select(col("user_id"), col("value"),
+        date_trunc("day", col("ts")).as("day"))
+    val mx = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("w", idiv(datediff(col("d1"), col("day")).cast("long"), lit(7L)))
+      .withColumn("decayed", col("value") * pow(lit(0.5), col("w")))
+      .groupBy(col("user_id"))
+      .agg(dsum(col("decayed")).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** PAGERANK over the event-type transition graph — iterative GRAPH
     * analytics beyond connected components (`dedup_cluster`): edges are
     * the lag-window transition counts (`events_path`'s matrix), and two
@@ -713,6 +738,7 @@ object Advanced {
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
     "graph_pagerank" -> graphPagerank,
+    "agg_decay" -> aggDecay,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1067,5 +1093,22 @@ object Advanced {
         |       FROM nodes LEFT JOIN c2 ON nodes.t = c2.t)
         |SELECT t AS event_type, CAST(r AS BIGINT) AS rank_micro
         |FROM r2 ORDER BY rank_micro DESC, event_type""".stripMargin,
+
+    // power-of-two half-life + integer week age: pow(0.5, w) is exact and
+    // the per-row product is an exponent shift, so the dsum recipe holds
+    "agg_decay" ->
+      """WITH mx AS (
+        |  SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, value,
+        |    date_diff('day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |              (SELECT d1 FROM mx)) // 7 AS w
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(ROUND(SUM(CAST(value * pow(0.5, w) AS DECIMAL(20,8))), 2)
+        |    AS DOUBLE) AS decayed_value,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
