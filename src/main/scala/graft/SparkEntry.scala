@@ -53,6 +53,7 @@ object SparkEntry {
     "set_union"        -> Relational.setUnion,
     "set_intersect"    -> Relational.setIntersect,
     "set_except"       -> Relational.setExcept,
+    "set_ops_all"      -> Relational.setOpsAll,
     // scalar function packs
     "fn_string"        -> Functions.fnString,
     "fn_date"          -> Functions.fnDate,

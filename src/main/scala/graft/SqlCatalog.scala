@@ -69,6 +69,7 @@ object SqlCatalog {
     "agg_grouping_sets",
     "window_rank", "window_running",
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
+    "set_ops_all",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",

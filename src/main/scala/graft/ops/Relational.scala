@@ -475,4 +475,32 @@ object Relational {
   /** EXCEPT. */
   val setExcept: Q = (s, d) =>
     sliceA(s, d).except(sliceB(s, d)).orderBy(col("c_custkey"))
+
+  // multiset slices for the ALL variants: (partkey, suppkey) pairs REPEAT
+  // across lineitems, so bag semantics genuinely differ from set semantics
+  private def msliceA(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_partkey"), col("l_suppkey"))
+  private def msliceB(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_partkey"), col("l_suppkey"))
+
+  /** INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity min /
+    * difference per SQL:2003), the set-op half the distinct variants
+    * can't express: duplicates survive with their counted multiplicity.
+    * Spark plans both as a single hash aggregate on the value row
+    * (count per side) + a generate of min/difference copies — one
+    * shuffle, no distinct Expand, same scale shape as `set_intersect`.
+    * The declared result folds each bag to its cardinality, which is
+    * exactly where ALL ≠ DISTINCT shows (and what the oracle's
+    * `INTERSECT ALL` / `EXCEPT ALL` recompute). */
+  val setOpsAll: Q = (s, d) => {
+    val ia = msliceA(s, d).intersectAll(msliceB(s, d))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = msliceA(s, d).exceptAll(msliceB(s, d))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    ia.union(ea).orderBy(col("op"))
+  }
 }

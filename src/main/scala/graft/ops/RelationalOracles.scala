@@ -286,5 +286,18 @@ object RelationalOracles {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_nationkey < 10
         |ORDER BY c_custkey""".stripMargin,
+
+    // bag semantics: multiplicities survive, folded to cardinalities
+    "set_ops_all" ->
+      """SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+        |  SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0
+        |  EXCEPT ALL
+        |  SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+        |  SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0
+        |  INTERSECT ALL
+        |  SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0)
+        |ORDER BY op""".stripMargin,
   )
 }
