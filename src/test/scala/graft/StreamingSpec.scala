@@ -86,6 +86,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.filter(col("user_id") === 1).count() == 2)
   }
 
+  test("events_sessionize matches Spark's built-in session_window semantics") {
+    // cross-validation of the hand-built lag + running-sum sessionizer
+    // against the engine-native gap-based session_window: same gap, same
+    // slice — per-(user, session) event counts and start timestamps must
+    // agree exactly (session_window's declared END is last-event + gap,
+    // so compare ends after subtracting the gap)
+    import org.apache.spark.sql.functions._
+    val ours = graft.ops.Advanced.eventsSessionize(spark, sf0001)
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).sortBy(t => (t._1, t._3.getTime))
+    val builtin = graft.core.Tables.events(spark, sf0001)
+      .filter(col("user_id") % 5 === 0)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+      .select(col("user_id"), col("n_events"), col("s0"), col("s1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).sortBy(t => (t._1, t._3.getTime))
+    assert(ours.length == builtin.length,
+      s"session count differs: ours ${ours.length}, session_window ${builtin.length}")
+    ours.zip(builtin).foreach { case (a, b) =>
+      assert(a == b, s"session mismatch: ours $a vs session_window $b")
+    }
+  }
+
   test("watermark dedup drops in-batch duplicate keys") {
     val streamed = runStream("append")(Streaming.dedupStream)
     // 6 input events, one (user 2, view) duplicate pair collapses
