@@ -61,6 +61,7 @@ object SparkEntry {
     "fn_array"         -> Functions.fnArray,
     "fn_json"          -> Functions.fnJson,
     "fn_map"           -> Functions.fnMap,
+    "fn_unpivot"       -> Functions.fnUnpivot,
     // streaming semantics (batch-mode declared; stream-mode in tests)
     "stream_tumbling"  -> Streaming.streamTumbling,
     "stream_sliding"   -> Streaming.streamSliding,

@@ -78,11 +78,14 @@ object SqlCatalog {
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
     // scalar function packs that parse identically
-    "fn_string", "fn_math", "fn_map")
+    "fn_string", "fn_math", "fn_map", "fn_unpivot",
+    // storage-maintenance keys whose oracle SQL is already ANSI
+    "table_diff")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
-      graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles)(k)
+      graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
+      graft.ops.Sources.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 

@@ -101,7 +101,40 @@ object Functions {
       .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** UNPIVOT (melt) — the inverse reshape of `agg_pivot`: the three
+    * per-line metrics turn wide→long as (key, metric, value) rows via the
+    * native `Dataset.unpivot` (Spark's Expand-based melt — per-row
+    * generation, no shuffle before the declared sort). Values share one
+    * double type, passed through bit-exactly. */
+  val fnUnpivot: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   val oracles: Map[String, String] = Map(
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS value
+        |  FROM lineitem WHERE l_orderkey % 199 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 199 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |    CAST(l_discount AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 199 = 0)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         |  lower(p_type) AS type_lower,

@@ -337,6 +337,41 @@ object Sources {
         col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Snapshot TABLE DIFF — the data-regression check between two versions
+    * of a table (yesterday's orders vs today's): rows classify as
+    * added / removed / changed via ONE full-outer join on the key with
+    * each side's payload packed into a struct (atomic row comparison —
+    * the `merge_upsert` counterpart for auditing instead of writing).
+    * The "next" snapshot here is a deterministic perturbation of the base
+    * (modulo-keyed deletes, +1.00 price updates — an exact IEEE add, no
+    * rounding call to diverge on — and shifted-key inserts), so the
+    * expected classification is recomputable by the oracle. At 100 TB
+    * both sides hash-shuffle on the key once; with both snapshots bucketed
+    * by the key the join is shuffle-free. */
+  val tableDiff: Q = (s, d) => {
+    def payload = struct(col("o_totalprice"), col("o_orderstatus"))
+    val base = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val next = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    val b = base.select(col("o_orderkey"), payload.as("bv"))
+    val n = next.select(col("o_orderkey"), payload.as("nv"))
+    b.join(n, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("bv").isNull, "added")
+          .when(col("nv").isNull, "removed")
+          .when(col("bv") =!= col("nv"), "changed"))
+      .filter(col("change").isNotNull)
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("change"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -349,6 +384,7 @@ object Sources {
     "source_binary" -> sourceBinary,
     "meta_layout" -> metaLayout,
     "sink_zorder" -> sinkZorder,
+    "table_diff" -> tableDiff,
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,6 +475,30 @@ object Sources {
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    // dual-dialect ANSI: the same deterministic perturbation re-derived,
+    // classified via FULL OUTER JOIN — also serves as the SqlCatalog text
+    "table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |next_ AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN b.o_totalprice <> n.o_totalprice
+        |                OR b.o_orderstatus <> n.o_orderstatus THEN 'changed'
+        |         END AS change
+        |  FROM base b FULL OUTER JOIN next_ n ON b.o_orderkey = n.o_orderkey)
+        |SELECT change, COUNT(*) AS n_rows FROM j
+        |WHERE change IS NOT NULL GROUP BY change ORDER BY change""".stripMargin,
 
     // the clustered rewrite must be lossless: the filtered readback has to
     // equal the same slice taken straight from the source table
