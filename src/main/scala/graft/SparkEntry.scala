@@ -34,6 +34,7 @@ object SparkEntry {
     "join_range"       -> Relational.joinRange,
     "join_asof"        -> Relational.joinAsof,
     "join_asof_fwd"    -> Relational.joinAsofFwd,
+    "join_asof_tol"    -> Relational.joinAsofTol,
     "join_full"        -> Relational.joinFull,
     "join_cross"       -> Relational.joinCross,
     // aggregations

@@ -64,7 +64,8 @@ object SqlCatalog {
     "scan_full", "scan_project", "scan_ordered", "key_lookup",
     "insert_append", "filter_pred", "constraint_check",
     "join_inner", "join_broadcast", "join_left", "join_semi", "join_anti",
-    "join_range", "join_asof", "join_asof_fwd", "join_full", "join_cross",
+    "join_range", "join_asof", "join_asof_fwd", "join_asof_tol",
+    "join_full", "join_cross",
     "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
     "agg_grouping_sets",
     "window_rank", "window_running",

@@ -88,4 +88,44 @@ object AsOfJoin {
         leftRest.map(col) ++
         payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
   }
+
+  /** [[backward]] with a STALENESS BOUND — the feature-store
+    * point-in-time rule: a match older than `tolerance` (a Spark interval
+    * string, e.g. `"30 MINUTE"`) before the left time is REJECTED
+    * (nulls), never silently served stale. The match time rides as an
+    * extra field of the carried struct, so the bound is a per-row
+    * comparison after the same one-shuffle sweep — no extra join, and the
+    * bound is exact: the carried match is the latest prior right row, and
+    * if the latest is out of window every older one is too. Tie rules
+    * match [[backward]]. */
+  def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: String): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTime)
+    val payloadType = StructType(
+      org.apache.spark.sql.types.StructField("__mt", right.schema(rightTime).dataType) +:
+        payload.map(c => right.schema(c)))
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
+        leftRest.map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTime).as("__mt") +: payload.map(col): _*).as("__p"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_left"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .withColumn("__ok",
+        col("__carry.__mt") >= col("__t") - expr(s"INTERVAL $tolerance"))
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftRest.map(col) ++
+        payload.map(c =>
+          when(col("__ok"), col(s"__carry.$c")).as(s"asof_$c")): _*)
+  }
 }

@@ -287,6 +287,26 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance-bounded as-of: each PURCHASE attributed to the same user's
+    * latest CLICK within 30 minutes ([[graft.api.AsOfJoin.backwardWithin]]
+    * — the feature-store staleness rule: a stale match is a NULL, never
+    * silently served). Same one-shuffle union-sweep as [[joinAsof]]; the
+    * bound is a per-row comparison on the carried match time. */
+  val joinAsofTol: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.api.AsOfJoin.backwardWithin(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id", "value"), tolerance = "30 MINUTE")
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("asof_click_id"),
+        col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** TPC-H Q1 shape: hash aggregate with partial (map-side) combine —

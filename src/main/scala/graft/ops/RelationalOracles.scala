@@ -191,6 +191,24 @@ object RelationalOracles {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // tolerance-bounded backward as-of: latest click within 30 minutes;
+    // the window bound in the ON clause equals the carry-then-reject rule
+    // (if the latest prior click is stale, every older one is staler)
+    "join_asof_tol" ->
+      """SELECT event_id, user_id, click_id AS asof_click_id,
+        |  click_value AS asof_value
+        |FROM (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |    c.value AS click_value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC NULLS LAST,
+        |               c.event_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |    AND c.ts >= p.ts - INTERVAL 30 MINUTE)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -35,6 +35,33 @@ class ApiSpec extends SparkSpecBase {
       ("B", 7L, None), ("C", 8L, None)))
   }
 
+  test("AsOfJoin.backwardWithin rejects matches older than the tolerance") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(
+      ("A", ts("2025-01-01 10:00:00"), 10.0),
+      ("A", ts("2025-01-01 10:05:00"), 11.0),
+      ("B", ts("2025-01-01 09:00:00"), 20.0)
+    ).toDF("sym", "at", "px")
+    val trades = Seq(
+      ("A", ts("2025-01-01 10:03:00"), 5L), // 10:00 quote, 3 min old -> 10.0
+      ("A", ts("2025-01-01 10:16:00"), 6L), // 10:05 quote, 11 min old -> stale
+      ("B", ts("2025-01-01 10:00:00"), 7L)  // 9:00 quote, 1 h old -> stale
+    ).toDF("sym", "at", "qty")
+    val out = AsOfJoin.backwardWithin(trades, quotes, Seq("sym"), "at", "at",
+        Seq("px"), tolerance = "10 MINUTE")
+      .orderBy("sym", "at")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, Some(10.0)), ("A", 6L, None), ("B", 7L, None)))
+    // and with a wide-open tolerance it degenerates to plain backward
+    val open = AsOfJoin.backwardWithin(trades, quotes, Seq("sym"), "at", "at",
+        Seq("px"), tolerance = "2 DAY")
+      .orderBy("sym", "at").collect().map(r => Option(r.get(3)))
+    assert(open.toSeq == Seq(Some(10.0), Some(11.0), Some(20.0)))
+  }
+
   test("AsOfJoin.forward attaches the earliest following right row per key") {
     val s = spark
     import s.implicits._
