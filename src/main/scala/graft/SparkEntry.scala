@@ -63,6 +63,7 @@ object SparkEntry {
     "fn_json"          -> Functions.fnJson,
     "fn_map"           -> Functions.fnMap,
     "fn_unpivot"       -> Functions.fnUnpivot,
+    "fn_bitwise"       -> Functions.fnBitwise,
     // streaming semantics (batch-mode declared; stream-mode in tests)
     "stream_tumbling"  -> Streaming.streamTumbling,
     "stream_sliding"   -> Streaming.streamSliding,

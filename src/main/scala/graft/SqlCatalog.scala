@@ -74,7 +74,7 @@ object SqlCatalog {
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
-    "events_funnel", "events_path", "meta_profile",
+    "events_funnel", "events_path", "meta_profile", "join_skew_salted",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -260,6 +260,54 @@ object SqlCatalog {
         |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20
         |         ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the row_number spelling of the bounded-heap reservoir sample
+    "sample_reservoir" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rnk, o_orderkey
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5_48(CAST(o_orderkey AS STRING)), o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rnk""".stripMargin,
+
+    // Spark spelling of the exact-moment OLS (datediff = the oracle's
+    // date_diff('day', ...); every moment an int64, y exact in cents)
+    "agg_linreg" ->
+      """WITH pts AS (
+        |  SELECT o_orderstatus,
+        |    datediff(o_orderdate, DATE '1970-01-01') AS x,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS LONG) AS y100
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y100) AS DOUBLE) AS sy1,
+        |    CAST(SUM(x * y100) AS DOUBLE) AS sxy1,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY o_orderstatus),
+        |sl AS (
+        |  SELECT o_orderstatus, n, nd, sx, sy1,
+        |    (nd * sxy1 - sx * sy1) / (nd * sxx - sx * sx) AS slope100
+        |  FROM m)
+        |SELECT o_orderstatus, n, slope100 / 1e2 AS slope,
+        |  ((sy1 - slope100 * sx) / nd) / 1e2 AS intercept
+        |FROM sl ORDER BY o_orderstatus""".stripMargin,
+
+    // Spark `^` is bitwise XOR (DuckDB's is power — its oracle uses xor())
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS k_and,
+        |  l_orderkey | 4096 AS k_or,
+        |  l_orderkey ^ l_partkey AS k_xor,
+        |  ~l_orderkey AS k_not,
+        |  shiftleft(l_orderkey, 3) AS k_shl,
+        |  shiftright(l_partkey, 2) AS k_shr,
+        |  CAST(bit_count(l_partkey) AS INT) AS k_pop
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // ------------------------------------------- advanced aggs / windows
     "agg_percentile" ->

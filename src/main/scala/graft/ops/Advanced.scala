@@ -707,6 +707,92 @@ object Advanced {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Explicitly SALTED shuffle join — the join-side companion of
+    * [[aggSalted]]'s skew recipe: the fact side gets a deterministic salt
+    * in [0,16), the dimension side is replicated 16× (explode over
+    * `sequence`), and the equi join runs on (suppkey, salt) — a hot
+    * supplier key spreads over 16 reducers instead of melting one. The
+    * `shuffle_hash` hint keeps the demo honest: a broadcast would erase
+    * the very shuffle being salted (and at 100 TB a replicated dimension
+    * exceeds any broadcast threshold). Result is provably the plain
+    * join — each fact row meets exactly the one replica whose salt
+    * matches — which is what the oracle checks. */
+  val joinSkewSalted: Q = (s, d) => {
+    val nSalt = 16
+    val fact = T.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_quantity"),
+        pmod(col("l_orderkey"), lit(nSalt)).as("salt"))
+    val dim = T.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Deterministic per-group RESERVOIR sample — k=5 orders per status,
+    * ranked by the portable md5-prefix hash ([[graft.expr.Md5Prefix48]])
+    * and kept via the bounded-heap [[graft.expr.TopKAgg]] (ord =
+    * negated hash, so "best" = smallest hash = uniform sample). The
+    * shuffle carries ≤ k rows per (group × map task) with map-side
+    * merge — nothing is ever fully sorted — where the `row_number`
+    * window form (the oracle's spelling) sorts every group's entire
+    * payload. Hash-rank sampling is the training-data sampler that is
+    * stable under re-runs, partition counts, and engines. */
+  val sampleReservoir: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.expr.TopKAgg.topk(5)(
+        negate(graft.expr.Md5Prefix48.md548(col("o_orderkey").cast("string"))
+          .cast("double")),
+        col("o_orderkey")).as("tk"))
+      .select(col("o_orderstatus"), posexplode(col("tk")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+
+  /** Per-group ordinary-least-squares TREND (slope + intercept of order
+    * totalprice over time): one two-phase hash aggregate collecting the
+    * five exact moments (n, Σx, Σy, Σxy, Σx²) — x is the epoch DAY (a
+    * bounded integer), y rides exactly in integer cents — then one fixed IEEE
+    * double sequence per group computes slope/intercept, the same
+    * moment algebra as [[aggZscore]], bit-identical across engines and
+    * partition counts. The 100 TB shape: a regression per group costs
+    * exactly one map-side-combined aggregate, never a sort or a second
+    * pass; built-in `regr_slope` streams doubles in shuffle order and
+    * is NOT reproducible at scale. */
+  val aggLinreg: Q = (s, d) => {
+    // x = epoch DAY as an integer date difference; y scaled ×100 into a
+    // BIGINT (2-decimal prices are exact in cents). EVERY moment is an
+    // int64: int64→double casts are correctly rounded in both engines,
+    // where DuckDB's DECIMAL→DOUBLE cast (scaled-int ÷ 1e8 in double) is
+    // off by an ulp often enough to break the hash match.
+    val xs = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val y100 = (round(col("o_totalprice").cast("decimal(28,8)"), 2) * 100)
+      .cast("long")
+    T.orders(s, d)
+      .select(col("o_orderstatus"), xs.as("x"), y100.as("y100"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx_i"),
+        sum(col("y100")).as("sy_i"),
+        sum(col("x") * col("y100")).as("sxy_i"),
+        sum(col("x") * col("x")).as("sxx_i"))
+      .select(Seq(col("o_orderstatus"), col("n")) ++ {
+        val nd = col("n").cast("double")
+        val sx = col("sx_i").cast("double")
+        val sy1 = col("sy_i").cast("double")
+        val sxy1 = col("sxy_i").cast("double")
+        val sxx = col("sxx_i").cast("double")
+        val slope100 = (nd * sxy1 - sx * sy1) / (nd * sxx - sx * sx)
+        Seq((slope100 / lit(100.0)).as("slope"),
+          (((sy1 - slope100 * sx) / nd) / lit(100.0)).as("intercept"))
+      }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -739,6 +825,9 @@ object Advanced {
     "meta_profile" -> metaProfile,
     "graph_pagerank" -> graphPagerank,
     "agg_decay" -> aggDecay,
+    "join_skew_salted" -> joinSkewSalted,
+    "sample_reservoir" -> sampleReservoir,
+    "agg_linreg" -> aggLinreg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1110,5 +1199,51 @@ object Advanced {
         |    AS DOUBLE) AS decayed_value,
         |  COUNT(*) AS n_events
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // dual-dialect ANSI (also the SqlCatalog entry): the salted join is
+    // provably the plain join — salting only spreads the shuffle
+    "join_skew_salted" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // row_number form of the bounded-heap reservoir (DuckDB md5 spelling)
+    "sample_reservoir" ->
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rnk, o_orderkey
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+        |                 AS BIGINT),
+        |               o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderstatus, rnk""".stripMargin,
+
+    // same exact-moment algebra as the Spark side. All moments are INT64
+    // (y exact in cents): int64→double is correctly rounded in both
+    // engines, while DuckDB's DECIMAL→DOUBLE cast can be off by an ulp.
+    "agg_linreg" ->
+      """WITH pts AS (
+        |  SELECT o_orderstatus,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS y100
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y100) AS BIGINT) AS DOUBLE) AS sy1,
+        |    CAST(CAST(SUM(x * y100) AS BIGINT) AS DOUBLE) AS sxy1,
+        |    CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY o_orderstatus),
+        |sl AS (
+        |  SELECT o_orderstatus, n, nd, sx, sy1,
+        |    (nd * sxy1 - sx * sy1) / (nd * sxx - sx * sx) AS slope100
+        |  FROM m)
+        |SELECT o_orderstatus, n, slope100 / 1e2 AS slope,
+        |  ((sy1 - slope100 * sx) / nd) / 1e2 AS intercept
+        |FROM sl ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -119,7 +119,38 @@ object Functions {
         "metric", "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
+  /** Bitwise pack: AND / OR / XOR / NOT / shifts / popcount over the key
+    * columns — integer-domain operations are engine-exact by nature, the
+    * only portability care is dialect spelling (Spark `^` is XOR where
+    * DuckDB's is power; the oracle uses DuckDB's `xor()`). All codegen'd
+    * built-ins — bit tricks stay inside whole-stage codegen. */
+  val fnBitwise: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("l_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("k_xor"),
+        expr("~l_orderkey").as("k_not"),
+        shiftleft(col("l_orderkey"), 3).as("k_shl"),
+        shiftright(col("l_partkey"), 2).as("k_shr"),
+        expr("bit_count(l_partkey)").cast("int").as("k_pop"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS k_and,
+        |  l_orderkey | 4096 AS k_or,
+        |  xor(l_orderkey, l_partkey) AS k_xor,
+        |  ~l_orderkey AS k_not,
+        |  l_orderkey << 3 AS k_shl,
+        |  l_partkey >> 2 AS k_shr,
+        |  CAST(bit_count(l_partkey) AS INTEGER) AS k_pop
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "fn_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,

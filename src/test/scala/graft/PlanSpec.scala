@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"text_pii plans ${bad.size} agg/join nodes")
   }
 
+  test("join_skew_salted is a shuffled equi-join on (key, salt)") {
+    val p = planString(graft.ops.Advanced.joinSkewSalted(spark, sf0001))
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join is not a shuffled hash join — a broadcast would erase " +
+        "the very shuffle the salt is spreading")
+    assert(!p.contains("BroadcastHashJoin"),
+      "replicated dim side was broadcast; the skew demo never shuffled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "salted join degenerated to a non-equi join")
+  }
+
+  test("sample_reservoir keeps bounded heap state, not a window sort") {
+    val p = planString(graft.ops.Advanced.sampleReservoir(spark, sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      "reservoir TopKAgg did not plan as an object hash aggregate")
+    assert(!p.contains("Window"),
+      "reservoir sample fell back to a window (full per-group sort)")
+  }
+
+  test("agg_linreg is one two-phase hash aggregate (no sort, no join)") {
+    val p = planString(graft.ops.Advanced.aggLinreg(spark, sf0001))
+    assert(p.contains("HashAggregate"), "moments not a hash aggregate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "OLS moments should need no join at all")
+  }
+
   test("agg_topk runs as a bounded-state aggregate, not a window sort") {
     val df = graft.ops.Advanced.aggTopk(spark, sf0001)
     val p = planString(df)
