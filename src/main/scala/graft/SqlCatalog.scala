@@ -81,7 +81,7 @@ object SqlCatalog {
     // scalar function packs that parse identically
     "fn_string", "fn_math", "fn_map", "fn_unpivot",
     // storage-maintenance keys whose oracle SQL is already ANSI
-    "table_diff")
+    "table_diff", "scan_dpp")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -1110,6 +1110,42 @@ object SqlCatalog {
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
 
+    // day-partitioned sweep line over intra-day session boundaries
+    "events_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+        |  FROM events WHERE user_id % 5 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM numbered GROUP BY user_id, session_no),
+        |sd AS (SELECT * FROM sess WHERE CAST(st AS DATE) = CAST(en AS DATE)),
+        |pts AS (
+        |  SELECT CAST(st AS DATE) AS day, st AS t, 1 AS delta, 0 AS tie,
+        |    user_id, session_no
+        |  FROM sd
+        |  UNION ALL
+        |  SELECT CAST(st AS DATE) AS day, en AS t, -1 AS delta, 1 AS tie,
+        |    user_id, session_no
+        |  FROM sd),
+        |sw AS (
+        |  SELECT day, tie,
+        |    SUM(delta) OVER (PARTITION BY day
+        |      ORDER BY t, tie, user_id, session_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM pts)
+        |SELECT day, MAX(active) AS peak_concurrent,
+        |  SUM(CASE WHEN tie = 0 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin,
+
     // statement form of the binaryFile round trip: like mm_batch_stats,
     // the write+readback is proven lossless by the oracle, so the SQL
     // text IS the recomputation from the catalog table
@@ -1176,6 +1212,8 @@ object SqlCatalog {
     * orphaned warehouse dir — a unique name sidesteps it. */
   private val scriptTag: String = java.lang.Long.toHexString(System.nanoTime())
   private val sinkPartTable = s"graft_sink_partitioned_$scriptTag"
+  private val bktLiTable = s"graft_li_bkt_sql_$scriptTag"
+  private val bktOTable = s"graft_o_bkt_sql_$scriptTag"
 
   /** Statement SCRIPTS for the declared queries whose semantics include a
     * write: each entry is an ordered statement sequence (the reference
@@ -1229,6 +1267,20 @@ object SqlCatalog {
          |  ${dsumSql("CAST(get_json_object(props, '$.k') AS DOUBLE)")} AS sum_k
          |FROM graft_source_json_back
          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "sink_bucketed" -> Seq(
+      s"DROP TABLE IF EXISTS $bktLiTable",
+      s"DROP TABLE IF EXISTS $bktOTable",
+      s"""CREATE TABLE $bktLiTable USING parquet
+         |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS AS
+         |SELECT l_orderkey, l_quantity FROM lineitem""".stripMargin,
+      s"""CREATE TABLE $bktOTable USING parquet
+         |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS AS
+         |SELECT o_orderkey, o_orderstatus FROM orders""".stripMargin,
+      s"""SELECT /*+ MERGE($bktLiTable) */ o_orderstatus,
+         |  COUNT(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM $bktLiTable JOIN $bktOTable ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     "sink_partitioned" -> Seq(
       s"DROP TABLE IF EXISTS $sinkPartTable",

@@ -707,6 +707,44 @@ object Advanced {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Peak session CONCURRENCY per day — the SWEEP-LINE answer to interval
+    * overlap counting: sessions (same derivation as [[eventsSessionize]],
+    * intra-day ones) become ±1 boundary points, a day-partitioned running
+    * sum is the number of simultaneously-open sessions at every instant,
+    * and its per-day max is the peak. The naive form self-joins intervals
+    * on overlap — |sessions|² per day at 100 TB; the sweep is one window
+    * over 2 rows per session. Ties are totally ordered (starts before
+    * ends at the same instant — touching sessions count as concurrent —
+    * then user/session), so the running sum is deterministic. */
+  val eventsConcurrency: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = T.events(s, d)
+      .filter(col("user_id") % 5 === 0)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(wu))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .filter(to_date(col("st")) === to_date(col("en"))) // intra-day only
+    val pts = sessions.select(to_date(col("st")).as("day"),
+        col("st").as("t"), lit(1L).as("delta"), lit(0).as("tie"),
+        col("user_id"), col("session_no"))
+      .unionByName(sessions.select(to_date(col("st")).as("day"),
+        col("en").as("t"), lit(-1L).as("delta"), lit(1).as("tie"),
+        col("user_id"), col("session_no")))
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("tie"), col("user_id"), col("session_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("active", sum(col("delta")).over(wd))
+      .groupBy(col("day"))
+      .agg(max(col("active")).as("peak_concurrent"),
+        sum(when(col("tie") === 0, 1L).otherwise(0L)).as("n_sessions"))
+      .orderBy(col("day"))
+  }
+
   /** Explicitly SALTED shuffle join — the join-side companion of
     * [[aggSalted]]'s skew recipe: the fact side gets a deterministic salt
     * in [0,16), the dimension side is replicated 16× (explode over
@@ -828,6 +866,7 @@ object Advanced {
     "join_skew_salted" -> joinSkewSalted,
     "sample_reservoir" -> sampleReservoir,
     "agg_linreg" -> aggLinreg,
+    "events_concurrency" -> eventsConcurrency,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1245,5 +1284,44 @@ object Advanced {
         |SELECT o_orderstatus, n, slope100 / 1e2 AS slope,
         |  ((sy1 - slope100 * sx) / nd) / 1e2 AS intercept
         |FROM sl ORDER BY o_orderstatus""".stripMargin,
+
+    // the quadratic-free sweep, replayed point by point (same ns→µs cast
+    // discipline as events_sessionize)
+    "events_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) >
+        |              CAST(LAG(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id % 5 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM numbered GROUP BY user_id, session_no),
+        |sd AS (SELECT * FROM sess WHERE CAST(st AS DATE) = CAST(en AS DATE)),
+        |pts AS (
+        |  SELECT CAST(st AS DATE) AS day, st AS t, 1 AS delta, 0 AS tie,
+        |    user_id, session_no
+        |  FROM sd
+        |  UNION ALL
+        |  SELECT CAST(st AS DATE) AS day, en AS t, -1 AS delta, 1 AS tie,
+        |    user_id, session_no
+        |  FROM sd),
+        |sw AS (
+        |  SELECT day, tie,
+        |    SUM(delta) OVER (PARTITION BY day
+        |      ORDER BY t, tie, user_id, session_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM pts)
+        |SELECT day, CAST(MAX(active) AS BIGINT) AS peak_concurrent,
+        |  CAST(SUM(CASE WHEN tie = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -372,6 +372,80 @@ object Sources {
       .orderBy(col("change"))
   }
 
+  /** Bucketed CTAS + shuffle-free join readback — the storage answer to
+    * a join that repeats every run: both sides are written
+    * `bucketBy(8, key).sortBy(key)` managed tables, so the recurring
+    * join's Exchange disappears entirely (PlanSpec pins zero Exchange in
+    * [[bucketedReadback]]'s join). At 100 TB the fact-table shuffle is
+    * paid ONCE at write time; every subsequent run joins co-located
+    * buckets locally. The declared result aggregates the readback, so
+    * the oracle (plain join on the source tables) proves the bucketed
+    * layout loses nothing. */
+  val sinkBucketed: Q = (s, d) => {
+    Seq("graft_li_bkt", "graft_o_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously-failed run can leave an orphan managed-table location
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$t"))
+    }
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_bkt")
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_o_bkt")
+    bucketedReadback(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Join-only readback over the bucketed tables (split out so PlanSpec
+    * audits the join without the write or the final agg's own exchange).
+    * `hint("merge")`: at toy SF the planner would broadcast; the property
+    * under test is the sort-merge path riding bucket co-location. */
+  def bucketedReadback(s: SparkSession): DataFrame =
+    s.table("graft_li_bkt").hint("merge")
+      .join(s.table("graft_o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderstatus"), col("l_quantity"))
+
+  /** DYNAMIC partition pruning — the partition filter arrives at run time
+    * from the join's dim side: orders land partitioned by priority, the
+    * readback joins a 5-row priority→class dim filtered to 'rush', and
+    * with NO literal predicate on the partition column anywhere Catalyst
+    * injects a DynamicPruningExpression into the fact scan so only the
+    * two rush partitions are listed and read (PlanSpec pins it via
+    * [[dppReadback]]). At 100 TB this is scanning the dim-selected slice
+    * instead of the whole fact table — without the query author ever
+    * knowing the partition list. */
+  val scanDpp: Q = (s, d) => {
+    import s.implicits._
+    T.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(ioDir("scan_dpp"))
+    // the dim must be a REAL source: an inline Seq collapses to a
+    // LocalRelation whose filter constant-folds away at optimization
+    // time, and the PartitionPruning rule then sees no selective
+    // predicate on the filtering side and inserts nothing
+    Seq(("1-URGENT", "rush"), ("2-HIGH", "rush"), ("3-MEDIUM", "std"),
+        ("4-NOT SPECIFIED", "std"), ("5-LOW", "std"))
+      .toDF("prio", "cls")
+      .write.mode("overwrite").parquet(ioDir("scan_dpp_dim"))
+    dppReadback(s)
+  }
+
+  /** Readback half of [[scanDpp]] (split out for PlanSpec's audit). */
+  def dppReadback(s: SparkSession): DataFrame =
+    s.read.parquet(ioDir("scan_dpp"))
+      .join(broadcast(
+        s.read.parquet(ioDir("scan_dpp_dim")).filter(col("cls") === "rush")),
+        col("o_orderpriority") === col("prio"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -385,9 +459,30 @@ object Sources {
     "meta_layout" -> metaLayout,
     "sink_zorder" -> sinkZorder,
     "table_diff" -> tableDiff,
+    "sink_bucketed" -> sinkBucketed,
+    "scan_dpp" -> scanDpp,
   )
 
   val oracles: Map[String, String] = Map(
+    // bucketing is a physical layout choice — the oracle is the plain join
+    "sink_bucketed" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // partition pruning is a physical scan choice — the oracle is the
+    // plain dim join (dual-dialect VALUES inline table)
+    "scan_dpp" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+         |    ('3-MEDIUM', 'std'), ('4-NOT SPECIFIED', 'std'),
+         |    ('5-LOW', 'std')) AS dim(prio, cls)
+         |  ON o_orderpriority = prio
+         |WHERE cls = 'rush'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "sink_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -120,6 +120,26 @@ class PlanSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"text_pii plans ${bad.size} agg/join nodes")
   }
 
+  test("sink_bucketed join reads co-located buckets with zero Exchange") {
+    graft.ops.Sources.sinkBucketed(spark, sf0001) // eager write on build
+    val p = planString(graft.ops.Sources.bucketedReadback(spark))
+    assert(p.contains("SortMergeJoin"), "bucketed join is not sort-merge")
+    assert(!p.contains("Exchange"),
+      s"bucketed join still shuffles:\n${p.take(1500)}")
+  }
+
+  test("scan_dpp fact scan carries a dynamic partition pruning filter") {
+    graft.ops.Sources.scanDpp(spark, sf0001) // eager write on build
+    val p = planString(graft.ops.Sources.dppReadback(spark)).toLowerCase
+    assert(p.contains("dynamicpruning"),
+      "no DynamicPruningExpression reached the partitioned fact scan")
+  }
+
+  test("events_concurrency sweeps without any join (never |sessions|^2)") {
+    val p = planString(graft.ops.Advanced.eventsConcurrency(spark, sf0001))
+    assert(!p.contains("Join"), "sweep-line concurrency plan contains a join")
+  }
+
   test("join_skew_salted is a shuffled equi-join on (key, salt)") {
     val p = planString(graft.ops.Advanced.joinSkewSalted(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
