@@ -35,6 +35,7 @@ object SparkEntry {
     "join_asof"        -> Relational.joinAsof,
     "join_asof_fwd"    -> Relational.joinAsofFwd,
     "join_asof_tol"    -> Relational.joinAsofTol,
+    "join_asof_near"   -> Relational.joinAsofNear,
     "join_full"        -> Relational.joinFull,
     "join_cross"       -> Relational.joinCross,
     // aggregations

@@ -73,7 +73,8 @@ object SqlCatalog {
     "set_ops_all",
     // advanced aggregates / windows whose oracle SQL is already ANSI
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
-    "subq_scalar", "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
+    "subq_scalar", "subq_exists", "subq_lateral",
+    "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
     "events_funnel", "events_path", "meta_profile", "join_skew_salted",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
@@ -1110,6 +1111,24 @@ object SqlCatalog {
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
 
+    // nearest as-of: the oracle's date_diff('microsecond') distance
+    // becomes an interval compare (timestamp subtraction) in Spark
+    "join_asof_near" ->
+      """SELECT event_id, user_id, click_id AS near_click_id,
+        |  click_value AS asof_value
+        |FROM (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |    c.value AS click_value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+        |      CASE WHEN c.ts <= p.ts THEN p.ts - c.ts ELSE c.ts - p.ts END,
+        |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |      CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END)
+        |      AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     // day-partitioned sweep line over intra-day session boundaries
     "events_concurrency" ->
       """WITH marked AS (
@@ -1266,6 +1285,18 @@ object SqlCatalog {
          |  ${dsumSql("value")} AS sum_value,
          |  ${dsumSql("CAST(get_json_object(props, '$.k') AS DOUBLE)")} AS sum_k
          |FROM graft_source_json_back
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "merge_delete" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_delete_sql")}' USING parquet
+         |SELECT e.* FROM events e
+         |LEFT ANTI JOIN (SELECT DISTINCT user_id FROM events
+         |                WHERE user_id % 17 = 0) t
+         |  ON e.user_id = t.user_id""".stripMargin,
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM parquet.`${ioDir("merge_delete_sql")}`
          |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "sink_bucketed" -> Seq(

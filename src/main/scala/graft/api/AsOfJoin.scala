@@ -89,6 +89,56 @@ object AsOfJoin {
         payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
   }
 
+  /** NEAREST-direction as-of: for each left row, attach the right row
+    * whose time is CLOSEST in either direction (ties prefer the backward
+    * match — the pandas `merge_asof(direction='nearest')` convention).
+    * Still ONE key shuffle and one sort: both direction candidates come
+    * from the same union-sweep — the backward carry (`last` over the
+    * preceding frame) and the forward carry (`first` over the following
+    * frame) ride the SAME window ordering, so the two WindowExecs share
+    * one Exchange+Sort — then the winner is a per-row distance compare on
+    * the match times carried inside the structs.
+    *
+    * Tie detail at equal left/right time: the right row sorts before the
+    * left row, so an equal-time match surfaces through the BACKWARD carry
+    * at distance zero (which also wins the tie rule) — the forward carry
+    * being exclusive at equal time is therefore unobservable. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val leftRest = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTime)
+    val payloadType = StructType(
+      org.apache.spark.sql.types.StructField("__mt", right.schema(rightTime).dataType) +:
+        payload.map(c => right.schema(c)))
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
+        leftRest.map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTime).as("__mt") +: payload.map(col): _*).as("__p"): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_left"), col("__p"))
+    val best =
+      when(col("__b").isNull, col("__f"))
+        .when(col("__f").isNull, col("__b"))
+        .when(col("__t") - col("__b.__mt") <= col("__f.__mt") - col("__t"),
+          col("__b"))
+        .otherwise(col("__f"))
+    l.unionByName(r)
+      .withColumn("__b", last(col("__p"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__is_left") === 1)
+      .withColumn("__best", best)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTime)) ++
+        leftRest.map(col) ++
+        payload.map(c => col(s"__best.$c").as(s"asof_$c")): _*)
+  }
+
   /** [[backward]] with a STALENESS BOUND — the feature-store
     * point-in-time rule: a match older than `tolerance` (a Spark interval
     * string, e.g. `"30 MINUTE"`) before the left time is REJECTED

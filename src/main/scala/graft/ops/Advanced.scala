@@ -707,6 +707,45 @@ object Advanced {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS — the subquery surface a SQL front
+    * door must take, DECLARED through `spark.sql` so Catalyst's
+    * RewritePredicateSubquery is the implementation: both subqueries
+    * decorrelate to hash joins (EXISTS → left semi, NOT EXISTS → left
+    * anti — PlanSpec pins both and that no per-row subquery survives).
+    * At 100 TB a correlated subquery executed per row is death by a
+    * million scans; decorrelation makes it two equi joins. */
+  val subqExists: Q = (s, d) => {
+    Seq("customer", "orders").foreach { t =>
+      T(s, d, t).createOrReplaceTempView(t)
+    }
+    s.sql("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 suppliers
+    * per nation, spelled the way an analyst writes it. Catalyst
+    * decorrelates to `WindowGroupLimit` (a bounded per-group top-k that
+    * keeps ≤ k rows per group at the MAP side, before the shuffle) + one
+    * equi join — the per-nation subquery never executes per row, and
+    * nothing sorts a whole group (PlanSpec pins WindowGroupLimit). */
+  val subqLateral: Q = (s, d) => {
+    Seq("nation", "supplier").foreach { t =>
+      T(s, d, t).createOrReplaceTempView(t)
+    }
+    s.sql("""
+      SELECT n_name, s_name, s_acctbal FROM nation n,
+      LATERAL (SELECT s_name, s_acctbal FROM supplier
+               WHERE s_nationkey = n.n_nationkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 2)
+      ORDER BY n_name, s_acctbal DESC, s_name""")
+  }
+
   /** Peak session CONCURRENCY per day — the SWEEP-LINE answer to interval
     * overlap counting: sessions (same derivation as [[eventsSessionize]],
     * intra-day ones) become ±1 boundary points, a day-partitioned running
@@ -867,6 +906,8 @@ object Advanced {
     "sample_reservoir" -> sampleReservoir,
     "agg_linreg" -> aggLinreg,
     "events_concurrency" -> eventsConcurrency,
+    "subq_exists" -> subqExists,
+    "subq_lateral" -> subqLateral,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1284,6 +1325,25 @@ object Advanced {
         |SELECT o_orderstatus, n, slope100 / 1e2 AS slope,
         |  ((sy1 - slope100 * sx) / nd) / 1e2 AS intercept
         |FROM sl ORDER BY o_orderstatus""".stripMargin,
+
+    // dual-dialect ANSI (also the SqlCatalog entries): the declared text
+    // IS the implementation for these two — the oracle engine runs the
+    // identical statement
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                  AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subq_lateral" ->
+      """SELECT n_name, s_name, s_acctbal FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
 
     // the quadratic-free sweep, replayed point by point (same ns→µs cast
     // discipline as events_sessionize)

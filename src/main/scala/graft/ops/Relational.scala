@@ -307,6 +307,27 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of: each PURCHASE attributed to the same user's
+    * click CLOSEST in time, before OR after
+    * ([[graft.api.AsOfJoin.nearest]] — pandas `direction='nearest'`,
+    * ties prefer the backward match). Both direction candidates ride one
+    * union-sweep (the two window frames share a single shuffle+sort);
+    * the winner is a per-row distance compare. */
+  val joinAsofNear: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.api.AsOfJoin.nearest(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("near_click_id"),
+        col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** TPC-H Q1 shape: hash aggregate with partial (map-side) combine —

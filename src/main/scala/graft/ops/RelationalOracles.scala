@@ -209,6 +209,26 @@ object RelationalOracles {
         |    AND c.ts >= p.ts - INTERVAL 30 MINUTE)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // nearest-direction as-of: min |dt| with ties to the backward side;
+    // within a side at equal |dt| the tie mirrors the sweep's carry order
+    // (backward carry = max struct -> max event_id; forward carry =
+    // first in ascending order -> min event_id)
+    "join_asof_near" ->
+      """SELECT event_id, user_id, click_id AS near_click_id,
+        |  click_value AS asof_value
+        |FROM (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |    c.value AS click_value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+        |      abs(date_diff('microsecond', p.ts, c.ts)),
+        |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |      CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END)
+        |      AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "agg_hash" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -446,6 +446,29 @@ object Sources {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Tombstone DELETE compaction — the right-to-be-forgotten rewrite: an
+    * erasure list (here derived deterministically: user_id % 17 = 0)
+    * anti-joins the event log and the survivors are rewritten; the
+    * declared result aggregates the readback, proving the deleted users
+    * are gone AND nothing else changed. The tombstone side broadcasts (a
+    * GDPR list is small by nature); at 100 TB the rewrite cost is one
+    * scan + one broadcast anti join per compaction cycle — the pattern
+    * Delta/Iceberg `DELETE FROM` executes under the hood. */
+  val mergeDelete: Q = (s, d) => {
+    val dir = ioDir("merge_delete")
+    val ev = T.events(s, d)
+    val tomb = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0)
+    ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
@@ -461,9 +484,19 @@ object Sources {
     "table_diff" -> tableDiff,
     "sink_bucketed" -> sinkBucketed,
     "scan_dpp" -> scanDpp,
+    "merge_delete" -> mergeDelete,
   )
 
   val oracles: Map[String, String] = Map(
+    // the erasure list is predicate-derived, so the oracle is the filter
+    // complement — the anti join must agree with it exactly
+    "merge_delete" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events WHERE user_id % 17 <> 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // bucketing is a physical layout choice — the oracle is the plain join
     "sink_bucketed" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_items,

@@ -62,6 +62,30 @@ class ApiSpec extends SparkSpecBase {
     assert(open.toSeq == Seq(Some(10.0), Some(11.0), Some(20.0)))
   }
 
+  test("AsOfJoin.nearest picks the closest side, ties to backward") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(
+      ("A", ts("2025-01-01 10:00:00"), 10.0),
+      ("A", ts("2025-01-01 10:10:00"), 11.0),
+      ("B", ts("2025-01-01 12:00:00"), 20.0)
+    ).toDF("sym", "at", "px")
+    val trades = Seq(
+      ("A", ts("2025-01-01 10:04:00"), 1L), // 4 min back vs 6 min fwd -> 10.0
+      ("A", ts("2025-01-01 10:07:00"), 2L), // 7 min back vs 3 min fwd -> 11.0
+      ("A", ts("2025-01-01 10:05:00"), 3L), // 5 min both ways: tie -> 10.0
+      ("B", ts("2025-01-01 09:00:00"), 4L), // only a following quote -> 20.0
+      ("C", ts("2025-01-01 09:00:00"), 5L)  // no quotes at all -> null
+    ).toDF("sym", "at", "qty")
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"), "at", "at", Seq("px"))
+      .orderBy("sym", "at")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("A", 1L, Some(10.0)), ("A", 3L, Some(10.0)), ("A", 2L, Some(11.0)),
+      ("B", 4L, Some(20.0)), ("C", 5L, None)))
+  }
+
   test("AsOfJoin.forward attaches the earliest following right row per key") {
     val s = spark
     import s.implicits._

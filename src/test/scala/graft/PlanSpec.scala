@@ -140,6 +140,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), "sweep-line concurrency plan contains a join")
   }
 
+  test("subq_exists decorrelates to semi + anti joins (no per-row subquery)") {
+    val p = planString(graft.ops.Advanced.subqExists(spark, sf0001))
+    assert(p.contains("LeftSemi"), "EXISTS did not become a left semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become a left anti join")
+  }
+
+  test("subq_lateral plans a bounded WindowGroupLimit, not per-row subqueries") {
+    val p = planString(graft.ops.Advanced.subqLateral(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"),
+      "lateral top-k did not push a per-group limit below the window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "lateral join degenerated to a non-equi join")
+  }
+
+  test("join_asof_near shares one sweep for both directions (no join)") {
+    val p = planString(Relational.joinAsofNear(spark, sf0001))
+    assert(!p.contains("Join"), "nearest as-of fell back to a join")
+    assert(p.contains("Window"), "nearest as-of lost its window sweep")
+  }
+
   test("join_skew_salted is a shuffled equi-join on (key, salt)") {
     val p = planString(graft.ops.Advanced.joinSkewSalted(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
