@@ -83,6 +83,7 @@ object SparkEntry {
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_knn_join"     -> LlmPipeline.simKnnJoin,
+    "embed_quantize"   -> LlmPipeline.embedQuantize,
     "dedup_contaminate" -> LlmPipeline.dedupContaminate,
     "text_stats"       -> LlmPipeline.textStats,
     "text_lang"        -> LlmPipeline.textLang,

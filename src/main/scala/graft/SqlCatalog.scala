@@ -1129,6 +1129,92 @@ object SqlCatalog {
         |    ON c.user_id = p.user_id)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // gaps-and-islands: DuckDB's DATE - INTEGER arithmetic is date_sub here
+    "events_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    date_sub(day, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                    ORDER BY day)) AS anchor
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_streaks,
+        |  SUM(len) AS active_days,
+        |  MAX(len) AS longest_streak
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the REAL argmax aggregate surface (the oracle spells it row_number):
+    // struct-ordered max_by/min_by, deterministic under ties
+    "agg_argmax" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS top_key,
+        |  round(MAX(o_totalprice), 2) AS top_price,
+        |  min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS bottom_key,
+        |  round(MIN(o_totalprice), 2) AS bottom_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // interval-overlap via the day-bucket equi join (the oracle spells the
+    // naive windows-LEFT-JOIN-sessions band predicate)
+    "join_interval" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_new
+        |  FROM events WHERE user_id % 5 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked),
+        |sess AS (SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM numbered GROUP BY user_id, session_no),
+        |intra AS (SELECT *, CAST(st AS DATE) AS day FROM sess
+        |          WHERE CAST(st AS DATE) = CAST(en AS DATE)),
+        |wins AS (
+        |  SELECT day, w_id,
+        |    CAST(day AS TIMESTAMP) + CASE WHEN w_id = 1 THEN INTERVAL 10 HOURS
+        |      ELSE INTERVAL 18 HOURS END AS w_start,
+        |    CAST(day AS TIMESTAMP) + CASE WHEN w_id = 1 THEN INTERVAL 14 HOURS
+        |      ELSE INTERVAL 20 HOURS END AS w_end
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+        |  LATERAL VIEW explode(array(1, 2)) v AS w_id),
+        |hits AS (
+        |  SELECT s.day, w.w_id, COUNT(*) AS ns,
+        |    COUNT(DISTINCT s.user_id) AS nu
+        |  FROM intra s JOIN wins w
+        |    ON s.day = w.day AND s.st < w.w_end AND s.en >= w.w_start
+        |  GROUP BY s.day, w.w_id)
+        |SELECT w.day, w.w_id,
+        |  coalesce(h.ns, CAST(0 AS BIGINT)) AS n_sessions,
+        |  coalesce(h.nu, CAST(0 AS BIGINT)) AS n_users
+        |FROM wins w LEFT JOIN hits h ON w.day = h.day AND w.w_id = h.w_id
+        |ORDER BY w.day, w.w_id""".stripMargin,
+
+    // int8 min-max quantization: posexplode is the Spark spelling of the
+    // oracle's zipped parallel unnests
+    "embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, dim, CAST(xf AS DOUBLE) AS x
+        |  FROM embeddings
+        |  LATERAL VIEW posexplode(embedding) t AS dim, xf),
+        |stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        |codes AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN mx > mn THEN
+        |      CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        |        floor((x - mn) * CAST(255 AS DOUBLE) / (mx - mn)))) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS code
+        |  FROM ex JOIN stats USING (dim))
+        |SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+        |  SUM(code) AS sum_codes,
+        |  MIN(code) AS min_code, MAX(code) AS max_code
+        |FROM codes GROUP BY label ORDER BY label""".stripMargin,
+
     // day-partitioned sweep line over intra-day session boundaries
     "events_concurrency" ->
       """WITH marked AS (

@@ -870,6 +870,104 @@ object Advanced {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** GAPS-AND-ISLANDS: per-user consecutive-day activity streaks — the
+    * engagement metric behind "7-day streak" badges and churn features.
+    * The classic anchor trick: distinct active days per user, row_number
+    * along the day order, `day - rn` is CONSTANT exactly on a run of
+    * consecutive days, so grouping by that anchor date recovers each
+    * maximal island without any self-join or iterative pass. Two
+    * aggregations and one window, all partitioned by user — per-user
+    * state is bounded by that user's distinct days, and the distinct,
+    * the window and both groupBys reuse the SAME hash partitioning on
+    * user_id (one Exchange total). All-integer/date arithmetic — exact
+    * across engines. */
+  val eventsStreak: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    T.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      // one explicit user_id shuffle up front: hashpartitioning(user_id)
+      // satisfies the clustering of the (user_id, day) distinct, the
+      // window, and both downstream groupBys — so the whole gaps-and-
+      // islands pipeline runs on a SINGLE Exchange (PlanSpec pins it)
+      .repartition(col("user_id"))
+      .distinct()
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ARGMAX / ARGMIN aggregates — `max_by`/`min_by`: which order was each
+    * status's most (and least) expensive, in ONE hash aggregate. The
+    * ordering key is a (price, orderkey) struct so ties resolve
+    * deterministically (max side → larger key, min side → smaller key),
+    * which is what makes an argmax reproducible at all across engines and
+    * partition counts. The 100 TB contrast is the oracle's own spelling:
+    * a row_number window that SORTS every group's full payload to keep
+    * one row — max_by carries a single (value, arg) pair per group
+    * through a map-side-combined aggregate instead. */
+  val aggArgmax: Q = (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_key"),
+        round(max(col("o_totalprice")), 2).as("top_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_key"),
+        round(min(col("o_totalprice")), 2).as("bottom_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** INTERVAL-OVERLAP join — sessions × audit windows (two fixed daily
+    * windows, 10:00–14:00 and 18:00–20:00): how many sessions, and how
+    * many distinct users, were active during each window. The scalable
+    * shape for "which intervals overlap": both sides carry a DAY bucket
+    * (sessions here are intra-day, windows are by construction), so the
+    * overlap join is an EQUI join on day with the `start < wEnd AND
+    * end >= wStart` band as a residual filter — never a nested-loop over
+    * unbounded intervals. The window table is bounded (2/day) and
+    * broadcasts; empty windows are restored by a second tiny broadcast
+    * join against the aggregated counts, so the fact side streams through
+    * exactly one scan. Same session derivation as [[eventsSessionize]].  */
+  val joinInterval: Q = (s, d) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = T.events(s, d)
+      .filter(col("user_id") % 5 === 0)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(wu))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .filter(to_date(col("st")) === to_date(col("en"))) // intra-day only
+      .withColumn("day", to_date(col("st")))
+    val wins = T.events(s, d)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .select(col("day"), explode(array(lit(1), lit(2))).as("w_id"))
+      .withColumn("w_start", expr(
+        "CAST(day AS TIMESTAMP) + CASE WHEN w_id = 1 THEN INTERVAL 10 HOURS ELSE INTERVAL 18 HOURS END"))
+      .withColumn("w_end", expr(
+        "CAST(day AS TIMESTAMP) + CASE WHEN w_id = 1 THEN INTERVAL 14 HOURS ELSE INTERVAL 20 HOURS END"))
+    val hits = sessions.join(broadcast(wins), Seq("day"))
+      .filter(col("st") < col("w_end") && col("en") >= col("w_start"))
+      .groupBy(col("day"), col("w_id"))
+      .agg(count(lit(1)).as("ns"), countDistinct(col("user_id")).as("nu"))
+    wins.select(col("day"), col("w_id"))
+      .join(broadcast(hits), Seq("day", "w_id"), "left")
+      .select(col("day"), col("w_id"),
+        coalesce(col("ns"), lit(0L)).as("n_sessions"),
+        coalesce(col("nu"), lit(0L)).as("n_users"))
+      .orderBy(col("day"), col("w_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
@@ -908,6 +1006,9 @@ object Advanced {
     "events_concurrency" -> eventsConcurrency,
     "subq_exists" -> subqExists,
     "subq_lateral" -> subqLateral,
+    "events_streak" -> eventsStreak,
+    "agg_argmax" -> aggArgmax,
+    "join_interval" -> joinInterval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1344,6 +1445,72 @@ object Advanced {
         |         WHERE s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
+
+    // gaps-and-islands anchor trick; DuckDB DATE - INTEGER arithmetic
+    // (the Spark front-door text spells it date_sub)
+    "events_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(SUM(len) AS BIGINT) AS active_days,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the row_number spelling of argmax — semantically the max_by/min_by
+    // aggregate with the same (price, key) tie order
+    "agg_argmax" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_key,
+        |  round(MAX(CASE WHEN rmax = 1 THEN o_totalprice END), 2) AS top_price,
+        |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_key,
+        |  round(MAX(CASE WHEN rmin = 1 THEN o_totalprice END), 2) AS bottom_price,
+        |  COUNT(*) AS n
+        |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the naive overlap spelling (windows LEFT JOIN sessions on the band
+    // predicate) — identical rows to the day-bucketed equi-join plan
+    "join_interval" ->
+      """WITH ev AS (SELECT user_id, ts, event_id FROM events
+        |            WHERE user_id % 5 = 0),
+        |lagd AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts FROM ev),
+        |marked AS (SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS session_no
+        |  FROM lagd),
+        |sessions AS (SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM marked GROUP BY 1, 2),
+        |intra AS (SELECT * FROM sessions
+        |          WHERE CAST(st AS DATE) = CAST(en AS DATE)),
+        |wins AS (
+        |  SELECT day, w_id,
+        |    CAST(day AS TIMESTAMP) + CASE w_id WHEN 1 THEN INTERVAL 10 HOUR
+        |      ELSE INTERVAL 18 HOUR END AS w_start,
+        |    CAST(day AS TIMESTAMP) + CASE w_id WHEN 1 THEN INTERVAL 14 HOUR
+        |      ELSE INTERVAL 20 HOUR END AS w_end
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |       (VALUES (1), (2)) v(w_id))
+        |SELECT w.day, w.w_id, COUNT(s.user_id) AS n_sessions,
+        |  COUNT(DISTINCT s.user_id) AS n_users
+        |FROM wins w LEFT JOIN intra s
+        |  ON CAST(s.st AS DATE) = w.day AND s.st < w.w_end AND s.en >= w.w_start
+        |GROUP BY w.day, w.w_id ORDER BY w.day, w.w_id""".stripMargin,
 
     // the quadratic-free sweep, replayed point by point (same ns→µs cast
     // discipline as events_sessionize)

@@ -316,6 +316,50 @@ object LlmPipeline {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Scalar INT8 quantization of the embedding corpus — the memory lever
+    * behind every large ANN deployment (4× smaller vectors than float32 →
+    * 4× more candidates per executor, and SIMD-friendly integer distance).
+    * Classic min-max scheme: per-DIMENSION corpus min/max (one fixed-size
+    * aggregate — d rows regardless of corpus size), folded into a single
+    * 1-row model of ordered (mns, mxs) arrays that BROADCASTS back; each
+    * vector then quantizes map-side with a codegen'd HOF —
+    * `floor((x - mn_i) * 255 / (mx_i - mn_i))` clamped to [0, 255] — so
+    * the only data shuffle is the final per-label checksum aggregate.
+    * Every arithmetic step is one fixed IEEE double op sequence and the
+    * codes/checksums are integers — bit-identical across engines, which
+    * is exactly what the oracle hash-checks. Constant dimensions
+    * (mx == mn) quantize to 0 by convention. */
+  val embedQuantize: Q = (s, d) => {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val model = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("st"))
+      .select(transform(col("st"), r => r.getField("mn")).as("mns"),
+        transform(col("st"), r => r.getField("mx")).as("mxs"))
+    e.crossJoin(broadcast(model))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), (xf, i) => {
+          val mn = element_at(col("mns"), i + lit(1))
+          val mx = element_at(col("mxs"), i + lit(1))
+          when(mx > mn,
+            least(lit(255.0), greatest(lit(0.0),
+              floor((xf.cast("double") - mn) * lit(255.0) / (mx - mn))))
+              .cast("long"))
+            .otherwise(lit(0L))
+        }).as("codes"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(aggregate(col("codes"), lit(0L), (a, c) => a + c)).as("sum_codes"),
+        min(array_min(col("codes"))).as("min_code"),
+        max(array_max(col("codes"))).as("max_code"))
+      .orderBy(col("label"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Corpus statistics per (lang, source): doc counts, exact char sums,
@@ -964,6 +1008,28 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // int8 min-max quantization: DuckDB zips parallel unnests, so
+    // (value, dimension-index) pairs come from one pass; the arithmetic
+    // is the same fixed IEEE sequence as the Spark HOF
+    "embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    unnest(range(len(embedding))) AS dim
+        |  FROM embeddings),
+        |stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+        |codes AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN mx > mn THEN
+        |      CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        |        floor((x - mn) * CAST(255 AS DOUBLE) / (mx - mn)))) AS BIGINT)
+        |    ELSE 0 END AS code
+        |  FROM ex JOIN stats USING (dim))
+        |SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+        |  CAST(SUM(code) AS BIGINT) AS sum_codes,
+        |  MIN(code) AS min_code, MAX(code) AS max_code
+        |FROM codes GROUP BY label ORDER BY label""".stripMargin,
 
     "dedup_contaminate" ->
       s"""WITH $corpusSql,

@@ -161,6 +161,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "nearest as-of lost its window sweep")
   }
 
+  test("events_streak runs the whole islands pipeline on ONE hash exchange") {
+    val exec = graft.ops.Advanced.eventsStreak(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(exec).length
+    assert(n == 1,
+      s"distinct/window/groupBys should reuse one user_id shuffle, got $n")
+  }
+
+  test("agg_argmax is a single aggregate, never the oracle's sorted window") {
+    val p = planString(graft.ops.Advanced.aggArgmax(spark, sf0001))
+    assert(!p.contains("Window"),
+      "argmax fell back to a row_number window")
+  }
+
+  test("join_interval overlap join is day-bucketed broadcast equi, not a loop") {
+    val p = planString(graft.ops.Advanced.joinInterval(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "window table did not broadcast into an equi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval overlap degenerated to a nested loop")
+  }
+
+  test("embed_quantize broadcasts the 1-row min-max model, no vector shuffle join") {
+    val p = planString(LlmPipeline.embedQuantize(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the quantization model should broadcast to the corpus scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "vectors should never shuffle to meet the fixed-size model")
+  }
+
   test("join_skew_salted is a shuffled equi-join on (key, salt)") {
     val p = planString(graft.ops.Advanced.joinSkewSalted(spark, sf0001))
     assert(p.contains("ShuffledHashJoin"),
