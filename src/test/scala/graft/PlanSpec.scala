@@ -401,6 +401,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "Q5 planned a cartesian product")
   }
 
+  test("tpch_q6 is a pure pushed-down scan + agg: no join, filters at the reader") {
+    val p = planString(graft.ops.Composite.tpchQ6(spark, sf0001))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "shipdate range not pushed to the scan")
+    assert(!p.contains("Join"), "Q6 must not plan any join")
+  }
+
+  test("tpch_q14 broadcasts part (the dim side) — no sort-merge fallback") {
+    val p = planString(graft.ops.Composite.tpchQ14(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "part dim not broadcast in Q14")
+    assert(!p.contains("SortMergeJoin"), "Q14 fell back to sort-merge")
+  }
+
+  test("tpch_q18 takes top-100 via TakeOrderedAndProject, no cartesian") {
+    val p = planString(graft.ops.Composite.tpchQ18(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "Q18 top-100 should be TakeOrderedAndProject, not a global sort")
+    assert(!p.contains("CartesianProduct"), "Q18 planned a cartesian product")
+  }
+
   test("sink_partitioned readback prunes to the filtered partition") {
     // materialize the partitioned layout, then audit the readback scan
     graft.ops.Sources.sinkPartitioned(spark, sf0001).collect()
