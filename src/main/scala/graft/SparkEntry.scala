@@ -65,6 +65,8 @@ object SparkEntry {
     "fn_map"           -> Functions.fnMap,
     "fn_unpivot"       -> Functions.fnUnpivot,
     "fn_bitwise"       -> Functions.fnBitwise,
+    "fn_regex"         -> Functions.fnRegex,
+    "fn_url"           -> Functions.fnUrl,
     // streaming semantics (batch-mode declared; stream-mode in tests)
     "stream_tumbling"  -> Streaming.streamTumbling,
     "stream_sliding"   -> Streaming.streamSliding,

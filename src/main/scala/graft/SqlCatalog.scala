@@ -72,10 +72,12 @@ object SqlCatalog {
     "sort_limit_topk", "set_union", "set_intersect", "set_except",
     "set_ops_all",
     // advanced aggregates / windows whose oracle SQL is already ANSI
+    "agg_conditional",
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "subq_exists", "subq_lateral",
     "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
-    "events_funnel", "events_path", "meta_profile", "join_skew_salted",
+    "events_funnel", "events_path", "events_anomaly", "graph_triangles",
+    "meta_profile", "join_skew_salted",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -309,6 +311,32 @@ object SqlCatalog {
         |  CAST(bit_count(l_partkey) AS INT) AS k_pop
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Spark regex backreferences are `$1` (DuckDB's oracle uses `\1`);
+    // regexp_count / rlike are the Spark spellings
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS adj,
+        |  CAST(regexp_count(p_name, '[aeiou]') AS BIGINT) AS n_vowels,
+        |  regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '$2 $1') AS swapped,
+        |  p_name RLIKE '^(small|large)' AS is_sized
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // Spark has structured parse_url; the DuckDB oracle recomputes the
+    // parts from the planted key columns instead
+    "fn_url" ->
+      """SELECT event_id, url,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS path,
+        |  CAST(parse_url(url, 'QUERY', 'q') AS BIGINT) AS q_val
+        |FROM (
+        |  SELECT event_id,
+        |    concat('https://ex', CAST(event_id % 5 AS STRING), '.com/p/',
+        |      CAST(user_id AS STRING), '?q=', CAST(event_id % 7 AS STRING),
+        |      '&s=1') AS url
+        |  FROM events WHERE event_id % 97 = 0)
+        |ORDER BY event_id""".stripMargin,
 
     // ------------------------------------------- advanced aggs / windows
     "agg_percentile" ->

@@ -968,7 +968,95 @@ object Advanced {
       .orderBy(col("day"), col("w_id"))
   }
 
+  /** Conditional-aggregation pack — the SQL `FILTER (WHERE …)` family:
+    * per-status conditional counts, a conditional exact revenue sum
+    * (`dsum` over a `when` with no otherwise → nulls drop out of the
+    * sum), and the boolean quantifier aggregates `bool_and`/`bool_or`.
+    * One two-phase hash aggregate, map-side partials for every column —
+    * conditional aggregation costs nothing extra at 100 TB because the
+    * predicate evaluates in the partial-agg projection, not in a
+    * separate pass. */
+  val aggConditional: Q = (s, d) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(high, 1)).as("n_high"),
+        dsum(when(high, col("o_totalprice"))).as("high_value"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Rolling anomaly detection — the monitoring query every event
+    * pipeline runs: per-type daily counts, a trailing 7-day baseline
+    * (mean/variance over `ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING`),
+    * flag days whose count deviates > 3σ. The 3σ test is evaluated in
+    * PURE INTEGER arithmetic — `(k·x − S)² > 9·(k·SS − S²)` is the exact
+    * algebraic form of `(x−μ)² > 9σ²` scaled by k² — so the flag is
+    * bit-portable with no float rounding anywhere. One shuffle to the
+    * daily grain, one window sort per type partition; at 100 TB the
+    * daily pre-aggregation collapses the input to (types × days) rows
+    * before the window ever runs. */
+  val eventsAnomaly: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("prev_days", count(lit(1)).over(w))
+      .withColumn("prev_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("prev_ss",
+        coalesce(sum(col("n") * col("n")).over(w), lit(0L)))
+      .withColumn("dev", col("prev_days") * col("n") - col("prev_sum"))
+      .withColumn("is_anomaly", col("prev_days") >= 3 &&
+        col("dev") * col("dev") > lit(9L) *
+          (col("prev_days") * col("prev_ss") - col("prev_sum") * col("prev_sum")))
+      .select(col("event_type"), col("day"), col("n"),
+        col("prev_days"), col("prev_sum"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Triangle counting on the user co-occurrence graph — the third graph
+    * primitive next to `graph_pagerank` and the connected components in
+    * `dedup_cluster`. Nodes: a deterministic 1-in-2 user slice; edges:
+    * users co-active in the same (event_type, hour) bucket (deduped,
+    * ordered u1 < u2 so each undirected edge exists once); triangles: the
+    * canonical two-hop join `e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)` with a < b < c,
+    * so each triangle counts exactly once. Per-node output = triangles
+    * through each vertex (a appears in 1 of the 3 orderings per triangle
+    * — count via union of the three corners). Every stage is an
+    * equi-shuffle join on a vertex key — no cartesian anywhere; at scale
+    * the bucket self-join is bounded by per-bucket distinct-user counts
+    * (the analogue of LSH-band bounding in the dedup family). */
+  val graphTriangles: Q = (s, d) => {
+    val nodes = T.events(s, d)
+      .filter(col("user_id") % 2 === 0)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("user_id")).distinct()
+    val a = nodes.select(col("event_type"), col("hr"), col("user_id").as("u1"))
+    val b = nodes.select(col("event_type"), col("hr"), col("user_id").as("u2"))
+    val edges = a.join(b, Seq("event_type", "hr"))
+      .filter(col("u1") < col("u2"))
+      .select(col("u1"), col("u2")).distinct()
+    val e1 = edges.select(col("u1").as("a"), col("u2").as("b"))
+    val e2 = edges.select(col("u1").as("b"), col("u2").as("c"))
+    val e3 = edges.select(col("u1").as("a"), col("u2").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val perCorner = tri.select(col("a").as("user_id"))
+      .unionAll(tri.select(col("b").as("user_id")))
+      .unionAll(tri.select(col("c").as("user_id")))
+    perCorner.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_conditional" -> aggConditional,
+    "events_anomaly" -> eventsAnomaly,
+    "graph_triangles" -> graphTriangles,
     "agg_salted" -> aggSalted,
     "agg_hll_sketch" -> aggHllSketch,
     "agg_stats" -> aggStats,
@@ -1012,6 +1100,66 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_conditional" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS BIGINT) AS n_high,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8)))
+        |    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), 2)
+        |    AS DOUBLE) AS high_value,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // 3σ test in PURE INTEGER arithmetic — (k·x − S)² > 9·(k·SS − S²) is
+    // (x−μ)² > 9σ² scaled by k², so the flag is bit-portable. DuckDB's
+    // window SUM(BIGINT) returns HUGEINT → cast back (Spark no-op).
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT event_type, day, n,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_days,
+        |    COALESCE(CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev_sum,
+        |    COALESCE(CAST(SUM(n * n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev_ss
+        |  FROM daily)
+        |SELECT event_type, day, n, prev_days, prev_sum,
+        |  prev_days >= 3 AND
+        |    (prev_days * n - prev_sum) * (prev_days * n - prev_sum)
+        |      > 9 * (prev_days * prev_ss - prev_sum * prev_sum) AS is_anomaly
+        |FROM win
+        |ORDER BY event_type, day""".stripMargin,
+
+    // canonical two-hop triangle enumeration with a < b < c — each
+    // triangle materializes exactly once; per-node counts via the
+    // three-corner union
+    "graph_triangles" ->
+      """WITH nodes AS (
+        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
+        |  FROM events WHERE user_id % 2 = 0
+        |), edges AS (
+        |  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+        |  FROM nodes a JOIN nodes b
+        |    ON a.event_type = b.event_type AND a.hr = b.hr
+        |   AND a.user_id < b.user_id
+        |), tri AS (
+        |  SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.u1 = e1.u2
+        |  JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+        |), corners AS (
+        |  SELECT a AS user_id FROM tri
+        |  UNION ALL SELECT b AS user_id FROM tri
+        |  UNION ALL SELECT c AS user_id FROM tri)
+        |SELECT user_id, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "agg_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

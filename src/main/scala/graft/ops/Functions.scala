@@ -138,7 +138,60 @@ object Functions {
         expr("bit_count(l_partkey)").cast("int").as("k_pop"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Regex pack: group extract, match counting, backreference swap, RLIKE
+    * — restricted to syntax Java regex and RE2 parse identically (char
+    * classes, anchors, alternation; no backtracking constructs). The
+    * backreference SPELLING differs per dialect (Spark `$1`, DuckDB `\1`)
+    * so the SQL front door carries a Spark-dialect text. All codegen'd
+    * built-ins — at 100 TB regex evaluation fuses into the scan. */
+  val fnRegex: Q = (s, d) =>
+    T.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("noun"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("adj"),
+      regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+      regexp_replace(col("p_name"), "^([a-z]+) ([a-z]+)$", "$2 $1").as("swapped"),
+      col("p_name").rlike("^(small|large)").as("is_sized"))
+      .orderBy(col("p_partkey"))
+
+  /** URL pack: structured extraction (host / path / query param) from a
+    * URL column via the native `parse_url`. The harness tables carry no
+    * URLs, so the query PLANTS one deterministically from key columns —
+    * the same recipe as `text_pii` — and the oracle recomputes the parts
+    * from the same keys (engine-independent ground truth rather than a
+    * second regex implementation). */
+  val fnUrl: Q = (s, d) =>
+    T.events(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .withColumn("url", concat(
+        lit("https://ex"), (col("event_id") % 5).cast("string"),
+        lit(".com/p/"), col("user_id").cast("string"),
+        lit("?q="), (col("event_id") % 7).cast("string"), lit("&s=1")))
+      .select(col("event_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("q")).cast("long").as("q_val"))
+      .orderBy(col("event_id"))
+
   val oracles: Map[String, String] = Map(
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS adj,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '\2 \1') AS swapped,
+        |  regexp_matches(p_name, '^(small|large)') AS is_sized
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_url" ->
+      """SELECT event_id,
+        |  'https://ex' || (event_id % 5) || '.com/p/' || user_id
+        |    || '?q=' || (event_id % 7) || '&s=1' AS url,
+        |  'ex' || (event_id % 5) || '.com' AS host,
+        |  '/p/' || user_id AS path,
+        |  CAST(event_id % 7 AS BIGINT) AS q_val
+        |FROM events WHERE event_id % 97 = 0
+        |ORDER BY event_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & 255 AS k_and,

@@ -537,6 +537,48 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_conditional is one two-phase hash aggregate (no extra pass per predicate)") {
+    val p = planString(graft.ops.Advanced.aggConditional(spark, sf0001))
+    assert(p.contains("HashAggregate"), "conditional aggs not a hash aggregate")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "FILTER-family aggregation should need no join and no window")
+    assert(!p.contains("Expand"),
+      "conditional aggregation expanded rows (count-distinct-style Expand)")
+  }
+
+  test("events_anomaly pre-aggregates to the daily grain before the window") {
+    val df = graft.ops.Advanced.eventsAnomaly(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("Join"), "anomaly baseline plan contains a join")
+    // raw events must collapse via a partial+final hash agg BEFORE the
+    // trailing-window sort — the window runs on types×days rows only
+    val p1 = df.queryExecution.executedPlan.toString
+    val aggIdx = p1.indexOf("HashAggregate")
+    val winIdx = p1.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window does not consume the daily aggregate (agg@$aggIdx win@$winIdx)")
+  }
+
+  test("graph_triangles enumerates via equi-joins only (never |V|^2)") {
+    val p = planString(graft.ops.Advanced.graphTriangles(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "triangle enumeration degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration degenerated to a nested loop")
+  }
+
+  test("fn_regex and fn_url fuse into the scan (no agg, no join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    Seq("fn_regex" -> graft.ops.Functions.fnRegex(spark, sf0001),
+      "fn_url" -> graft.ops.Functions.fnUrl(spark, sf0001)).foreach {
+      case (name, df) =>
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case a: Aggregate => a; case j: Join => j
+        }
+        assert(bad.isEmpty, s"$name plans ${bad.size} agg/join nodes")
+    }
+  }
+
   test("agg_hash is a two-phase hash aggregate (map-side partial)") {
     val df = Relational.aggHash(spark, sf0001)
     df.collect() // materialize THIS query execution so AQE finalizes stages
