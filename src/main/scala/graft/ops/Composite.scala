@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -171,14 +172,218 @@ object Composite {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape (order priority checking): harness lineitem has no
+    * l_commitdate/l_receiptdate, so "late" is adapted to shipping >60 days
+    * after the order date — same plan shape: a quarter slice of orders,
+    * EXISTS-reduced against lineitem (left-semi with an extra non-equi
+    * residual on the equi key), then a tiny priority rollup. At 100 TB the
+    * semi join shuffles once on the order key and the residual predicate
+    * is evaluated inside the hash join — no second pass, no dedup. */
+  val tpchQ4: Q = (s, d) => {
+    val q0 = lit("1995-07-01").cast("timestamp")
+    val q1 = lit("1995-10-01").cast("timestamp")
+    val o = T.orders(s, d)
+      .filter(col("o_orderdate") >= q0 && col("o_orderdate") < q1)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): revenue flow
+    * supplier-nation → customer-nation by ship year. Both nation dims are
+    * pre-filtered to the two nations of interest BEFORE any fact join
+    * (92% of suppliers/customers drop without touching lineitem), nations
+    * broadcast, orders↔customer and lineitem↔orders shuffle on their keys
+    * once each. */
+  val tpchQ7: Q = (s, d) => {
+    val nats = Seq("NATION_3", "NATION_7")
+    val n1 = T.nation(s, d).filter(col("n_name").isin(nats: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = T.nation(s, d).filter(col("n_name").isin(nats: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sup = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = T.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val l = T.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revenue.as("rev"))
+    l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(dsum(col("rev")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): NATION_5's share of PROMO-part
+    * revenue sold into AMERICA by order year. The share is a single IEEE
+    * division of two [[dsum]]-exact doubles — bit-identical across engines.
+    * Part (type-filtered) broadcasts; supplier-nation broadcast; the
+    * region-filtered customer set joins orders on the shuffled cust key. */
+  val tpchQ8: Q = (s, d) => {
+    val y0 = lit("1995-01-01").cast("timestamp")
+    val y1 = lit("1997-01-01").cast("timestamp")
+    val p = T.part(s, d).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val r = T.region(s, d).filter(col("r_name") === "AMERICA")
+    val n2 = T.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = T.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val ord = T.orders(s, d)
+      .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    val n1 = T.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    val sup = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("nation"))
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenue.as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        dsum(when(col("nation") === "NATION_5", col("volume")).otherwise(0.0))
+          .as("nation_volume"),
+        dsum(col("volume")).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): left join
+    * customer→(filtered) orders, count per customer, then histogram the
+    * counts. Two shuffles total — custkey, then the tiny count key — and
+    * the left join keeps zero-order customers as count 0. */
+  val tpchQ13: Q = (s, d) => {
+    val o = T.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    T.customer(s, d).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    * the max. The max is a 1-row aggregate joined back as an EQUI key
+    * (BroadcastHashJoin, not a nested-loop) and the winner set — by
+    * construction ≥1 row, almost always 1 — broadcasts into supplier. */
+  val tpchQ15: Q = (s, d) => {
+    val q0 = lit("1996-01-01").cast("timestamp")
+    val q1 = lit("1996-04-01").cast("timestamp")
+    val rev0 = T.lineitem(s, d)
+      .filter(col("l_shipdate") >= q0 && col("l_shipdate") < q1)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(revenue).as("total_revenue"))
+    val maxRev = rev0.agg(max(col("total_revenue")).as("max_rev"))
+    val top = rev0.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+    T.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): for one brand's
+    * parts, revenue from lineitems under 20% of that part's average
+    * quantity. The correlated scalar subquery becomes a window average
+    * partitioned by part key — ONE shuffle on l_partkey, no self-join.
+    * Quantities are integer-valued doubles so the window average is exact
+    * regardless of intra-partition order. */
+  val tpchQ17: Q = (s, d) => {
+    val p = T.part(s, d).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    T.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive brackets): three
+    * brand/size/quantity OR-brackets over lineitem×part. The part side is
+    * pre-filtered to the three brands (the implied disjunct of the
+    * brackets) so the broadcast carries ~12% of the dim, and the mixed
+    * residual evaluates inside the hash join. */
+  val tpchQ19: Q = (s, d) => {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#14")
+    val p = T.part(s, d).filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    T.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), revenue.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(dsum(col("rev")).as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balance and no URGENT orders, rolled up by
+    * synthetic country code (nationkey mod 10). The positive-balance
+    * average is a 1-row exact-decimal aggregate broadcast into the filter;
+    * the "no urgent orders" test is a left-anti shuffle on the cust key. */
+  val tpchQ22: Q = (s, d) => {
+    val c = T.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tpch_q3" -> tpchQ3,
+    "tpch_q4" -> tpchQ4,
     "tpch_q5" -> tpchQ5,
     "tpch_q6" -> tpchQ6,
+    "tpch_q7" -> tpchQ7,
+    "tpch_q8" -> tpchQ8,
     "tpch_q10" -> tpchQ10,
     "tpch_q12" -> tpchQ12,
+    "tpch_q13" -> tpchQ13,
     "tpch_q14" -> tpchQ14,
+    "tpch_q15" -> tpchQ15,
+    "tpch_q17" -> tpchQ17,
     "tpch_q18" -> tpchQ18,
+    "tpch_q19" -> tpchQ19,
+    "tpch_q22" -> tpchQ22,
   )
 
   private val rev = "l_extendedprice * (1.0 - l_discount)"
@@ -269,5 +474,114 @@ object Composite {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_q4" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+         |  AND o_orderdate < TIMESTAMP '1995-10-01'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey
+         |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsumSql(rev)} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q8" ->
+      s"""SELECT o_year, nation_volume, total_volume,
+         |  nation_volume / total_volume AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    ${dsumSql("CASE WHEN n1.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_volume,
+         |    ${dsumSql(rev)} AS total_volume
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY CAST(year(o_orderdate) AS BIGINT))
+         |ORDER BY o_year""".stripMargin,
+
+    "tpch_q13" ->
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer
+         |  LEFT JOIN orders ON c_custkey = o_custkey
+         |    AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey)
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${dsumSql(rev)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      s"""SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23'
+         |  AND l_quantity < (
+         |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+         |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "tpch_q19" ->
+      s"""SELECT ${dsumSql(rev)} AS revenue
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q22" ->
+      s"""SELECT cntrycode, count(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM (
+         |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+         |  FROM customer
+         |  WHERE c_acctbal > (
+         |      SELECT ${dsumSql("c_acctbal")} / COUNT(*)
+         |      FROM customer WHERE c_acctbal > 0.0)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM orders
+         |      WHERE o_custkey = c_custkey
+         |        AND o_orderpriority = '1-URGENT'))
+         |GROUP BY cntrycode
+         |ORDER BY cntrycode""".stripMargin,
   )
 }
