@@ -101,6 +101,9 @@ object SparkEntry {
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "text_pack"        -> LlmPipeline.textPack,
+    "text_chunk"       -> LlmPipeline.textChunk,
+    "text_bpe_pairs"   -> LlmPipeline.textBpePairs,
+    "text_mixture"     -> LlmPipeline.textMixture,
     "cluster_kmeans"   -> LlmPipeline.clusterKmeans,
     "pipeline_e2e"     -> LlmPipeline.pipelineE2e,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,

@@ -1010,6 +1010,49 @@ object SqlCatalog {
         |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
         |ORDER BY lang, seq""".stripMargin,
 
+    "text_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id, l, CAST(size(l) AS BIGINT) AS n_tok,
+        |    explode(sequence(CAST(0 AS BIGINT), greatest(CAST(1 AS BIGINT),
+        |      CAST(floor((size(l) - 17) / 48.0) AS BIGINT) + 1) - 1))
+        |      AS chunk_idx
+        |  FROM tok)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+        |  least(CAST(64 AS BIGINT), n_tok - chunk_idx * 48) AS chunk_len,
+        |  md5(array_join(slice(l, CAST(chunk_idx * 48 + 1 AS INT),
+        |    CAST(least(CAST(64 AS BIGINT), n_tok - chunk_idx * 48) AS INT)),
+        |    ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT split(text, ' ') AS l FROM documents
+        |  WHERE size(split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT explode(transform(sequence(1, size(l) - 1),
+        |    i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1))))
+        |    AS pair
+        |  FROM tok)
+        |SELECT pair, count(*) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+
+    "text_mixture" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang, n_docs,
+        |    ((SELECT min(n_docs) FROM counts) * 10000) DIV n_docs AS rate_bp
+        |  FROM counts)
+        |SELECT lang, n_docs, rate_bp, count(*) AS n_kept
+        |FROM documents JOIN rates USING (lang)
+        |WHERE md5_48(CAST(doc_id AS STRING)) % 10000 < rate_bp
+        |GROUP BY lang, n_docs, rate_bp
+        |ORDER BY lang""".stripMargin,
+
     // the composed pipeline as one statement: normalize → gate → exact
     // dedup → near-dedup (semantic quadratic form — same rows as the
     // prefix-filtered DataFrame plan) → pack

@@ -703,6 +703,78 @@ object LlmPipeline {
       .orderBy(col("lang"), col("seq"))
   }
 
+  /** Overlapping token-window chunking (64-token windows, stride 48) —
+    * the context-window prep for RAG indexing and long-document
+    * pretraining. The doc is tokenized ONCE behind the Generate barrier
+    * (the same discipline as [[graft.api.TextDedup.shingleRows]]); the
+    * window index explodes from a cheap integer sequence and each chunk
+    * slices its tokens per-row. Zero shuffles before the declared ORDER
+    * BY; output cardinality is bounded by corpus tokens / stride, so at
+    * 100 TB this runs at scan speed. Chunk content is carried as an md5
+    * fingerprint (portable across engines) rather than the token text. */
+  val textChunk: Q = (s, d) => {
+    val W = 64L
+    val S = 48L
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .withColumn("n_tok", size(col("__toks")).cast("long"))
+      .withColumn("__nc", greatest(lit(1L),
+        (floor((col("n_tok") - lit(W - S + 1)) / S.toDouble) + lit(1))
+          .cast("long")))
+      .select(col("doc_id"), col("__toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * S)
+      .withColumn("chunk_len",
+        least(lit(W), col("n_tok") - col("chunk_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        md5(array_join(slice(col("__toks"),
+          (col("chunk_start") + 1).cast("int"),
+          col("chunk_len").cast("int")), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** One BPE-style statistics pass: count adjacent token pairs across the
+    * corpus and keep the 20 most frequent — the merge-candidate selection
+    * step of byte-pair-encoding vocabulary induction. Pairs are 2-gram
+    * shingles ([[graft.api.TextDedup.shingleRows]] with n=2 — tokenize
+    * once per doc, explode an index sequence), then ONE hash-shuffle
+    * count and a TakeOrderedAndProject top-20. Total order (count desc,
+    * pair asc) makes the cutoff deterministic. */
+  val textBpePairs: Q = (s, d) =>
+    graft.api.TextDedup.shingleRows(
+        T.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 2)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("pair_count"))
+      .select(col("sh").as("pair"), col("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+
+  /** Data-driven mixture rebalancing: per-language counts → a
+    * deterministic keep-rate (basis points, exact integer division) that
+    * downsamples every language to the smallest language's share (uniform
+    * target mixture) → membership by the portable 48-bit hash, a pure row
+    * property reproducible across engines, partitionings and reruns. The
+    * rate table is a tiny broadcast (≤ #languages rows); the corpus scan
+    * never shuffles before the final per-language rollup. The same shape
+    * generalizes to any target mixture vector (DoReMi-style weights). */
+  val textMixture: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_docs"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), col("n_docs"),
+        graft.core.Numeric.idiv(col("min_docs") * lit(10000L),
+          col("n_docs")).as("rate_bp"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(graft.expr.Md5Prefix48.md548(
+        concat_ws("|", col("doc_id"))) % lit(10000L) < col("rate_bp"))
+      .groupBy(col("lang"), col("n_docs"), col("rate_bp"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** END-TO-END TRAINING-DATA PIPELINE — the composed operator a corpus
     * team actually runs, declared as ONE query so the oracle pins the
     * whole chain: normalize (lower/trim/whitespace-collapse) → quality
@@ -1304,6 +1376,48 @@ object LlmPipeline {
         |  round(CAST(SUM(n_tok) AS BIGINT) / 2048.0, 4) AS fill_ratio
         |FROM c GROUP BY lang, CAST(floor(cum_before / 2048.0) AS BIGINT)
         |ORDER BY lang, seq""".stripMargin,
+
+    "text_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (
+        |  SELECT doc_id, l, len(l) AS n_tok,
+        |    unnest(range(0, greatest(1,
+        |      CAST(floor((len(l) - 17) / 48.0) AS BIGINT) + 1))) AS chunk_idx
+        |  FROM tok)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+        |  least(64, n_tok - chunk_idx * 48) AS chunk_len,
+        |  md5(array_to_string(list_slice(l, chunk_idx * 48 + 1,
+        |    chunk_idx * 48 + least(64, n_tok - chunk_idx * 48)), ' '))
+        |    AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(list_slice(list_zip(l, l[2:]),
+        |    1, len(l) - 1), x -> x[1] || ' ' || x[2])) AS pair
+        |  FROM tok)
+        |SELECT pair, count(*) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+
+    "text_mixture" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang, n_docs,
+        |    ((SELECT min(n_docs) FROM counts) * 10000) // n_docs AS rate_bp
+        |  FROM counts)
+        |SELECT lang, n_docs, rate_bp, count(*) AS n_kept
+        |FROM documents JOIN rates USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 10000 < rate_bp
+        |GROUP BY lang, n_docs, rate_bp
+        |ORDER BY lang""".stripMargin,
 
     // the whole pipeline as one CTE chain: the oracle re-derives every
     // stage (normalize → gate → exact dedup → NAIVE quadratic near-dedup
