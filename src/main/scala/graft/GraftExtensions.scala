@@ -124,9 +124,10 @@ object GraftExtensions {
     *   - objectHashAggregate fallback: the default flushes to sort-based
     *     aggregation after 128 in-memory groups, pathological for the tiny
     *     fixed-size sketch buffers of [[graft.expr.MinHashAgg]];
-    *   - nanosAsLong: the harness `events` table carries TIMESTAMP(NANOS),
-    *     which Spark 4 otherwise refuses to read;
-    *     [[graft.core.Tables]] truncates the long nanos to µs timestamps. */
+    *   - nanosAsLong: kept for the LEGACY events layout — earlier harness
+    *     data carried TIMESTAMP(NANOS), which Spark 4 refuses to read
+    *     without it. The conf is inert for the current `timestamp[us]`
+    *     layout; [[graft.core.Tables]] branches on the observed type. */
   val recommendedConfs: Map[String, String] = Map(
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")

@@ -19,21 +19,37 @@ object Tables {
 
   /** Read one harness table from `sfDir`.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark 4.x rejects
-    * outright; we read it as a long (legacy conf, part of
-    * [[graft.GraftExtensions.recommendedConfs]] — sessions must run
-    * `GraftExtensions.install` first) and truncate to microsecond
-    * `TimestampType` — exactly what DuckDB's µs TIMESTAMP does on the
-    * same file, keeping oracle comparisons aligned. `ts div 1000` is
-    * integer division: nanos ≈ 1.7e18 exceed a double's 2^53 mantissa, so
-    * float division here would corrupt timestamps. Readers are
-    * side-effect-free: no session conf is mutated here.
+    * `events.ts` has shipped in two physical layouts across harness data
+    * regenerations, so the reader branches on the OBSERVED Parquet type
+    * rather than assuming one — a regeneration can't silently break every
+    * events query again:
+    *
+    *   - `timestamp[us], isAdjustedToUTC=false` (current): Spark reads
+    *     TIMESTAMP_NTZ; cast to session-local `TimestampType`. Sessions are
+    *     pinned to UTC (Verify/Bench/tests), so the resulting instants
+    *     match DuckDB's naive-µs read of the same file bit-for-bit.
+    *   - TIMESTAMP(NANOS) (legacy): Spark 4.x rejects it outright; with
+    *     `spark.sql.legacy.parquet.nanosAsLong` (part of
+    *     [[graft.GraftExtensions.recommendedConfs]]) it reads as a long,
+    *     truncated here to µs. `ts div 1000` is integer division: nanos
+    *     ≈ 1.7e18 exceed a double's 2^53 mantissa, so float division
+    *     would corrupt timestamps.
+    *   - already `TimestampType`: passed through unchanged.
+    *
+    * Readers are side-effect-free: no session conf is mutated here.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(All.contains(name), s"unknown table: $name")
     if (name == "events") {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        case _ => col("ts")
+      }
+      raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
