@@ -98,6 +98,7 @@ object SparkEntry {
     "text_fingerprint" -> LlmPipeline.textFingerprint,
     "text_tfidf"       -> LlmPipeline.textTfidf,
     "text_unigram_lm"  -> LlmPipeline.textUnigramLm,
+    "text_bigram_lm"   -> LlmPipeline.textBigramLm,
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "text_pack"        -> LlmPipeline.textPack,

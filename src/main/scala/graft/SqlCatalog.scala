@@ -916,6 +916,60 @@ object SqlCatalog {
         |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
 
     // ------------------------------------------------- multimodal columns
+    // Spark dialect: integer division is DIV (DuckDB spells it //)
+    "mm_shard" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source, n_chars + 16 AS bytes FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, bytes,
+        |    (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |      DIV 16384 AS shard_id
+        |  FROM sized)
+        |SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM packed GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
+
+    // Spark dialect: ignoreNulls is last(expr, true) — DuckDB puts
+    // IGNORE NULLS inside the call parentheses
+    "events_attribution" ->
+      s"""WITH attr AS (
+         |  SELECT event_type, value,
+         |    last(CASE WHEN event_type <> 'purchase' THEN event_type END, true)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         |  FROM events)
+         |SELECT channel, COUNT(*) AS conversions,
+         |  ${dsumSql("value")} AS attributed_value
+         |FROM attr
+         |WHERE event_type = 'purchase' AND channel IS NOT NULL
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Spark dialect: HOF tokenization + LATERAL VIEW explode (DuckDB uses
+    // string_split + generate_series lateral), DIV for integer division
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS l FROM documents
+        |             WHERE size(split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, element_at(l, i) AS w1, element_at(l, i + 1) AS w2
+        |  FROM tok LATERAL VIEW explode(sequence(1, size(l) - 1)) g AS i),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM big),
+        |scored AS (SELECT b.doc_id,
+        |    round(ln(CAST(bg.c12 + 1 AS DOUBLE) / (c1t.c1 + v.v)), 8) AS logp
+        |  FROM big b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2
+        |  JOIN c1t ON b.w1 = c1t.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(logp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s8 >= 0 THEN (s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)
+        |       ELSE -((-s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)) END AS DOUBLE)
+        |    / 1000000.0 AS mean_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, length(unhex(md5(text))) AS n_bytes,
         |  4 AS width, 4 AS height, 'gray8' AS fmt, 16 AS n_px

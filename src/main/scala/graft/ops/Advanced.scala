@@ -565,6 +565,29 @@ object Advanced {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch ATTRIBUTION — the marketing-analytics staple: each
+    * purchase is credited to the user's most recent preceding
+    * non-purchase event type ("channel"), then conversions and value roll
+    * up per channel. One `last(..., ignoreNulls)` window partitioned by
+    * user (raw volume shuffles once on user_id) + a hash aggregate whose
+    * state is the bounded channel set — no self-join, no as-of join
+    * against a second table needed when the touches live in the same
+    * stream. */
+  val eventsAttribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.events(s, d)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Recency-DECAYED engagement (half-life weighting) — the feature-store
     * aggregate behind "recent activity" signals: each event's value decays
     * by 0.5 per week of age before a per-user sum. Determinism at scale is
@@ -1082,6 +1105,7 @@ object Advanced {
     "agg_theta_sketch" -> aggThetaSketch,
     "agg_retention" -> aggRetention,
     "events_path" -> eventsPath,
+    "events_attribution" -> eventsAttribution,
     "agg_active_users" -> aggActiveUsers,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "events_sessionize" -> eventsSessionize,
@@ -1408,6 +1432,22 @@ object Advanced {
         |  FROM events) t
         |WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    // DuckDB dialect: IGNORE NULLS sits inside the window-function call
+    // (Spark puts it after the call — SqlCatalog carries that variant)
+    "events_attribution" ->
+      s"""WITH attr AS (
+         |  SELECT event_type, value,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |        IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         |  FROM events)
+         |SELECT channel, COUNT(*) AS conversions,
+         |  ${dsumSql("value")} AS attributed_value
+         |FROM attr
+         |WHERE event_type = 'purchase' AND channel IS NOT NULL
+         |GROUP BY channel ORDER BY channel""".stripMargin,
 
     // DuckDB dialect: generate_series (inclusive, like Spark's sequence)
     "agg_active_users" ->

@@ -368,7 +368,206 @@ object Composite {
       .orderBy(col("cntrycode"))
   }
 
+  /** TPC-H Q1 shape (pricing summary report): the canonical full-scan
+    * 8-metric rollup per (returnflag, linestatus). 100 TB plan: pure
+    * pushed-down scan + two-phase hash aggregate onto a 6-group key — the
+    * only exchange carries 6 rows. Averages use the decimal-sum/round
+    * discipline ([[graft.core.Numeric.davg]]) so the doubles are
+    * bit-identical engine-to-engine. */
+  val tpchQ1: Q = (s, d) => {
+    val cutoff = lit("1998-09-01").cast("timestamp")
+    T.lineitem(s, d).filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier): the harness has no partsupp, so
+    * the part↔supplier catalog is the DISTINCT (l_partkey, l_suppkey)
+    * pairs observed in lineitem, and Q2's correlated min-supplycost
+    * becomes best-balance-per-part — same correlated-extremum plan,
+    * realized as ONE window over the part key (no self-join). Dims
+    * broadcast; the distinct pair set shuffles once on the part key. */
+  val tpchQ2: Q = (s, d) => {
+    val p = T.part(s, d)
+      .filter(col("p_type") === "SMALL" && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val eur = T.region(s, d).filter(col("r_name") === "EUROPE")
+    val n = T.nation(s, d).join(broadcast(eur),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = T.supplier(s, d).join(broadcast(n),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val ps = T.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): '%red%'
+    * parts through lineitem→supplier→nation with order year; profit uses
+    * p_retailprice as the supply-cost proxy (no partsupp in the harness).
+    * part/supplier/nation broadcast; the only big shuffle is
+    * lineitem⋈orders on the order key. */
+  val tpchQ9: Q = (s, d) => {
+    val p = T.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = T.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val amount = revenue -
+      lit(0.01) * col("p_retailprice") * col("l_quantity")
+    T.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        expr("EXTRACT(YEAR FROM o_orderdate)").cast("long").as("o_year"),
+        amount.as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(dsum(col("amount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock identification): per-part value
+    * shipped by NATION_7's suppliers, kept where above a fraction of the
+    * nation's total — Q11's HAVING-over-scalar-subquery, realized as a
+    * 1-row broadcast threshold joined into the grouped set (never a
+    * second scan of the fact). */
+  val tpchQ11: Q = (s, d) => {
+    val nat = T.nation(s, d).filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey"))
+    val sup = T.supplier(s, d).join(broadcast(nat),
+      col("s_nationkey") === col("n_nationkey")).select(col("s_suppkey"))
+    val li = T.lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), revenue.as("val"))
+    val perPart = li.groupBy(col("l_partkey")).agg(dsum(col("val")).as("value"))
+    val threshold = li.agg((dsum(col("val")) * lit(0.001)).as("threshold"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), col("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship count): distinct
+    * suppliers per (brand, type, size) bucket over the observed
+    * part↔supplier pairs, excluding negative-balance suppliers (the
+    * harness proxy for Q16's complaints anti-join). The anti-join
+    * broadcasts the tiny exclusion set; count-distinct expands in the
+    * standard two-shuffle expand plan. */
+  val tpchQ16: Q = (s, d) => {
+    val p = T.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaints = T.supplier(s, d).filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers in NATION_3
+    * who shipped more than half of the per-part average 1996 quantity of
+    * a '%red%' part. Q20's correlated availqty threshold becomes a window
+    * average over the part key (one shuffle); the qualifying supplier set
+    * reduces supplier via a semi-join. The window average mirrors
+    * [[graft.core.Numeric.davg]]'s decimal discipline so the 0.5×avg
+    * threshold compares bit-identically in any engine. */
+  val tpchQ20: Q = (s, d) => {
+    val y0 = lit("1996-01-01").cast("timestamp")
+    val y1 = lit("1997-01-01").cast("timestamp")
+    val redParts = T.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
+    val pairQty = T.lineitem(s, d)
+      .filter(col("l_shipdate") >= y0 && col("l_shipdate") < y1)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val partAvg = round(sum(col("qty")
+      .cast(org.apache.spark.sql.types.DecimalType(20, 8))).over(w), 2)
+      .cast("double") / count(lit(1)).over(w)
+    val qualifying = pairQty
+      .withColumn("part_avg", partAvg)
+      .filter(col("qty") > lit(0.5) * col("part_avg"))
+      .select(col("l_suppkey")).distinct()
+    val nat = T.nation(s, d).filter(col("n_name") === "NATION_3")
+      .select(col("n_nationkey"))
+    T.supplier(s, d).join(broadcast(nat),
+      col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the harness has
+    * no commit/receipt dates, so "late" = shipped >90 days after the order
+    * date. Keeps Q21's full EXISTS / NOT-EXISTS structure: for F-status
+    * orders, a NATION_5 supplier's late line where some OTHER supplier
+    * participated (left-semi, equi on the order key + non-equi residual)
+    * but no OTHER supplier was late (left-anti, same shape) — hash joins
+    * with residuals, never a nested loop. */
+  val tpchQ21: Q = (s, d) => {
+    val nat = T.nation(s, d).filter(col("n_name") === "NATION_5")
+      .select(col("n_nationkey"))
+    val sup = T.supplier(s, d).join(broadcast(nat),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = li
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(l2, col("l_orderkey") === col("o2") &&
+        col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("s3") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "tpch_q1" -> tpchQ1,
+    "tpch_q2" -> tpchQ2,
+    "tpch_q9" -> tpchQ9,
+    "tpch_q11" -> tpchQ11,
+    "tpch_q16" -> tpchQ16,
+    "tpch_q20" -> tpchQ20,
+    "tpch_q21" -> tpchQ21,
     "tpch_q3" -> tpchQ3,
     "tpch_q4" -> tpchQ4,
     "tpch_q5" -> tpchQ5,
@@ -389,6 +588,121 @@ object Composite {
   private val rev = "l_extendedprice * (1.0 - l_discount)"
 
   val oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql(rev)} AS sum_disc_price,
+         |  ${dsumSql(s"($rev) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q2" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |ranked AS (
+         |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         |    ROW_NUMBER() OVER (PARTITION BY p_partkey
+         |      ORDER BY s_acctbal DESC, s_suppkey) AS rn
+         |  FROM ps
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'SMALL' AND p_size <= 15)
+         |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+         |  p_brand
+         |FROM ranked WHERE rn = 1
+         |ORDER BY s_acctbal DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |  ${dsumSql(s"($rev) - 0.01 * p_retailprice * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2 DESC""".stripMargin,
+
+    "tpch_q11" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, $rev AS val
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7')
+         |SELECT l_partkey AS p_partkey, ${dsumSql("val")} AS value
+         |FROM li GROUP BY l_partkey
+         |HAVING ${dsumSql("val")} > (SELECT ${dsumSql("val")} * 0.001 FROM li)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "tpch_q16" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#1'
+         |  AND p_type NOT LIKE 'PROMO%'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20" ->
+      s"""WITH pair_qty AS (
+         |  SELECT l_partkey, l_suppkey, ${dsumSql("l_quantity")} AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%red%'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_partkey, l_suppkey),
+         |qualifying AS (
+         |  SELECT DISTINCT l_suppkey FROM (
+         |    SELECT l_suppkey, qty,
+         |      CAST(ROUND(SUM(CAST(qty AS DECIMAL(20,8)))
+         |          OVER (PARTITION BY l_partkey), 2) AS DOUBLE)
+         |        / COUNT(*) OVER (PARTITION BY l_partkey) AS part_avg
+         |    FROM pair_qty)
+         |  WHERE qty > 0.5 * part_avg)
+         |SELECT s_suppkey, s_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q21" ->
+      s"""WITH late AS (
+         |  SELECT l_orderkey, l_suppkey
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'
+         |    AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM late l1
+         |JOIN supplier ON l1.l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_5'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM late l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, revenue FROM (
          |  SELECT l_orderkey, o_orderdate, ${dsumSql(rev)} AS revenue

@@ -631,6 +631,46 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring — the conditional-probability
+    * companion of [[textUnigramLm]]: corpus bigram counts give add-one
+    * smoothed P(w2|w1), each doc scores the exact-integer mean log-prob of
+    * its own bigrams. A low mean flags incoherent token soup the unigram
+    * model can't see (every word common, transitions never attested).
+    *
+    * Scale: the bigram table is DATA-DEPENDENT (can be huge at 100 TB), so
+    * counts join back by SHUFFLE on the bigram key — deliberately not a
+    * forced broadcast; AQE may still choose one when the table is small.
+    * The lead() window partitions by doc. Same integer-mean rounding
+    * discipline as the unigram scorer (see comment there). */
+  val textBigramLm: Q = (s, d) => {
+    val toks = T.documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bigrams.agg((countDistinct(col("w2")) + 1L).as("v"))
+    val logp = round(
+      log((col("c12") + 1L).cast("double") /
+        (col("c1") + col("v")).cast("double")), 8)
+    bigrams.join(bg, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), logp.cast("decimal(20,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) * 100000000L).cast("long").as("s8"))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN s8 >= 0 THEN (s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)
+          |     ELSE -((-s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)) END""".stripMargin))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("mean_micro").cast("double") / 1e6).as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: bottom-8 sketch of 3-gram shingle hashes (the
     * order-independent cousin of winnowing — a stable content signature
     * for sketch-based containment/overlap checks). Exploded to one row per
@@ -1244,6 +1284,26 @@ object LlmPipeline {
         |SELECT doc_id, n_tok, n_oov,
         |  CAST(CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
         |       ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS DOUBLE)
+        |    / 1000000.0 AS mean_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM big),
+        |scored AS (SELECT b.doc_id,
+        |    round(ln(CAST(bg.c12 + 1 AS DOUBLE) / (c1t.c1 + v.v)), 8) AS logp
+        |  FROM big b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2
+        |  JOIN c1t ON b.w1 = c1t.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(logp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s8 >= 0 THEN (s8 * 2 + n_bigrams * 100) // (n_bigrams * 200)
+        |       ELSE -((-s8 * 2 + n_bigrams * 100) // (n_bigrams * 200)) END AS DOUBLE)
         |    / 1000000.0 AS mean_logp
         |FROM agg ORDER BY doc_id""".stripMargin,
 

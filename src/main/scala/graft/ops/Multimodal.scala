@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -145,23 +146,38 @@ object Multimodal {
     val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val png = m.mapPartitions { rows =>
-      // per-partition encoder init (headless AWT; ImageIO SPI lookup)
+      // per-partition encoder init, hoisted OUT of the row loop:
+      // ImageIO.write does a writer-SPI scan per call and, with the
+      // default use-cache, spools every image through a temp FILE —
+      // per-row that dominated the stage (2.4× regression in r4's bench).
       java.awt.Toolkit.getDefaultToolkit // force lazy init once per task
+      javax.imageio.ImageIO.setUseCache(false) // stay in memory
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
         val img = new java.awt.image.BufferedImage(4, 4,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         img.getRaster.setDataElements(0, 0, 4, 4, bytes)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         Row(r.getAs[Long]("doc_id"), bos.toByteArray)
       }
     }(pngEnc)
     png.mapPartitions { rows =>
+      // reader hoisted for the same reason as the writer above
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       val px = new Array[Int](16) // per-partition decode buffer
       rows.map { r => // positional access: mapPartitions rows carry no schema
-        val img = javax.imageio.ImageIO.read(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
         img.getRaster.getPixels(0, 0, 4, 4, px)
         Row(r.getLong(0), px.min, px.max,
           math.rint(px.map(_.toLong).sum.toDouble / px.length * 1e6) / 1e6)
@@ -210,7 +226,33 @@ object Multimodal {
       .orderBy(col("dhash"))
   }
 
+  /** WebDataset-style SHARD PACKING manifest — the write-side layout step
+    * of a training pipeline: media+text records are packed, in a
+    * deterministic order, into ~capacity-byte shards, and the manifest
+    * (per-shard doc count, byte total, key range) is what the training
+    * reader consumes. Realized scalably as a running byte-sum window per
+    * source group + integer division by capacity: one shuffle on the
+    * group key, no sequential driver loop, and shard ids are stable under
+    * re-partitioning (they depend only on the declared sort order).
+    * Record size = text bytes + the 16-byte media payload. */
+  val mmShard: Q = (s, d) => {
+    val cap = 16384L // shard capacity in bytes
+    val sized = T.documents(s, d).select(col("doc_id"), col("source"),
+      (col("n_chars") + 16L).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    sized.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("shard_id",
+        graft.core.Numeric.idiv(col("cum") - 1L, lit(cap)))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_shard" -> mmShard,
     "mm_meta" -> mmMeta,
     "mm_pixels" -> mmPixels,
     "mm_resize" -> mmResize,
@@ -220,6 +262,23 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dialect: `//` floors — operands are non-negative so it
+    // matches Spark's DIV (see Numeric.idiv dialect note)
+    "mm_shard" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source, n_chars + 16 AS bytes FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, bytes,
+        |    (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |      // 16384 AS shard_id
+        |  FROM sized)
+        |SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM packed GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, CAST(len(md5(text)) / 2 AS INT) AS n_bytes,
         |  4 AS width, 4 AS height, 'gray8' AS fmt, 16 AS n_px
