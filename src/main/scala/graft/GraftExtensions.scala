@@ -92,6 +92,15 @@ object GraftExtensions {
       graft.expr.ThetaSketchAgg(children.head)
     })
 
+  private val countMinDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min"),
+    new ExpressionInfo(classOf[graft.expr.CountMinAgg].getName, "count_min"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "count_min(item, depth, width) takes exactly 3 arguments")
+      graft.expr.CountMinAgg(children.head, children(1), children(2))
+    })
+
   private val misraGriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("misra_gries"),
     new ExpressionInfo(classOf[graft.expr.MisraGriesAgg].getName, "misra_gries"),
@@ -139,7 +148,7 @@ object GraftExtensions {
     Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
       gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
       simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
-      thetaIntersectDescriptor, misraGriesDescriptor)
+      thetaIntersectDescriptor, misraGriesDescriptor, countMinDescriptor)
 
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */

@@ -915,6 +915,20 @@ object SqlCatalog {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
 
+    // Spark dialect: the sketch itself via the registered count_min UDAF
+    // + md5_48 lookups (DuckDB rebuilds the grid from exact counts)
+    "agg_count_min" ->
+      """WITH sk AS (SELECT count_min(event_type, 4, 1024) AS sk FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT event_type,
+        |  least(
+        |    element_at(sk, CAST(md5_48(concat('0:', event_type)) % 1024 AS INT) + 1),
+        |    element_at(sk, CAST(md5_48(concat('1:', event_type)) % 1024 AS INT) + 1025),
+        |    element_at(sk, CAST(md5_48(concat('2:', event_type)) % 1024 AS INT) + 2049),
+        |    element_at(sk, CAST(md5_48(concat('3:', event_type)) % 1024 AS INT) + 3073)) AS est_count
+        |FROM types CROSS JOIN sk
+        |ORDER BY event_type""".stripMargin,
+
     // ------------------------------------------------- multimodal columns
     // Spark dialect: integer division is DIV (DuckDB spells it //)
     "mm_shard" ->

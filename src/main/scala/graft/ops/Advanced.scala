@@ -702,6 +702,32 @@ object Advanced {
       .orderBy(col("day"), desc("est_count"), col("item"))
   }
 
+  /** COUNT-MIN point-frequency estimates ([[graft.expr.CountMinAgg]]):
+    * one 4×1024 sketch over the event stream, then per-type estimates via
+    * plain `element_at` + `least` row lookups against the broadcast
+    * 1-row grid. Unlike the HLL/theta/Misra–Gries members of the sketch
+    * family this one is fully VALUE-ORACLED: counters are order-invariant
+    * sums and the row hash is portable md5, so DuckDB rebuilds the exact
+    * grid from exact counts — estimates hash-match including any
+    * collisions. 100 TB shape: map-side partial grids merge element-wise;
+    * the shuffle carries depth×width longs, never the value domain. */
+  val aggCountMin: Q = (s, d) => {
+    val depth = 4
+    val width = 1024
+    val sk = T.events(s, d)
+      .agg(graft.expr.CountMin.agg(col("event_type"), depth, width).as("sk"))
+    val est = (0 until depth).map { dd =>
+      col("sk").getItem(
+        (graft.expr.Md5Prefix48.md548(
+          concat(lit(dd + ":"), col("event_type"))) % width).cast("int")
+          + lit(dd * width))
+    }.reduce(least(_, _))
+    T.events(s, d).select(col("event_type")).distinct()
+      .crossJoin(broadcast(sk))
+      .select(col("event_type"), est.as("est_count"))
+      .orderBy(col("event_type"))
+  }
+
   /** Gap-based SESSIONIZATION — the batch twin of `stream_session`'s
     * session windows, and the canonical event-analytics primitive: a
     * user's events sort within their partition, a >30-minute silence
@@ -1068,10 +1094,13 @@ object Advanced {
     val e2 = edges.select(col("u1").as("b"), col("u2").as("c"))
     val e3 = edges.select(col("u1").as("a"), col("u2").as("c"))
     val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    val perCorner = tri.select(col("a").as("user_id"))
-      .unionAll(tri.select(col("b").as("user_id")))
-      .unionAll(tri.select(col("c").as("user_id")))
-    perCorner.groupBy(col("user_id"))
+    // ONE enumeration pass: a triangle credits all three corners via a
+    // single bounded ×3 explode. (Three unionAll branches over `tri`
+    // would re-run the whole wedge join per branch — at sf0.1 the
+    // co-occurrence graph is near-complete and the join is output-bound
+    // at 25M triangles, so the re-computation tripled the query.)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("user_id"))
   }
@@ -1108,6 +1137,7 @@ object Advanced {
     "events_attribution" -> eventsAttribution,
     "agg_active_users" -> aggActiveUsers,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "agg_count_min" -> aggCountMin,
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
     "graph_pagerank" -> graphPagerank,
@@ -1475,6 +1505,31 @@ object Advanced {
         |  event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
         |FROM events GROUP BY 1, 2
         |ORDER BY day, est_count DESC, item""".stripMargin,
+
+    // full value-level CMS mirror: rebuild the 4×1024 grid from exact
+    // counts with the same md5 row hashes, then the same min-of-rows
+    // lookup — estimates match the sketch INCLUDING collisions
+    "agg_count_min" ->
+      """WITH counts AS (
+        |  SELECT event_type AS item, COUNT(*) AS c FROM events GROUP BY 1),
+        |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |cells AS (
+        |  SELECT d,
+        |    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || item), 1, 12)
+        |      AS BIGINT) % 1024 AS cell,
+        |    CAST(SUM(c) AS BIGINT) AS cellsum
+        |  FROM counts CROSS JOIN ds
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT co.item, MIN(ce.cellsum) AS est_count
+        |  FROM counts co CROSS JOIN ds
+        |  JOIN cells ce ON ce.d = ds.d
+        |    AND ce.cell = CAST('0x' ||
+        |      substr(md5(CAST(ds.d AS VARCHAR) || ':' || co.item), 1, 12)
+        |      AS BIGINT) % 1024
+        |  GROUP BY co.item)
+        |SELECT item AS event_type, est_count FROM est
+        |ORDER BY event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH marked AS (

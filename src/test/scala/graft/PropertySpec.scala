@@ -147,6 +147,43 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("count_min: never undercounts, eps*N overcount bound, partition-invariant") {
+    val li = T.lineitem(spark, sf0001)
+    val key = col("l_partkey").cast("string")
+    val trueCounts = li.groupBy(key.as("i")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = trueCounts.values.sum
+    val depth = 4
+    val width = 256 // well below the ~600 distinct part keys: real collisions
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val sk = df.agg(graft.expr.CountMin.agg(key, depth, width).as("sk"))
+      val est = (0 until depth).map { dd =>
+        col("sk").getItem(
+          (graft.expr.Md5Prefix48.md548(
+            concat(lit(dd + ":"), col("i"))) % width).cast("int")
+            + lit(dd * width))
+      }.reduce(least(_, _))
+      df.select(key.as("i")).distinct().crossJoin(broadcast(sk))
+        .select(col("i"), est.as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val ests = estimates(li)
+    // CMS guarantees: estimate >= truth always; <= truth + (e/width)*N
+    // per row holds only in expectation, so pin the hard >= bound plus a
+    // generous deterministic ceiling (the min over depth rows of total
+    // colliding mass can never exceed truth + N)
+    ests.foreach { case (i, e) =>
+      assert(e >= trueCounts(i), s"CMS undercounted $i: $e < ${trueCounts(i)}")
+      assert(e <= trueCounts(i) + n, s"CMS estimate for $i not bounded")
+    }
+    assert(ests.values.sum > trueCounts.values.sum,
+      "width << distinct must produce at least one collision overcount")
+    // order/partition invariance: counters are sums, so any repartition
+    // yields the IDENTICAL grid (the property Misra-Gries cannot offer)
+    val reparted = estimates(li.repartition(13, col("l_suppkey")))
+    assert(reparted == ests, "CMS estimates drifted under repartitioning")
+  }
+
   test("approx_percentile is within 5% of the exact percentile (sf0.001)") {
     // covers the oracle-less agg_approx_quantile (SURVEY §2.2): the
     // mergeable-summary estimates must track the exact sorted percentiles
