@@ -421,6 +421,41 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "Q18 planned a cartesian product")
   }
 
+  test("tpch_q1 is scan + ONE two-phase aggregate: no join, shipdate pushed") {
+    val q = graft.ops.Composite.tpchQ1(spark, sf0001)
+    val p = planString(q)
+    assert(!p.contains("Join"), "Q1 must not plan any join")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "shipdate cutoff not pushed to the scan")
+    // count on the bare physical plan (planString prints each node thrice:
+    // formatted tree + detail section + final plan)
+    val phys = q.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(phys).size == 2,
+      "Q1 should be exactly one partial + one final hash aggregate")
+  }
+
+  test("tpch_q2 correlated extremum is one partitioned window, dims broadcast") {
+    val p = planString(graft.ops.Composite.tpchQ2(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "Q2 dims must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "Q2 must stay broadcast-hash over the distinct pair set")
+  }
+
+  test("tpch_q9 broadcasts part/supplier/nation; only orders shuffles") {
+    val p = planString(graft.ops.Composite.tpchQ9(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast dims in Q9, got $nBroadcast")
+    assert(!p.contains("CartesianProduct"), "Q9 planned a cartesian product")
+  }
+
+  test("tpch_q21 EXISTS/NOT-EXISTS plan as semi/anti hash joins with residuals") {
+    val p = planString(graft.ops.Composite.tpchQ21(spark, sf0001))
+    assert(p.contains("LeftSemi"), "Q21 EXISTS must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "Q21 NOT EXISTS must plan as a left-anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "Q21 residual conditions must ride the equi hash joins, not a nested loop")
+  }
+
   test("sink_partitioned readback prunes to the filtered partition") {
     // materialize the partitioned layout, then audit the readback scan
     graft.ops.Sources.sinkPartitioned(spark, sf0001).collect()
