@@ -10,29 +10,31 @@ object Bench {
     * queries VERDICT r4 graded perf-weak. */
   val headline: Seq[String] = Seq(
     // scans / storage
-    "scan_full", "scan_project", "scan_ordered", "key_lookup_sorted",
+    "scan_full", "scan_project", "key_lookup_sorted",
     "scan_dpp", "sink_zorder", "sink_bucketed", "merge_upsert", "source_json",
     // joins
-    "join_inner", "join_broadcast", "join_semi", "join_skew_salted",
+    "join_inner", "join_broadcast", "join_skew_salted",
     "join_asof", "join_range", "join_interval",
     // aggregations
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_rollup",
-    "agg_cube", "agg_hll_sketch", "agg_percentile", "agg_topk", "agg_salted",
-    "agg_decay", "agg_retention", "agg_active_users", "agg_heavy_hitters",
+    "agg_cube", "agg_hll_sketch", "agg_count_min", "agg_percentile",
+    "agg_topk", "agg_retention", "agg_active_users", "agg_heavy_hitters",
     // windows
     "window_rank", "window_running", "window_lag", "window_range_frame",
     // TPC-H composites
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q18", "tpch_q21",
     // event analytics / graph / streaming
-    "events_sessionize", "events_funnel", "events_streak", "events_anomaly",
-    "graph_pagerank", "graph_triangles", "stream_tumbling", "stream_stateful",
+    "events_sessionize", "events_funnel", "events_streak",
+    "events_attribution", "graph_pagerank", "graph_triangles",
+    "stream_tumbling", "stream_stateful",
     // scalar packs
-    "fn_json", "fn_url",
+    "fn_json",
     // LLM data pipeline
     "dedup_exact", "dedup_near", "dedup_minhash", "dedup_simhash",
     "dedup_embed", "dedup_cluster", "sim_topk_ivf", "sim_knn_join",
-    "text_tfidf", "text_winnow", "text_pack", "cluster_kmeans",
-    "pipeline_e2e", "mm_batch_stats", "mm_phash")
+    "text_tfidf", "text_winnow", "text_bigram_lm", "cluster_kmeans",
+    "pipeline_e2e", "mm_batch_stats", "mm_phash", "mm_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,8 +65,11 @@ object Bench {
     val runs = 3
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val all = SparkEntry.queries
+    val unknown = headline.filterNot(all.contains)
+    require(unknown.isEmpty,
+      s"bench headline names not in SparkEntry.queries: $unknown")
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = headline.filter(all.contains).map { name =>
+    val results = headline.map { name =>
       val fn = all(name)
       var ok = true
       val samples = (1 to runs).map { _ =>
