@@ -20,6 +20,20 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("count_min is callable from spark.sql and matches the Column API") {
+    GraftExtensions.install(spark)
+    graft.core.Tables(spark, sf0001, "events").limit(500)
+      .createOrReplaceTempView("ev_ext")
+    val viaSql = spark.sql(
+      "SELECT count_min(event_type, 2, 64) AS sk FROM ev_ext")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = spark.table("ev_ext")
+      .agg(graft.expr.CountMin.agg(col("event_type"), 2, 64).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol)
+    assert(viaSql.sum == 2 * 500L, "each row increments one counter per sketch row")
+  }
+
   test("install is idempotent") {
     GraftExtensions.install(spark)
     GraftExtensions.install(spark)
