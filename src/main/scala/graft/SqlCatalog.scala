@@ -75,7 +75,7 @@ object SqlCatalog {
     "agg_conditional",
     "agg_salted", "agg_stats", "agg_mode", "window_nav", "window_dist",
     "subq_scalar", "subq_exists", "subq_lateral",
-    "agg_hist", "merge_scd2", "agg_topk", "agg_zscore",
+    "agg_hist", "merge_scd2", "agg_topk", "agg_zscore", "agg_entropy",
     "events_funnel", "events_path", "events_anomaly", "graph_triangles",
     "meta_profile", "join_skew_salted",
     // streaming-batch keys whose oracle SQL is already ANSI

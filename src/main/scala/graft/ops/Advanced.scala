@@ -702,6 +702,26 @@ object Advanced {
       .orderBy(col("day"), desc("est_count"), col("item"))
   }
 
+  /** Per-user Shannon ENTROPY of the event-type distribution — the
+    * behavioral-diversity metric (and, on corpus mixtures, the balance
+    * monitor a training-data pipeline watches). Probabilities are exact
+    * rationals c/n evaluated in IEEE double; each −p·ln p term rounds to
+    * 8 decimals before an exact decimal sum (the engine's standard
+    * libm-ulp guard, cf. text_unigram_lm), so the result is
+    * partition-invariant and engine-portable. Two hash aggregates + one
+    * join, all keyed on user_id — one shuffle lineage at scale. */
+  val aggEntropy: Q = (s, d) => {
+    val c = T.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val n = c.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n")
+    c.join(n, "user_id")
+      .select(col("user_id"), round(-p * log(p), 8).cast("decimal(20,8)").as("t"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("t")), 6).cast("double").as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
   /** COUNT-MIN point-frequency estimates ([[graft.expr.CountMinAgg]]):
     * one 4×1024 sketch over the event stream, then per-type estimates via
     * plain `element_at` + `least` row lookups against the broadcast
@@ -1138,6 +1158,7 @@ object Advanced {
     "agg_active_users" -> aggActiveUsers,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_count_min" -> aggCountMin,
+    "agg_entropy" -> aggEntropy,
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
     "graph_pagerank" -> graphPagerank,
@@ -1505,6 +1526,19 @@ object Advanced {
         |  event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
         |FROM events GROUP BY 1, 2
         |ORDER BY day, est_count DESC, item""".stripMargin,
+
+    // dual-dialect ANSI: ln/round/decimal-sum exist identically in both
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT c.user_id,
+        |    round(-(CAST(c.c AS DOUBLE) / n.n) * ln(CAST(c.c AS DOUBLE) / n.n), 8) AS t
+        |  FROM c JOIN n ON c.user_id = n.user_id)
+        |SELECT user_id,
+        |  CAST(ROUND(SUM(CAST(t AS DECIMAL(20,8))), 6) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // full value-level CMS mirror: rebuild the 4×1024 grid from exact
     // counts with the same md5 row hashes, then the same min-of-rows
