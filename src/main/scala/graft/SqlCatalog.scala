@@ -915,6 +915,32 @@ object SqlCatalog {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
 
+    // Spark dialect: HOF gram extraction via transform + LATERAL VIEW
+    // (DuckDB uses a LATERAL generate_series)
+    "match_fuzzy" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT c_custkey, c_nationkey, g
+        |  FROM customer
+        |  LATERAL VIEW explode(transform(sequence(1, length(c_name) - 2),
+        |    i -> substring(c_name, i, 3))) t AS g),
+        |rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, COUNT(DISTINCT c_custkey) AS df FROM grams GROUP BY g)
+        |  WHERE df <= 40),
+        |keyed AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.g = b.g AND a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT ka, kb, ca.c_name AS name_a, cb.c_name AS name_b,
+        |  CAST(levenshtein(ca.c_name, cb.c_name) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN customer ca ON ka = ca.c_custkey
+        |JOIN customer cb ON kb = cb.c_custkey
+        |WHERE levenshtein(ca.c_name, cb.c_name) <= 2
+        |ORDER BY ka, kb""".stripMargin,
+
     // Spark dialect: the sketch itself via the registered count_min UDAF
     // + md5_48 lookups (DuckDB rebuilds the grid from exact counts)
     "agg_count_min" ->

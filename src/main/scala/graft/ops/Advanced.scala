@@ -702,6 +702,43 @@ object Advanced {
       .orderBy(col("day"), desc("est_count"), col("item"))
   }
 
+  /** ENTITY-RESOLUTION fuzzy match (record linkage) — the data-cleaning
+    * primitive next to the dedup family: customer names that are ≤ 2
+    * edits apart within a nation. Candidates come from Q-GRAM BLOCKING
+    * with a document-frequency cap (pairs must share a RARE character
+    * 3-gram — the df cap drops non-discriminative grams like the shared
+    * name prefix), then exact `levenshtein` verifies only candidates.
+    * Never all-pairs: the pair space is Σ_rare-gram |holders|², the same
+    * bounded-block shape as `dedup_near`'s prefix filter; the df cap is
+    * part of the DECLARED semantics (mirrored in the oracle), which is
+    * how blocked ER is deployed in practice. */
+  val matchFuzzy: Q = (s, d) => {
+    val dfCap = 40
+    val c = T.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val grams = c.select(col("c_custkey"), col("c_nationkey"),
+        explode(expr("transform(sequence(1, length(c_name) - 2)," +
+          " i -> substring(c_name, i, 3))")).as("g"))
+      .distinct()
+    val rare = grams.groupBy(col("g"))
+      .agg(countDistinct(col("c_custkey")).as("df"))
+      .filter(col("df") <= dfCap).select(col("g"))
+    val keyed = grams.join(rare, "g")
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+        col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
+      .distinct()
+    val ca = c.select(col("c_custkey").as("ka"), col("c_name").as("name_a"))
+    val cb = c.select(col("c_custkey").as("kb"), col("c_name").as("name_b"))
+    cand.join(ca, "ka").join(cb, "kb")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("ka"), col("kb"), col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("ka"), col("kb"))
+  }
+
   /** Per-user Shannon ENTROPY of the event-type distribution — the
     * behavioral-diversity metric (and, on corpus mixtures, the balance
     * monitor a training-data pipeline watches). Probabilities are exact
@@ -1159,6 +1196,7 @@ object Advanced {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_count_min" -> aggCountMin,
     "agg_entropy" -> aggEntropy,
+    "match_fuzzy" -> matchFuzzy,
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
     "graph_pagerank" -> graphPagerank,
@@ -1526,6 +1564,31 @@ object Advanced {
         |  event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
         |FROM events GROUP BY 1, 2
         |ORDER BY day, est_count DESC, item""".stripMargin,
+
+    // DuckDB dialect: LATERAL generate_series for the gram positions
+    // (Spark catalog carries the transform/LATERAL VIEW variant)
+    "match_fuzzy" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT c_custkey, c_nationkey, substr(c_name, i, 3) AS g
+        |  FROM customer,
+        |    LATERAL (SELECT unnest(generate_series(1, len(c_name)-2)) AS i) t),
+        |rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, COUNT(DISTINCT c_custkey) AS df FROM grams GROUP BY g)
+        |  WHERE df <= 40),
+        |keyed AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+        |cand AS (
+        |  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.g = b.g AND a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT ka, kb, ca.c_name AS name_a, cb.c_name AS name_b,
+        |  CAST(levenshtein(ca.c_name, cb.c_name) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN customer ca ON ka = ca.c_custkey
+        |JOIN customer cb ON kb = cb.c_custkey
+        |WHERE levenshtein(ca.c_name, cb.c_name) <= 2
+        |ORDER BY ka, kb""".stripMargin,
 
     // dual-dialect ANSI: ln/round/decimal-sum exist identically in both
     "agg_entropy" ->
