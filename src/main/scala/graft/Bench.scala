@@ -1,13 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  /** Headline benchmark subset — one JSON line must fit the driver's
-    * bounded stdout tail (~2 KB; BENCH_r04's 128-entry line was
-    * front-truncated), so the bench times a curated ~60-key subset that
-    * spans every operator family instead of all 162 declared keys. The
-    * full map stays correctness-gated via Verify; this list carries the
-    * perf-sensitive and round-over-round-tracked keys, including the six
-    * queries VERDICT r4 graded perf-weak. */
+  /** Headline benchmark subset — the driver captures only a bounded
+    * stdout tail (~2 KB; BENCH_r04's 128-entry line was front-truncated),
+    * so the single JSON line carries this curated ~60-key subset that
+    * spans every operator family and the round-over-round-tracked keys.
+    *
+    * EVERY declared key still gets a timing each round: the full per-key
+    * map (headline at median-of-3, the long tail at 1 run each) is
+    * written to `BENCH_FULL.json` in the repo root, which the driver's
+    * end-of-round commit picks up. The stdout line points at it via
+    * "full" and carries the all-key total in "total_all". */
   val headline: Seq[String] = Seq(
     // scans / storage
     "scan_full", "scan_project", "key_lookup_sorted",
@@ -58,18 +62,27 @@ object Bench {
     // so globally-sorted queries would never pay their declared sort here.
     // queryExecution.toRdd executes the optimized physical plan as declared.
     //
-    // Each query runs `runs` times and reports the MEDIAN: sub-second
-    // queries are dominated by codegen-compile and scheduling noise, so a
-    // single sample makes round-over-round diffs unreadable. The median of
-    // 3 is robust to one GC/JIT outlier while keeping the bench bounded.
-    val runs = 3
+    // Headline keys run 3 times and report the MEDIAN (sub-second queries
+    // are dominated by codegen-compile and scheduling noise; the median of
+    // 3 is robust to one GC/JIT outlier). The non-headline tail runs ONCE
+    // each — a coarser but real signal for all 175 declared keys that keeps
+    // total bench wall-clock bounded.
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val all = SparkEntry.queries
     val unknown = headline.filterNot(all.contains)
     require(unknown.isEmpty,
       s"bench headline names not in SparkEntry.queries: $unknown")
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=k1,k2 times just
+    // those keys (median-of-3) and skips the file dump
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val tailKeys = all.keys.toSeq.sorted.filterNot(headline.contains)
+    val toRun: Seq[(String, Int)] = only match {
+      case Some(ks) => ks.map(_ -> 3)
+      case None     => headline.map(_ -> 3) ++ tailKeys.map(_ -> 1)
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = headline.map { name =>
+    val results = toRun.map { case (name, runs) =>
       val fn = all(name)
       var ok = true
       val samples = (1 to runs).map { _ =>
@@ -84,19 +97,37 @@ object Bench {
       }
       // a query that throws must NEVER masquerade as a fast timing
       // (VERDICT r4 #3): report -1 and list it under "failed".
-      if (!ok) { failed += name; name -> -1.0 }
-      else name -> median(samples)
+      if (!ok) { failed += name; (name, -1.0, runs) }
+      else (name, median(samples), runs)
     }
     // compact, locale-safe number formatting: the driver captures a bounded
     // tail of stdout, so the single JSON line must stay short (3 decimals,
     // not Double.toString's 15+)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double, Int)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"median","failed":$fs,"queries":$qs,"sf":"$sfDir"}""")
+    val headlineRes = results.filter { case (k, _, _) => headline.contains(k) }
+    val totalHeadline =
+      headlineRes.collect { case (_, v, _) if v >= 0 => v }.sum
+    val totalAll = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    if (only.isEmpty) {
+      // full per-key dump — every declared key, its seconds, and how many
+      // runs produced the number (3 = median, 1 = single sample)
+      val fullJson =
+        s"""{"sf":"$sfDir","agg":"median","failed":$fs,
+           |"total_headline":${num(totalHeadline)},"total_all":${num(totalAll)},
+           |"keys":${results.size},
+           |"runs":${results.map { case (k, _, r) => "\"" + k + "\":" + r }
+            .mkString("{", ",", "}")},
+           |"queries":${jmap(results)}}""".stripMargin.replace("\n", "")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    }
+    println(s"""{"metric":"total","value":${num(totalHeadline)},"unit":"sec","runs":3,"agg":"median","total_all":${num(totalAll)},"keys":${results.size},"full":"BENCH_FULL.json","failed":$fs,"queries":${jmap(headlineRes)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -922,7 +922,8 @@ object SqlCatalog {
         |  SELECT DISTINCT c_custkey, c_nationkey, g
         |  FROM customer
         |  LATERAL VIEW explode(transform(sequence(1, length(c_name) - 2),
-        |    i -> substring(c_name, i, 3))) t AS g),
+        |    i -> substring(c_name, i, 3))) t AS g
+        |  WHERE length(c_name) >= 3),
         |rare AS (
         |  SELECT g FROM (
         |    SELECT g, COUNT(DISTINCT c_custkey) AS df FROM grams GROUP BY g)

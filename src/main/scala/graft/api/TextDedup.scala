@@ -19,6 +19,23 @@ import graft.expr.MinHashAgg
   * engine, see [[MinHashAgg.params]]); set algebra runs on xxhash64-hashed
   * shingles (cardinalities preserved modulo ~1e-15/pair collision odds).
   */
+/** How iterative jobs truncate lineage between rounds.
+  *
+  *  - [[CheckpointStrategy.Local]] stores blocks in executor block
+  *    managers (`localCheckpoint`): no distributed-FS round trip, but a
+  *    lost executor loses its blocks and kills the job — right for
+  *    local-mode runs and short jobs.
+  *  - [[CheckpointStrategy.Reliable]] writes to the Spark checkpoint
+  *    directory (`SparkContext.setCheckpointDir`, typically HDFS/S3):
+  *    survives executor loss — the correct default for multi-round jobs
+  *    on a real cluster, where losing round N of 20 to one preempted
+  *    executor is otherwise unrecoverable. */
+sealed trait CheckpointStrategy
+object CheckpointStrategy {
+  case object Local extends CheckpointStrategy
+  case object Reliable extends CheckpointStrategy
+}
+
 object TextDedup {
 
   /** Materialize-once for intermediates reused by several downstream joins.
@@ -270,8 +287,9 @@ object TextDedup {
     * The doubling step halves the remaining path length every round, so
     * convergence is O(log diameter) rounds — a 1M-node chain needs ~20
     * rounds, not 1M. Each round is two hash-shuffle joins + an aggregate;
-    * `localCheckpoint` truncates the growing lineage, exactly how
-    * large-scale CC (GraphFrames/Pregel style) runs.
+    * per-round lineage truncation (see [[CheckpointStrategy]] — Local for
+    * local runs, Reliable for cluster jobs that must survive executor
+    * loss) is exactly how large-scale CC (GraphFrames/Pregel style) runs.
     *
     * Convergence is detected via the label-sum invariant: labels only ever
     * decrease, so the sum of labels is strictly monotone while any label
@@ -280,13 +298,20 @@ object TextDedup {
     * returns wrong components). Output: (id, component) — component = min
     * doc id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val sym = cached(pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      maxIter: Int = 50,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // per-round lineage truncation: Local for local-mode/short jobs;
+    // Reliable (requires SparkContext.setCheckpointDir) for cluster runs
+    // where a lost executor must not kill a multi-round job
+    val trunc: DataFrame => DataFrame = checkpoint match {
+      case CheckpointStrategy.Local    => _.localCheckpoint(true)
+      case CheckpointStrategy.Reliable => _.checkpoint(true)
+    }
+    val sym = trunc(pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct())
-    var labels = sym.select(col("x").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = trunc(sym.select(col("x").as("id")).distinct()
+      .withColumn("component", col("id")))
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("component"))).head.getLong(0)
     var prevSum = labelSum(labels)
@@ -303,11 +328,10 @@ object TextDedup {
             .as("component"))
       // pointer doubling: component ← component(component)
       val parents = prop.select(col("id").as("__pid"), col("component").as("__pcomp"))
-      val updated = prop
+      val updated = trunc(prop
         .join(parents, prop("component") === parents("__pid"), "left")
         .select(prop("id"),
-          coalesce(col("__pcomp"), prop("component")).as("component"))
-        .localCheckpoint(true)
+          coalesce(col("__pcomp"), prop("component")).as("component")))
       val s = labelSum(updated)
       converged = s == prevSum
       prevSum = s

@@ -33,17 +33,43 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Exact interpolated percentiles (median / p95) per order status.
-    * `percentile` is the exact algorithm (sort-based), matching DuckDB's
-    * `quantile_cont` bit-for-bit after rounding. */
-  val aggPercentile: Q = (s, d) =>
-    T.orders(s, d)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
-        count(lit(1)).as("n"))
+  /** Exact interpolated percentiles (median / p95) per order status,
+    * computed DISTRIBUTED-EXACT by rank interpolation — semantically
+    * identical to `percentile`/DuckDB `quantile_cont` (the linear-
+    * interpolation estimate at h = q·(n−1)) but with no aggregation
+    * buffer ever holding a group's payload: a single-buffer exact
+    * `percentile` call funnels every group's full value list into one
+    * ObjectHashAggregate buffer, which at 100 TB is tens of millions of
+    * doubles per reducer. Here the heavy operator is a per-group
+    * EXTERNAL SORT (row_number window — spills to disk, memory-bounded),
+    * each row is then compared against the four target ranks
+    * ⌊h⌋/⌈h⌉ per quantile and everything else is DISCARDED before the
+    * final scalar-only aggregate (≤ 4 rows per group). Group counts are
+    * a 3-row broadcast join. */
+  val aggPercentile: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val n = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val ranked = o.withColumn("r", row_number().over(w).cast("long") - 1)
+    def h(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    val kept = ranked.join(n, "o_orderstatus").filter(
+      col("r") === floor(h(0.5)) || col("r") === ceil(h(0.5)) ||
+      col("r") === floor(h(0.95)) || col("r") === ceil(h(0.95)))
+    val picked = kept.groupBy(col("o_orderstatus"), col("n")).agg(
+      max(when(col("r") === floor(h(0.5)), col("o_totalprice"))).as("lo50"),
+      max(when(col("r") === ceil(h(0.5)), col("o_totalprice"))).as("hi50"),
+      max(when(col("r") === floor(h(0.95)), col("o_totalprice"))).as("lo95"),
+      max(when(col("r") === ceil(h(0.95)), col("o_totalprice"))).as("hi95"))
+    def interp(lo: Column, hi: Column, q: Double) = {
+      val hq = h(q)
+      round(lo + (hq - floor(hq)) * (hi - lo), 2)
+    }
+    picked.select(col("o_orderstatus"),
+        interp(col("lo50"), col("hi50"), 0.5).as("p50"),
+        interp(col("lo95"), col("hi95"), 0.95).as("p95"),
+        col("n"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** Distribution window functions: quartile bucket, percent_rank and
     * cume_dist of each order within its status, on a total order. */
@@ -424,8 +450,12 @@ object Advanced {
     * flag pair reports its overlap via [[graft.expr.ThetaIntersect]].
     * Estimates are exact below the sketch's k=4096 retained entries and
     * deterministic at any partitioning (the retained set is "the k
-    * smallest key hashes" — order-free; PropertySpec pins both). No
-    * DuckDB oracle by the same declared contract as `agg_hll_sketch`. */
+    * smallest key hashes" — order-free; PropertySpec pins both).
+    * Harness-scale distinct counts sit under k, so the sketch is in its
+    * EXACT regime and the result is value-level oracle-checkable as
+    * plain distinct/intersection counting (same pattern as
+    * `agg_count_min`'s exact-mode oracle); above k the estimates leave
+    * the oracle and PropertySpec's error bounds take over. */
   val aggThetaSketch: Q = (s, d) => {
     import graft.expr.ThetaSketch._
     val perStatus = T.lineitem(s, d)
@@ -716,7 +746,13 @@ object Advanced {
     val dfCap = 40
     val c = T.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-    val grams = c.select(col("c_custkey"), col("c_nationkey"),
+    // names shorter than one 3-gram produce no blocking key at all —
+    // guarded explicitly because Spark's sequence(1, len-2) DESCENDS to
+    // [1, 0] when len < 3 (step auto-negates), while the oracle's
+    // generate_series returns empty; without the filter a degenerate
+    // name would silently diverge between the engines
+    val grams = c.filter(length(col("c_name")) >= 3)
+      .select(col("c_custkey"), col("c_nationkey"),
         explode(expr("transform(sequence(1, length(c_name) - 2)," +
           " i -> substring(c_name, i, 3))")).as("g"))
       .distinct()
@@ -1128,35 +1164,81 @@ object Advanced {
   /** Triangle counting on the user co-occurrence graph — the third graph
     * primitive next to `graph_pagerank` and the connected components in
     * `dedup_cluster`. Nodes: a deterministic 1-in-2 user slice; edges:
-    * users co-active in the same (event_type, hour) bucket (deduped,
-    * ordered u1 < u2 so each undirected edge exists once); triangles: the
-    * canonical two-hop join `e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)` with a < b < c,
-    * so each triangle counts exactly once. Per-node output = triangles
-    * through each vertex (a appears in 1 of the 3 orderings per triangle
-    * — count via union of the three corners). Every stage is an
-    * equi-shuffle join on a vertex key — no cartesian anywhere; at scale
-    * the bucket self-join is bounded by per-bucket distinct-user counts
-    * (the analogue of LSH-band bounding in the dedup family). */
+    * users co-active in the same (event_type, hour) bucket, where the
+    * bucket holds ≤ 100 distinct users (the co-occurrence df cap — the
+    * same declared-semantics rule as `match_fuzzy`'s rare-gram filter:
+    * pathologically popular buckets carry no signal and their |bucket|²
+    * pair expansion is the one quadratic term in the query, so the cap
+    * is part of the query definition and mirrored in the oracle).
+    *
+    * Enumeration is DEGREE-ORIENTED wedge counting (the O(m^1.5) bound):
+    * each undirected edge is directed from its (degree, id)-smaller
+    * endpoint to its larger one, wedges pair the out-neighbors of each
+    * source (so per-vertex wedge fan-out is out-degree², and orienting
+    * toward higher degree caps out-degree at O(√m)), and a wedge
+    * (s → b, s → c) with b ≺ c closes iff the directed edge b → c
+    * exists — an equi-join on the two endpoint ids. Each triangle
+    * a ≺ b ≺ c is found exactly once, at its smallest corner, so the
+    * per-node credit (one ×3 corner explode, then count) is identical to
+    * unoriented enumeration — orientation is result-invariant. At bench
+    * scale the dir list is a few MB, AQE broadcasts it, and the wedge
+    * stream never shuffles; at 100 TB the orientation is what keeps the
+    * wedge join sub-quadratic under degree skew. */
   val graphTriangles: Q = (s, d) => {
+    val bucketCap = 100
     val nodes = T.events(s, d)
       .filter(col("user_id") % 2 === 0)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
         col("user_id")).distinct()
-    val a = nodes.select(col("event_type"), col("hr"), col("user_id").as("u1"))
-    val b = nodes.select(col("event_type"), col("hr"), col("user_id").as("u2"))
+    val capped = nodes
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("event_type", "hr")))
+      .filter(col("bsz") <= bucketCap)
+    val a = capped.select(col("event_type"), col("hr"), col("user_id").as("u1"))
+    val b = capped.select(col("event_type"), col("hr"), col("user_id").as("u2"))
     val edges = a.join(b, Seq("event_type", "hr"))
       .filter(col("u1") < col("u2"))
       .select(col("u1"), col("u2")).distinct()
-    val e1 = edges.select(col("u1").as("a"), col("u2").as("b"))
-    val e2 = edges.select(col("u1").as("b"), col("u2").as("c"))
-    val e3 = edges.select(col("u1").as("a"), col("u2").as("c"))
-    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    // ONE enumeration pass: a triangle credits all three corners via a
-    // single bounded ×3 explode. (Three unionAll branches over `tri`
-    // would re-run the whole wedge join per branch — at sf0.1 the
-    // co-occurrence graph is near-complete and the join is output-bound
-    // at 25M triangles, so the re-computation tripled the query.)
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+    val deg = edges.select(col("u1").as("u"))
+      .unionAll(edges.select(col("u2").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("u").as("u1"), col("deg").as("d1")), "u1")
+      .join(deg.select(col("u").as("u2"), col("deg").as("d2")), "u2")
+    // the (degree, id) total order is kept as two flat long columns —
+    // the wedge condition is evaluated ~|wedge-candidates| times inside
+    // the broadcast probe loop, and flat long compares stay in codegen
+    // with no per-pair struct allocation
+    def ltKey(da: Column, ua: Column, db: Column, ub: Column): Column =
+      da < db || (da === db && ua < ub)
+    val isFwd = ltKey(col("d1"), col("u1"), col("d2"), col("u2"))
+    val dir = withDeg.select(
+      when(isFwd, col("u1")).otherwise(col("u2")).as("src"),
+      when(isFwd, col("u2")).otherwise(col("u1")).as("du"),
+      greatest(col("d1"), col("d2")).as("dd"))
+    // The wedge expansion is the heavy stage: each dir row fans out to
+    // out-degree(src) wedges, so the STREAM side must keep full task
+    // parallelism. AQE sees only the pre-expansion size (a few MB) and
+    // would coalesce the stream to ~1 partition, serializing the fan-out
+    // — an explicit partition count on the probe side blocks that while
+    // the small build sides still broadcast.
+    val np = s.sessionState.conf.numShufflePartitions
+    val dirP = dir.repartition(np, col("src"))
+    val w1 = dirP.select(col("src"), col("du").as("u_b"), col("dd").as("d_b"))
+    val w2 = dirP.select(col("src"), col("du").as("u_c"), col("dd").as("d_c"))
+    // closing-edge membership probes once per wedge — the hot loop. A
+    // single-long key (src<<32 | dst; non-negative ids < 2^31, true of
+    // the user-id domain — the standard 64-bit packed-edge encoding)
+    // lets the broadcast build a dense LongHashedRelation instead of a
+    // compound-key UnsafeHashedRelation: ~5× cheaper per probe at 33M
+    // probes. The general (unbounded-id) form would keep the two-column
+    // key and pay the compound probe.
+    val tri = w1.join(w2, Seq("src"))
+      .filter(ltKey(col("d_b"), col("u_b"), col("d_c"), col("u_c")))
+      .join(dirP.select((shiftleft(col("src"), 32) + col("du")).as("bc")),
+        shiftleft(col("u_b"), 32) + col("u_c") === col("bc"))
+    tri.select(explode(array(col("src"), col("u_b"), col("u_c")))
+        .as("user_id"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("user_id"))
@@ -1256,9 +1338,15 @@ object Advanced {
       """WITH nodes AS (
         |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
         |  FROM events WHERE user_id % 2 = 0
+        |), capped AS (
+        |  SELECT event_type, hr, user_id FROM (
+        |    SELECT event_type, hr, user_id,
+        |           COUNT(*) OVER (PARTITION BY event_type, hr) AS bsz
+        |    FROM nodes)
+        |  WHERE bsz <= 100
         |), edges AS (
         |  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-        |  FROM nodes a JOIN nodes b
+        |  FROM capped a JOIN capped b
         |    ON a.event_type = b.event_type AND a.hr = b.hr
         |   AND a.user_id < b.user_id
         |), tri AS (
@@ -1591,6 +1679,28 @@ object Advanced {
         |ORDER BY ka, kb""".stripMargin,
 
     // dual-dialect ANSI: ln/round/decimal-sum exist identically in both
+    // EXACT-regime theta oracle: harness-scale per-flag distinct partkey
+    // counts sit below the sketch's k=4096 retained entries, where a
+    // theta sketch IS the exact distinct set — so estimate and
+    // intersection reduce to plain distinct / set-intersection counts
+    "agg_theta_sketch" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |c AS (SELECT l_returnflag, COUNT(*) AS n FROM d GROUP BY 1),
+        |shared AS (
+        |  SELECT a.l_returnflag AS fa, b.l_returnflag AS fb, COUNT(*) AS ns
+        |  FROM d a JOIN d b
+        |    ON a.l_partkey = b.l_partkey AND a.l_returnflag < b.l_returnflag
+        |  GROUP BY 1, 2)
+        |SELECT ca.l_returnflag AS flag_a, cb.l_returnflag AS flag_b,
+        |  round(CAST(ca.n AS DOUBLE), 1) AS approx_a,
+        |  round(CAST(cb.n AS DOUBLE), 1) AS approx_b,
+        |  round(CAST(coalesce(s.ns, 0) AS DOUBLE), 1) AS approx_shared
+        |FROM c ca JOIN c cb ON ca.l_returnflag < cb.l_returnflag
+        |LEFT JOIN shared s
+        |  ON s.fa = ca.l_returnflag AND s.fb = cb.l_returnflag
+        |ORDER BY flag_a, flag_b""".stripMargin,
+
     "agg_entropy" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),

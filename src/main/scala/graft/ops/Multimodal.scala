@@ -147,11 +147,11 @@ object Multimodal {
     val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
     val png = m.mapPartitions { rows =>
       // per-partition encoder init, hoisted OUT of the row loop:
-      // ImageIO.write does a writer-SPI scan per call and, with the
-      // default use-cache, spools every image through a temp FILE —
-      // per-row that dominated the stage (2.4× regression in r4's bench).
+      // ImageIO.write does a writer-SPI scan per call — per-row that
+      // dominated the stage (2.4× regression in r4's bench). The explicit
+      // MemoryCache image streams below never touch ImageIO's disk cache,
+      // so no JVM-global setUseCache mutation is needed from tasks.
       java.awt.Toolkit.getDefaultToolkit // force lazy init once per task
-      javax.imageio.ImageIO.setUseCache(false) // stay in memory
       val writer =
         javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       rows.map { r =>
@@ -168,8 +168,8 @@ object Multimodal {
       }
     }(pngEnc)
     png.mapPartitions { rows =>
-      // reader hoisted for the same reason as the writer above
-      javax.imageio.ImageIO.setUseCache(false)
+      // reader hoisted for the same reason as the writer above; the
+      // MemoryCache input stream keeps decode off the disk cache
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       val px = new Array[Int](16) // per-partition decode buffer

@@ -312,6 +312,25 @@ class ApiSpec extends SparkSpecBase {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
 
+  test("connectedComponents agrees across Local and Reliable checkpointing") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (min label 1), pair 10-11, self-contained pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    def run(strategy: graft.api.CheckpointStrategy): Map[Long, Long] =
+      TextDedup.connectedComponents(pairs, "a", "b", checkpoint = strategy)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(graft.api.CheckpointStrategy.Local) === expect)
+    // Reliable requires a checkpoint dir (on a cluster: HDFS/S3); the
+    // result must be identical — only the lineage-truncation medium moves
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    assert(run(graft.api.CheckpointStrategy.Reliable) === expect)
+  }
+
   test("Clustering.fit is partition-invariant and assigns every vector once") {
     val embs = graft.core.Tables(spark, sf0001, "embeddings")
     def labels(df: org.apache.spark.sql.DataFrame, iters: Int,

@@ -56,6 +56,21 @@ class ConstraintSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("capacity gate: the reference's 13-cell TABLE_FULL is superseded") {
+    // The reference rejects the 14th row with EXECUTE_TABLE_FULL
+    // (db.cpp:472-475, exercised at spec/main_spec.rb:35-42) because its
+    // single in-memory page array is fixed at 13 cells. The engine has NO
+    // such gate — deliberately (SURVEY §4.2): storage is parquet +
+    // Spark's spill-to-disk execution, so table size is bounded by
+    // storage, not by a page-count constant. The observable contract is
+    // therefore: an insert batch far past the reference's limit is
+    // accepted in full.
+    val df = users((0L until 100L).map(i =>
+      (i, s"user$i", s"user$i@example.com")): _*)
+    assert(accepted(df).size == 100,
+      "no analogue of EXECUTE_TABLE_FULL may reject rows")
+  }
+
   test("insert_append drops exactly the constraint-violating fresh rows") {
     val out = Relational.insertAppend(spark, sf0001)
     val ids = out.select("id").collect().map(_.getLong(0)).toSet

@@ -83,6 +83,10 @@ class MultimodalSpec extends SparkSpecBase {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars") + lit(16L)).as("b"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-doc record sizes, for the exact boundary-crossing assertion
+    val docBytes = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), (col("n_chars") + lit(16L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     m.groupBy(_._1).foreach { case (src, shards) =>
       assert(shards.map(_._3).sum == totals(src)._1, s"$src doc count drifted")
       assert(shards.map(_._4).sum == totals(src)._2, s"$src byte total drifted")
@@ -94,11 +98,21 @@ class MultimodalSpec extends SparkSpecBase {
         case Array(a, b) => assert(a._6 < b._5, s"$src shard ranges overlap")
         case _ =>
       }
-      // capacity: a shard exceeds cap only by its boundary-spanning doc,
-      // and every non-final shard is at least capacity-full before closing
-      val maxDoc = totals(src)._2 // trivial upper bound on one doc's bytes
-      ordered.foreach { s => assert(s._4 <= cap + maxDoc) }
-      ordered.init.foreach { s => assert(s._4 > 0) }
+      // capacity: each shard's cumulative end stays within its boundary
+      // ((cum-1) div cap assigns a doc to the shard holding its END byte),
+      // and every non-final shard is full-to-boundary in the exact sense
+      // that adding the NEXT shard's first doc crosses (shard_id+1)*cap
+      val prefixEnds = ordered.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      ordered.zip(prefixEnds).foreach { case (s, end) =>
+        assert(end <= (s._2 + 1) * cap && end > s._2 * cap,
+          s"$src shard ${s._2} cumulative end $end outside its boundary")
+      }
+      ordered.zip(prefixEnds).sliding(2).foreach {
+        case Array((s, end), (next, _)) =>
+          assert(end + docBytes(next._5) > (s._2 + 1) * cap,
+            s"$src shard ${s._2} closed before reaching its boundary")
+        case _ =>
+      }
     }
   }
 }

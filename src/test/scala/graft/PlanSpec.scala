@@ -229,6 +229,19 @@ class PlanSpec extends SparkSpecBase {
       "grouped top-k fell back to a window (full partition sort)")
   }
 
+  test("agg_percentile is rank-interpolated: no payload-holding aggregate") {
+    val df = graft.ops.Advanced.aggPercentile(spark, sf0001)
+    val p = planString(df)
+    // the single-buffer exact `percentile` plans an ObjectHashAggregate
+    // whose buffer is the group's ENTIRE value list — the rank form's
+    // heavy operator must be the spillable window sort instead, and every
+    // aggregate buffer stays scalar-only
+    assert(!p.contains("ObjectHashAggregate"),
+      "exact percentile regressed to a payload-collecting aggregate")
+    assert(p.contains("Window"),
+      "rank-interpolation lost its row_number window")
+  }
+
   test("agg_bitmap counts distinct via bitmaps, never a distinct Expand") {
     // the point of the bitmap plan: exact distinct with NO expand of the
     // raw keys (count-distinct's Expand doubles the shuffled row count)
@@ -595,11 +608,20 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("graph_triangles enumerates via equi-joins only (never |V|^2)") {
-    val p = planString(graft.ops.Advanced.graphTriangles(spark, sf0001))
+    val df = graft.ops.Advanced.graphTriangles(spark, sf0001)
+    val p = planString(df)
     assert(!p.contains("CartesianProduct"),
       "triangle enumeration degenerated to a cartesian product")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "triangle enumeration degenerated to a nested loop")
+    // the wedge join must key on the ORIENTED source vertex (degree-
+    // oriented wedge counting — out-degree is capped at O(√m), so the
+    // per-vertex fan-out bound survives degree skew at scale)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.exists(_.condition.exists(
+        _.references.exists(_.name == "src"))),
+      "no join keyed on the oriented wedge source column")
   }
 
   test("fn_regex and fn_url fuse into the scan (no agg, no join)") {
