@@ -109,7 +109,11 @@ object Bench {
       rs.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val headlineRes = results.filter { case (k, _, _) => headline.contains(k) }
+    // the stdout line carries the headline subset; in ONLY mode it carries
+    // exactly the keys that ran (local iteration wants its numbers printed)
+    val headlineRes =
+      if (only.isDefined) results
+      else results.filter { case (k, _, _) => headline.contains(k) }
     val totalHeadline =
       headlineRes.collect { case (_, v, _) if v >= 0 => v }.sum
     val totalAll = results.collect { case (_, v, _) if v >= 0 => v }.sum

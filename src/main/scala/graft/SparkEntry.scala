@@ -101,6 +101,7 @@ object SparkEntry {
     "text_bigram_lm"   -> LlmPipeline.textBigramLm,
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
+    "dedup_cdc"        -> LlmPipeline.dedupCdc,
     "text_pack"        -> LlmPipeline.textPack,
     "text_chunk"       -> LlmPipeline.textChunk,
     "text_bpe_pairs"   -> LlmPipeline.textBpePairs,

@@ -264,6 +264,16 @@ object SqlCatalog {
         |         ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
 
+    // exact decimal(38,0) cross-multiplication — no libm, no float compare
+    "sample_weighted" ->
+      """WITH tot AS (SELECT SUM(n_chars) AS tw FROM documents)
+        |SELECT doc_id, n_chars FROM documents, tot
+        |WHERE CAST(md5_48(concat_ws('|', doc_id)) AS DECIMAL(38,0))
+        |    * CAST(tw AS DECIMAL(38,0))
+        |  < CAST(100 AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))
+        |    * CAST(281474976710656 AS DECIMAL(38,0))
+        |ORDER BY doc_id""".stripMargin,
+
     // the row_number spelling of the bounded-heap reservoir sample
     "sample_reservoir" ->
       """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rnk, o_orderkey
@@ -906,6 +916,33 @@ object SqlCatalog {
          |GROUP BY x.doc_id, y.doc_id
          |HAVING count(*) >= 2
          |ORDER BY a, b""".stripMargin,
+
+    // content-defined chunking: native gram_hash48 posexplode for the
+    // boundary scan (the DuckDB oracle re-derives each gram hash inline)
+    "dedup_cdc" ->
+      s"""WITH $corpusSql,
+         |c AS (SELECT doc_id, text FROM corpus WHERE length(text) >= 8),
+         |g AS (
+         |  SELECT doc_id, text, p0, h FROM c
+         |  LATERAL VIEW posexplode(gram_hash48(text, 8)) t AS p0, h),
+         |cuts AS (
+         |  SELECT doc_id, text, p0 + 1 AS pos FROM g
+         |  WHERE p0 = 0 OR h % 64 = 0),
+         |spans AS (
+         |  SELECT doc_id, text, pos,
+         |    LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |  FROM cuts),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    substring(text, pos, coalesce(next, length(text) + 1) - pos) AS chunk
+         |  FROM spans)
+         |SELECT md5_48(chunk) AS chunk_hash,
+         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS rep_doc,
+         |  CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len
+         |FROM chunks GROUP BY md5_48(chunk)
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
 
     "multimodal_join" ->
       """SELECT d.lang, e.label, count(*) AS n,

@@ -265,6 +265,34 @@ object Advanced {
       .orderBy(col("doc_id"))
   }
 
+  /** WEIGHT-PROPORTIONAL sampling (expected size k=100) — the
+    * token-budget sampling step of a corpus pipeline: a document is kept
+    * with probability proportional to its length, so expected SAMPLED
+    * BYTES follow the corpus mix rather than the doc-count mix (what
+    * uniform `sample_hash` would give). Inclusion is Poisson/Bernoulli
+    * weighted sampling — keep iff h48(doc_id)/2^48 < k·w/Σw — decided in
+    * EXACT 128-bit decimal integer cross-multiplication: no libm, no
+    * float compare, so membership is a pure row property, reproducible
+    * across engines, partitionings and reruns (the `sample_hash`
+    * discipline, weight-generalized; probabilities > 1 simply always
+    * keep). Σw is one broadcast scalar; selection is a map-side filter
+    * with zero shuffles before the declared sort — the one-pass 100 TB
+    * shape, needing no global top-k structure the way priority
+    * (Efraimidis–Spirakis) sampling would. */
+  val sampleWeighted: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    def d38(c: Column) = c.cast(dec)
+    val docs = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val tot = docs.agg(sum(col("n_chars")).as("tw"))
+    docs.crossJoin(broadcast(tot))
+      .filter(
+        d38(graft.expr.Md5Prefix48.md548(concat_ws("|", col("doc_id"))))
+          * d38(col("tw")) <
+          d38(lit(100L)) * d38(col("n_chars")) * d38(lit(1L << 48)))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-width histogram (the profiling primitive behind every range
     * partitioner and NDV estimate): bucket = floor(price / 10000), one
     * two-phase hash aggregate — bucket count is bounded by the value
@@ -1261,6 +1289,7 @@ object Advanced {
     "fn_null" -> fnNull,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
     "agg_hist" -> aggHist,
     "agg_ts_gapfill" -> aggTsGapfill,
     "fn_struct" -> fnStruct,
@@ -1473,6 +1502,16 @@ object Advanced {
         |        AS BIGINT) % 100
         |  < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20
         |         ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact cross-multiplied inclusion test in HUGEINT — mirrors the
+    // engine's decimal(38,0) arithmetic bit-for-bit (both sides exact)
+    "sample_weighted" ->
+      """WITH tot AS (SELECT SUM(n_chars) AS tw FROM documents)
+        |SELECT doc_id, n_chars FROM documents, tot
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |        AS BIGINT) AS HUGEINT) * tw
+        |  < CAST(100 AS HUGEINT) * n_chars * 281474976710656
         |ORDER BY doc_id""".stripMargin,
 
     // dual-dialect ANSI: also serves as the SqlCatalog entry

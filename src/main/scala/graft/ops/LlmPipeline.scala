@@ -910,6 +910,53 @@ object LlmPipeline {
         k = 8, w = 16, minShared = 2, maxDf = 8)
       .orderBy(col("a"), col("b"))
 
+  /** CONTENT-DEFINED CHUNKING dedup (the LBFS/rsync boundary family,
+    * Muthitacharoen et al. SOSP'01): chunk boundaries open where a
+    * content hash meets a modulus condition, so boundaries MOVE WITH THE
+    * CONTENT — an edit near a doc's head shifts every fixed-offset chunk
+    * (`text_chunk`) but only the ONE content-defined chunk it touches.
+    * The missing primitive next to winnowing: winnowing SAMPLES
+    * fingerprints for detection, CDC PARTITIONS the full text, so shared
+    * chunks are recoverable spans — the unit that storage dedup and
+    * WARC-level pipeline dedup actually deduplicate.
+    *
+    * Boundaries: position i opens a chunk iff i = 1 or the k=8 gram hash
+    * h_i ≡ 0 (mod 64) (expected chunk ~64 chars; h is the native
+    * [[graft.expr.GramHash48]] — the engine's portable md5_48
+    * discipline, so the oracle reproduces every boundary). The planted
+    * near-dup variants (last two tokens dropped) share every chunk but
+    * the final one with their base docs — exactly the insertion/deletion
+    * robustness fixed-offset chunking lacks.
+    *
+    * 100 TB shape: one native gram-hash pass per row; the mod filter
+    * drops ~63/64 of positions IN THE SCAN STAGE before anything
+    * shuffles; span assembly is one lead-window on doc_id; the dedup
+    * aggregate shuffles (hash, doc) pairs only. */
+  val dedupCdc: Q = (s, d) => {
+    val c = corpus(s, d).filter(length(col("text")) >= 8)
+    val cuts = c
+      .select(col("doc_id"), col("text"),
+        posexplode(expr("gram_hash48(text, 8)")).as(Seq("p0", "h")))
+      .filter(col("p0") === 0 || col("h") % 64 === 0)
+      .select(col("doc_id"), col("text"), (col("p0") + 1).as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = cuts
+      .withColumn("next", lead(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        expr("substring(text, pos, coalesce(next, length(text) + 1) - pos)")
+          .as("chunk"))
+    chunks
+      .select(col("doc_id"), h48(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("rep_doc"),
+        max(col("clen")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
   // -------------------------------------------------------- multimodal join
 
   /** documents ⋈ embeddings by id with the vector carried through a
@@ -973,6 +1020,31 @@ object LlmPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // content-defined chunking: boundaries at i=1 or md5_48(gram) % 64 = 0,
+    // spans via lead, chunk identity by md5_48 — every hash reproduced
+    "dedup_cdc" ->
+      s"""WITH $corpusSql,
+         |c AS (SELECT doc_id, text FROM corpus WHERE length(text) >= 8),
+         |cuts AS (
+         |  SELECT doc_id, text, i AS pos
+         |  FROM c,
+         |    LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) t
+         |  WHERE i = 1 OR ${h48Sql("substr(text, i, 8)")} % 64 = 0),
+         |spans AS (
+         |  SELECT doc_id, text, pos,
+         |    LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |  FROM cuts),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    substr(text, pos, coalesce(next, length(text) + 1) - pos) AS chunk
+         |  FROM spans)
+         |SELECT ${h48Sql("chunk")} AS chunk_hash,
+         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS rep_doc,
+         |  CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len
+         |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT min(doc_id) AS kept_id, count(*) AS n_copies

@@ -624,6 +624,32 @@ class PlanSpec extends SparkSpecBase {
       "no join keyed on the oriented wedge source column")
   }
 
+  test("sample_weighted is a map-side filter: no shuffle join, no wide key exchange") {
+    val df = graft.ops.Advanced.sampleWeighted(spark, sf0001)
+    val p = planString(df)
+    // Σw is a single-row broadcast; the inclusion test must run in the
+    // scan stage — any shuffle join or hash-keyed exchange means the
+    // selection stopped being a pure row property
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "weighted sampling planned a shuffle join for the scalar total")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "weighted sampling shuffled on a key before selecting")
+  }
+
+  test("dedup_cdc boundary scan precedes the span window (mod filter in scan stage)") {
+    val df = graft.ops.LlmPipeline.dedupCdc(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!planString(df).contains("CartesianProduct"),
+      "CDC degenerated to a cartesian product")
+    // tree prints consumers above producers: the Generate (gram posexplode
+    // + mod-64 cut filter) must sit BELOW the span Window, i.e. the ~63/64
+    // position drop happens before the doc_id shuffle
+    val winIdx = p.indexOf("Window")
+    val genIdx = p.indexOf("Generate")
+    assert(winIdx >= 0 && genIdx >= 0 && winIdx < genIdx,
+      s"span window does not consume the boundary scan (win@$winIdx gen@$genIdx)")
+  }
+
   test("fn_regex and fn_url fuse into the scan (no agg, no join)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     Seq("fn_regex" -> graft.ops.Functions.fnRegex(spark, sf0001),
