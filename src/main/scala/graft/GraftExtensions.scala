@@ -125,6 +125,23 @@ object GraftExtensions {
       graft.expr.ThetaIntersect(children.head, children(1))
     })
 
+  private val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(classOf[graft.expr.BloomFilterAgg].getName, "bloom_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "bloom_agg(key, numBits, numHashes) takes exactly 3 arguments")
+      graft.expr.BloomFilterAgg(children.head, children(1), children(2))
+    })
+
+  private val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[graft.expr.BloomMightContain].getName, "bloom_contains"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "bloom_contains(bf, key) takes exactly 2 arguments")
+      graft.expr.BloomMightContain(children.head, children(1))
+    })
+
   /** Runtime-settable confs the engine's operators are tuned for. Applied
     * by [[install]] (the explicit engine-installation entry point); query
     * builders and table readers themselves never mutate a caller's
@@ -148,7 +165,8 @@ object GraftExtensions {
     Seq(floatDotDescriptor, md548Descriptor, slidingMinDescriptor,
       gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
       simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
-      thetaIntersectDescriptor, misraGriesDescriptor, countMinDescriptor)
+      thetaIntersectDescriptor, misraGriesDescriptor, countMinDescriptor,
+      bloomAggDescriptor, bloomContainsDescriptor)
 
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */

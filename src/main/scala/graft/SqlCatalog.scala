@@ -1398,6 +1398,19 @@ object SqlCatalog {
         |FROM wins w LEFT JOIN hits h ON w.day = h.day AND w.w_id = h.w_id
         |ORDER BY w.day, w.w_id""".stripMargin,
 
+    // runtime bloom pruning in SQL text: the engine-registered bloom_agg /
+    // bloom_contains functions, the scalar-subquery sketch standing in for
+    // the DataFrame path's 1-row broadcast
+    "join_bloom" ->
+      """WITH dim AS (SELECT c_custkey, c_name FROM customer
+        |            WHERE c_mktsegment = 'BUILDING'),
+        |bf AS (SELECT bloom_agg(c_custkey, 131072, 5) AS bf FROM dim)
+        |SELECT /*+ SHUFFLE_HASH(dim) */ o_orderkey, c_name, o_totalprice
+        |FROM orders CROSS JOIN bf
+        |JOIN dim ON o_custkey = c_custkey
+        |WHERE bloom_contains(bf.bf, o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // int8 min-max quantization: posexplode is the Spark spelling of the
     // oracle's zipped parallel unnests
     "embed_quantize" ->

@@ -1138,6 +1138,39 @@ object Advanced {
       .orderBy(col("day"), col("w_id"))
   }
 
+  /** Runtime BLOOM-FILTER join pruning — the dynamic-filtering shape
+    * (Spark's row-level runtime filters, Trino/Presto dynamic filters,
+    * the semi-join reducer of Bernstein & Chiu, JACM 1981) as a declared
+    * first-class operator. The build side aggregates the filtered
+    * dimension's key set into one mergeable [[graft.expr.BloomFilterAgg]]
+    * value (2¹⁷ bits + 5 hashes here; ~10 bits/key at a 1% FPR in
+    * general); that 1-row sketch broadcasts to every fact scan task,
+    * where the codegen'd [[graft.expr.BloomMightContain]] probe drops
+    * non-joining fact rows MAP-SIDE — before the join shuffle ever forms.
+    * At 100 TB this is the pattern that makes a selective dim-filtered
+    * fact join affordable when the dim is too big to broadcast whole: the
+    * shuffle carries only probable matches (selectivity ~1/5 here, often
+    * 1/1000s in practice), and the `shuffle_hash` hint keeps the exact
+    * join a shuffle join so the pruning is doing real work. Lossless by
+    * construction: a Bloom filter has no false negatives, and false
+    * positives die in the exact join — the oracle is the PLAIN join. */
+  val joinBloom: Q = (s, d) => {
+    val dim = T.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val bloom = dim.agg(
+      graft.expr.Bloom.agg(col("c_custkey"), 1 << 17, 5).as("bf"))
+    val pruned = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(bloom)) // 1-row broadcast: the runtime filter
+      .filter(graft.expr.Bloom.mightContain(col("bf"), col("o_custkey")))
+      .drop("bf")
+    pruned
+      .join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Conditional-aggregation pack — the SQL `FILTER (WHERE …)` family:
     * per-status conditional counts, a conditional exact revenue sum
     * (`dsum` over a `when` with no otherwise → nulls drop out of the
@@ -1321,6 +1354,7 @@ object Advanced {
     "events_streak" -> eventsStreak,
     "agg_argmax" -> aggArgmax,
     "join_interval" -> joinInterval,
+    "join_bloom" -> joinBloom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2039,5 +2073,14 @@ object Advanced {
         |  CAST(SUM(CASE WHEN tie = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_sessions
         |FROM sw GROUP BY day ORDER BY day""".stripMargin,
+
+    // The PLAIN join: bloom pruning is semantically invisible (no false
+    // negatives; false positives die in the exact join), so the oracle
+    // carries no bloom at all — that absence IS the property under test.
+    "join_bloom" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

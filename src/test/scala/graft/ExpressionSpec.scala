@@ -258,6 +258,39 @@ class ExpressionSpec extends SparkSpecBase {
     }
   }
 
+  test("Bloom: no false negatives, bounded FPR, partition-invariant merge") {
+    import graft.expr.Bloom
+    val keys = T.customer(spark, sf0001).select(col("c_custkey"))
+    val bloom = keys.agg(Bloom.agg(col("c_custkey"), 1 << 14, 5).as("bf"))
+    // no false negatives: every inserted key probes true (codegen path)
+    val misses = keys.crossJoin(bloom)
+      .filter(!Bloom.mightContain(col("bf"), col("c_custkey")))
+      .count()
+    assert(misses == 0, s"bloom dropped $misses present keys (false negatives)")
+    // bounded false-positive rate on a disjoint probe set: n≈150 keys in
+    // 2^14 bits with k=5 gives FPR ≈ (1-e^(-kn/m))^5 ≈ 1e-7; assert a
+    // loose 2% so the test never flakes on hash accidents
+    val probes = keys.select((col("c_custkey") + 1000000000L).as("k"))
+    val fp = probes.crossJoin(bloom)
+      .filter(Bloom.mightContain(col("bf"), col("k"))).count()
+    val n = probes.count()
+    assert(fp.toDouble / n < 0.02, s"FPR $fp/$n exceeds 2%")
+    // merge is OR: the aggregated value is byte-identical regardless of
+    // partitioning (1 partition vs 13 → different partial-merge trees)
+    val one = keys.repartition(1)
+      .agg(Bloom.agg(col("c_custkey"), 1 << 14, 5)).head.getAs[Array[Byte]](0)
+    val many = keys.repartition(13)
+      .agg(Bloom.agg(col("c_custkey"), 1 << 14, 5)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many), "bloom not partition-invariant")
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val missesInterp = keys.crossJoin(bloom)
+        .filter(!Bloom.mightContain(col("bf"), col("c_custkey"))).count()
+      assert(missesInterp == 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("MinHashAgg == column-wise min formulation") {
     val s = spark
     import s.implicits._

@@ -204,6 +204,28 @@ class PlanSpec extends SparkSpecBase {
       "salted join degenerated to a non-equi join")
   }
 
+  test("join_bloom probes the bloom below the fact shuffle; exact join stays shuffled") {
+    val df = graft.ops.Advanced.joinBloom(spark, sf0001)
+    val p = planString(df)
+    assert(p.contains("ShuffledHashJoin"),
+      "exact join is not a shuffle join — a broadcast would erase the very " +
+        "shuffle the bloom is pruning")
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim side was broadcast whole; the runtime-filter demo never shuffled")
+    assert(p.contains("bloom_contains"), "bloom probe missing from the plan")
+    // structural pin: the probe filter sits INSIDE the shuffled join's
+    // subtree (map-side, before the exchange) — not above the join
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    val shj = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty && shj.exists(_.toString.contains("bloom_contains")),
+      "bloom_contains filter is not below the shuffled equi-join")
+  }
+
   test("sample_reservoir keeps bounded heap state, not a window sort") {
     val p = planString(graft.ops.Advanced.sampleReservoir(spark, sf0001))
     assert(p.contains("ObjectHashAggregate"),
