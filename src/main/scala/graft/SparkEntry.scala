@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash"    -> LlmPipeline.dedupMinhash,
     "dedup_simhash"    -> LlmPipeline.dedupSimhash,
     "dedup_embed"      -> LlmPipeline.dedupEmbed,
+    "dedup_embed_lsh"  -> LlmPipeline.dedupEmbedLsh,
     "dedup_cluster"    -> LlmPipeline.dedupCluster,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,

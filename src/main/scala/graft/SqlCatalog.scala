@@ -568,6 +568,41 @@ object SqlCatalog {
          |WHERE ${cosFd("l.pe", "r.be")} >= 0.999
          |ORDER BY var_id, base_id""".stripMargin,
 
+    // sign-LSH statement form: rounded float_dot sign bits, 3x4-bit band
+    // keys, band equi-join, exact-cosine verify — the hyperplane twin of
+    // dedup_embed's cell routing above
+    "dedup_embed_lsh" ->
+      s"""WITH $vecCorpusSql,
+         |planes AS (
+         |  SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 12),
+         |lsig AS (
+         |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
+         |    SUM((CASE WHEN round(float_dot(v.embedding, p.pvec), 6) >= 0
+         |           THEN 1 ELSE 0 END)
+         |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+         |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id >= 10000
+         |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
+         |rsig AS (
+         |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
+         |    SUM((CASE WHEN round(float_dot(v.embedding, p.pvec), 6) >= 0
+         |           THEN 1 ELSE 0 END)
+         |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+         |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id < 10000
+         |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
+         |cands AS (
+         |  SELECT DISTINCT l.vec_id AS var_id, r.vec_id AS base_id
+         |  FROM lsig l JOIN rsig r ON l.band = r.band AND l.bkey = r.bkey)
+         |SELECT c.var_id, c.base_id,
+         |  round(${cosFd("lv.embedding", "rv.embedding")}, 6) AS cos
+         |FROM cands c
+         |JOIN vcorpus lv ON lv.vec_id = c.var_id
+         |JOIN vcorpus rv ON rv.vec_id = c.base_id
+         |WHERE ${cosFd("lv.embedding", "rv.embedding")} >= 0.999
+         |ORDER BY var_id, base_id""".stripMargin,
+
     // the corpus-self kNN join: ONE ranked-cells CTE serves both the
     // candidate sharding (crnk = 1) and the probe replicas (crnk <= 3) —
     // the statement form of VectorSearch.knnJoin's single argmin pass
@@ -1588,6 +1623,28 @@ object SqlCatalog {
          |  ${dsumSql("CAST(get_json_object(props, '$.k') AS DOUBLE)")} AS sum_k
          |FROM graft_source_json_back
          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "view_incremental" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("view_incremental_state_sql")}'
+         |USING parquet
+         |SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         |  SUM(CAST(value AS DECIMAL(20,8))) AS sv
+         |FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+      s"""SELECT event_type, day,
+         |  (coalesce(n1, CAST(0 AS BIGINT)) + coalesce(n2, CAST(0 AS BIGINT)))
+         |    AS n_events,
+         |  CAST(round(coalesce(s1, 0) + coalesce(s2, 0), 2) AS DOUBLE)
+         |    AS sum_value
+         |FROM (SELECT event_type, day, n AS n1, sv AS s1
+         |      FROM parquet.`${ioDir("view_incremental_state_sql")}`) st
+         |FULL OUTER JOIN (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n2,
+         |    SUM(CAST(value AS DECIMAL(20,8))) AS s2
+         |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+         |  GROUP BY 1, 2) dl
+         |USING (event_type, day)
+         |ORDER BY event_type, day""".stripMargin),
 
     "merge_delete" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_delete_sql")}' USING parquet

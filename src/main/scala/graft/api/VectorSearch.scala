@@ -201,4 +201,49 @@ object VectorSearch {
       .filter(col("c") >= minCos)
       .select(col("left_id"), col("right_id"), round(col("c"), roundTo).as("cos"))
   }
+
+  /** Sign-LSH (random-hyperplane, Charikar STOC'02) cosine threshold
+    * join — the hyperplane-family alternative to
+    * [[blockedThresholdJoin]]'s IVF cells. Each vector's signature is the
+    * sign pattern of its dot products against a small FIXED plane set
+    * (`planes`, broadcast; plane index = rank by id, deterministic);
+    * signatures split into bands of `rowsPerBand` bits, candidates are the
+    * band-key equi-join (two vectors collide iff some band agrees on all
+    * its bits), and the exact cosine verifies. P(bit differs) = θ/π, so
+    * near-duplicate vectors (θ ≈ 0) collide in every band while random
+    * pairs must win a 2^rowsPerBand lottery per band — candidate volume is
+    * governed by band width, never |L|·|R|. Sign bits compare the
+    * ROUNDED dot against 0 (same `roundTo` discipline as the cosine
+    * ranks), keeping the bucket assignment engine-portable. At 100 TB the
+    * plane set stays O(bits) — wider signatures, not more data, control
+    * precision; the shuffle keys on (band, bandKey) exactly like the text
+    * side's MinHash bands. */
+  def signLshThresholdJoin(left: DataFrame, right: DataFrame,
+      planes: DataFrame, pidCol: String, idCol: String, vecCol: String,
+      minCos: Double, rowsPerBand: Int = 4, roundTo: Int = 6): DataFrame = {
+    // planes carry their own DENSE 0-based index (`pidCol`) — no global
+    // rank window; the bounded plane set broadcasts whole
+    val pl = broadcast(planes
+      .select(col(pidCol).cast("int").as("pid"), col(vecCol).as("pvec")))
+    def sigs(df: DataFrame, outId: String, outVec: String, outNorm: String) =
+      withNorm(df, vecCol)
+        .select(col(idCol).as(outId), col(vecCol).as(outVec),
+          col("norm").as(outNorm))
+        .crossJoin(pl)
+        .withColumn("bit",
+          (round(fdot(col(outVec), col("pvec")), roundTo) >= 0).cast("long"))
+        .withColumn("band", floor(col("pid") / rowsPerBand).cast("int"))
+        .groupBy(col(outId), col("band"))
+        .agg(sum(expr(s"shiftleft(bit, pid % $rowsPerBand)")).as("bkey"),
+          first(col(outVec)).as(outVec), first(col(outNorm)).as(outNorm))
+    val l = sigs(left, "left_id", "le", "ln")
+    val r = sigs(right, "right_id", "re", "rn")
+    l.hint("shuffle_hash").join(r, Seq("band", "bkey"))
+      .select(col("left_id"), col("right_id"), col("le"), col("ln"),
+        col("re"), col("rn"))
+      .dropDuplicates("left_id", "right_id") // multi-band collisions count once
+      .withColumn("c", fdot(col("le"), col("re")) / (col("ln") * col("rn")))
+      .filter(col("c") >= minCos)
+      .select(col("left_id"), col("right_id"), round(col("c"), roundTo).as("cos"))
+  }
 }

@@ -234,6 +234,29 @@ object LlmPipeline {
       .orderBy(col("var_id"), col("base_id"))
   }
 
+  /** Embedding near-dup via SIGN-LSH (random hyperplanes, Charikar
+    * STOC'02) — the hyperplane-family twin of [[dedupEmbed]]'s IVF cells,
+    * the same way the text side carries both MinHash bands and SimHash
+    * blocks. Signature = 12 sign bits of rounded dot products against a
+    * fixed broadcast plane set (the first 12 corpus vectors), banded
+    * 3×4; candidates are the (band, bandKey) equi-join, verified by exact
+    * cosine ≥ 0.999. Near-identical vectors (θ≈0) flip a bit with
+    * probability θ/π per plane, so planted variants collide in every
+    * band; random pairs must match 4 signs per band. Blocking is a
+    * broadcast + map-side signature + one band-key shuffle — never
+    * |variants|·|corpus|. */
+  val dedupEmbedLsh: Q = (s, d) => {
+    val vc = vecCorpus(s, d)
+    val planes = T.embeddings(s, d).filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding")) // vec_id < 12 IS dense 0-based
+    graft.api.VectorSearch.signLshThresholdJoin(
+        vc.filter(col("vec_id") >= 10000L), vc.filter(col("vec_id") < 10000L),
+        planes, "vec_id", "vec_id", "embedding", 0.999, rowsPerBand = 4)
+      .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
+        col("cos"))
+      .orderBy(col("var_id"), col("base_id"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark DECONTAMINATION — the training-pipeline stage that keeps
@@ -1123,6 +1146,40 @@ object LlmPipeline {
          |  round(${cosineSql("l.pe", "r.be")}, 6) AS cos
          |FROM lcells l JOIN rcells r ON l.cell = r.cell
          |WHERE ${cosineSql("l.pe", "r.be")} >= 0.999
+         |ORDER BY var_id, base_id""".stripMargin,
+
+    // full sign-LSH mirror: plane ranks, rounded-dot sign bits, 3×4-bit
+    // band keys, band equi-join, exact-cosine verify — all re-derived
+    "dedup_embed_lsh" ->
+      s"""WITH $vecCorpusSql,
+         |planes AS (
+         |  SELECT vec_id AS pid, embedding AS pvec
+         |  FROM embeddings WHERE vec_id < 12),
+         |lsig AS (
+         |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
+         |    SUM((CASE WHEN round(${dotSql("v.embedding", "p.pvec")}, 6) >= 0
+         |           THEN 1 ELSE 0 END)
+         |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+         |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id >= 10000
+         |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
+         |rsig AS (
+         |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
+         |    SUM((CASE WHEN round(${dotSql("v.embedding", "p.pvec")}, 6) >= 0
+         |           THEN 1 ELSE 0 END)
+         |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+         |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id < 10000
+         |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
+         |cands AS (
+         |  SELECT DISTINCT l.vec_id AS var_id, r.vec_id AS base_id
+         |  FROM lsig l JOIN rsig r ON l.band = r.band AND l.bkey = r.bkey)
+         |SELECT c.var_id, c.base_id,
+         |  round(${cosineSql("lv.embedding", "rv.embedding")}, 6) AS cos
+         |FROM cands c
+         |JOIN vcorpus lv ON lv.vec_id = c.var_id
+         |JOIN vcorpus rv ON rv.vec_id = c.base_id
+         |WHERE ${cosineSql("lv.embedding", "rv.embedding")} >= 0.999
          |ORDER BY var_id, base_id""".stripMargin,
 
     "sim_topk" ->

@@ -421,6 +421,48 @@ object Sources {
     * [[dppReadback]]). At 100 TB this is scanning the dim-selected slice
     * instead of the whole fact table — without the query author ever
     * knowing the partition list. */
+  /** Incremental MATERIALIZED-VIEW maintenance — the partial-aggregate
+    * state pattern behind every streaming/batch incremental ETL: a daily
+    * per-type aggregate view is kept as MERGEABLE partials (count + EXACT
+    * decimal sum — decimal so late rounding equals one-shot rounding),
+    * materialized to parquet. When the delta batch (ts ≥ the high-water
+    * mark) arrives, ONLY the delta is scanned and aggregated; the standing
+    * state merges key-wise through one full-outer join and lands back on
+    * disk. History is never rescanned — maintenance cost is
+    * O(|state| + |delta|), not O(|history|), which is the whole point at
+    * 100 TB (the view over a year of events updates by reading one day).
+    * Rounding happens once, at read-out, after the exact decimal merge —
+    * so the maintained view is BYTE-IDENTICAL to a full recompute, and the
+    * oracle is exactly that recompute over all of events. */
+  val viewIncremental: Q = (s, d) => {
+    val stateDir = ioDir("view_incremental_state")
+    val outDir = ioDir("view_incremental")
+    val split = lit("2024-01-20").cast("timestamp")
+    def partials(df: DataFrame) = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 8))).as("sv"))
+    // era 1: history partials become the standing view state
+    partials(T.events(s, d).filter(col("ts") < split))
+      .write.mode("overwrite").parquet(stateDir)
+    // era 2: scan ONLY the delta; merge states key-wise
+    val delta = partials(T.events(s, d).filter(col("ts") >= split))
+      .select(col("event_type"), col("day"),
+        col("n").as("n2"), col("sv").as("s2"))
+    s.read.parquet(stateDir)
+      .select(col("event_type"), col("day"),
+        col("n").as("n1"), col("sv").as("s1"))
+      .join(delta, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_events"),
+        round(coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)), 2)
+          .cast("double").as("sum_value"))
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val scanDpp: Q = (s, d) => {
     import s.implicits._
     T.orders(s, d).write.mode("overwrite")
@@ -485,9 +527,17 @@ object Sources {
     "sink_bucketed" -> sinkBucketed,
     "scan_dpp" -> scanDpp,
     "merge_delete" -> mergeDelete,
+    "view_incremental" -> viewIncremental,
   )
 
   val oracles: Map[String, String] = Map(
+    // incremental maintenance must equal the one-shot recompute — the
+    // oracle IS that recompute; decimal partials make the equality exact
+    "view_incremental" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the erasure list is predicate-derived, so the oracle is the filter
     // complement — the anti join must agree with it exactly
     "merge_delete" ->

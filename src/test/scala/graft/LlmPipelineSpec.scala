@@ -101,6 +101,28 @@ class LlmPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_embed_lsh (sign-LSH) recalls every planted embedding variant") {
+    val out = LlmPipeline.dedupEmbedLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 1.5x-scaled copy keeps every rounded dot-product sign (θ≈0 →
+    // bit-flip probability θ/π ≈ 0), so variant and base produce the SAME
+    // 12-bit signature and collide in all 3 bands — recall must be 1.0
+    val sources = graft.core.Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(out.contains((id + 10000L, id)),
+        s"sign-LSH join lost planted variant of vec $id")
+    }
+    // and the band blocking did real work: candidate pairs stay far below
+    // the all-pairs count (|vars| x |base|)
+    val nVars = sources.length
+    val nBase = graft.core.Tables(spark, sf0001, "embeddings").count()
+    assert(out.size < nVars * nBase,
+      "sign-LSH result as large as all-pairs — blocking inert?")
+  }
+
   test("IVF top-k has high recall vs brute force on its probes") {
     val exact = LlmPipeline.simTopk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -11,6 +11,29 @@ import org.apache.spark.sql.functions._
   * `/root/reference/db.cpp:220-278`). */
 class PersistenceSpec extends SparkSpecBase {
 
+  test("view_incremental: delta-merged state equals one-shot recompute") {
+    import graft.core.Numeric.dsum
+    val maintained = graft.ops.Sources.viewIncremental(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val recomputed = graft.core.Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(maintained.keySet == recomputed.keySet)
+    maintained.foreach { case (k, v) =>
+      assert(v == recomputed(k), s"view drifted from recompute at $k")
+    }
+    // the standing state really is on disk (partials, not final values)
+    val stateDir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_io/view_incremental_state")
+    assert(stateDir.exists, "materialized state dir missing")
+    val state = spark.read.parquet(stateDir.toString)
+    assert(state.columns.toSet == Set("event_type", "day", "n", "sv"),
+      s"state should hold mergeable partials, has ${state.columns.mkString(",")}")
+  }
+
   test("write → read back is lossless for all column types") {
     val dir = Files.createTempDirectory("graft-persist").toString
     val src = graft.core.Tables(spark, sf0001, "lineitem")
