@@ -100,6 +100,9 @@ object SparkEntry {
     "text_tfidf"       -> LlmPipeline.textTfidf,
     "text_unigram_lm"  -> LlmPipeline.textUnigramLm,
     "text_bigram_lm"   -> LlmPipeline.textBigramLm,
+    "text_perplexity"  -> LlmPipeline.textPerplexity,
+    "dedup_para"       -> LlmPipeline.dedupPara,
+    "embed_centroid"   -> LlmPipeline.embedCentroid,
     "text_winnow"      -> LlmPipeline.textWinnow,
     "dedup_winnow"     -> LlmPipeline.dedupWinnow,
     "dedup_cdc"        -> LlmPipeline.dedupCdc,

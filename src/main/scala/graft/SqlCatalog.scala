@@ -77,7 +77,8 @@ object SqlCatalog {
     "subq_scalar", "subq_exists", "subq_lateral",
     "agg_hist", "merge_scd2", "agg_topk", "agg_zscore", "agg_entropy",
     "events_funnel", "events_path", "events_anomaly", "graph_triangles",
-    "meta_profile", "join_skew_salted",
+    "meta_profile", "join_skew_salted", "events_transition", "agg_gini",
+    "merge_mor", "sink_compaction",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -248,6 +249,94 @@ object SqlCatalog {
         |FROM lineitem
         |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // interpolated-LM perplexity gate (posexplode + DIV dialect of the
+    // DuckDB oracle; same IEEE expression shapes)
+    "text_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, pos, tok,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+        |        FROM documents)),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+        |nt AS (SELECT COUNT(*) AS nt FROM t),
+        |bg AS (SELECT w1, tok, COUNT(*) AS c12 FROM t
+        |       WHERE w1 IS NOT NULL GROUP BY w1, tok),
+        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM t
+        |        WHERE w1 IS NOT NULL GROUP BY w1),
+        |scored AS (SELECT t.doc_id,
+        |    round(ln(CASE WHEN t.w1 IS NULL
+        |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+        |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+        |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+        |      AS lp
+        |  FROM t JOIN uni u ON t.tok = u.tok CROSS JOIN nt
+        |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.tok = b.tok
+        |  LEFT JOIN c1t c ON t.w1 = c.w1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id),
+        |mm AS (SELECT doc_id, n_tok,
+        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+        |         ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END AS micro
+        |  FROM agg),
+        |ppl AS (SELECT doc_id, n_tok,
+        |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+        |      AS ppl
+        |  FROM mm)
+        |SELECT doc_id, n_tok, ppl, ppl <= 29.6 AS keep
+        |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // 10-token segment dedup (transform/slice dialect; md5_48 native)
+    "dedup_para" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, split(text, ' ') AS l FROM corpus),
+         |segs AS (SELECT doc_id, explode(transform(
+         |    sequence(1, size(l) DIV 10),
+         |    i -> array_join(slice(l, (i-1)*10+1, 10), ' '))) AS seg
+         |  FROM tok WHERE size(l) >= 10),
+         |h AS (SELECT doc_id, md5_48(seg) AS sh FROM segs),
+         |dft AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY sh)
+         |SELECT h.doc_id, COUNT(*) AS n_seg,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_seg,
+         |  CAST(round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS dup_frac
+         |FROM h JOIN dft ON h.sh = dft.sh
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    // label centroids + outliers (posexplode dialect; micro-unit algebra)
+    "embed_centroid" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        |  FROM (SELECT vec_id, label, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |sums AS (SELECT label, dim, SUM(qd) AS sd, COUNT(*) AS n
+        |  FROM q GROUP BY label, dim),
+        |member AS (SELECT q.vec_id, q.label,
+        |    SUM(CAST(s.n * q.qd - s.sd AS DECIMAL(18,0))
+        |      * CAST(s.n * q.qd - s.sd AS DECIMAL(18,0))) AS d2,
+        |    MAX(s.n) AS n
+        |  FROM q JOIN sums s ON q.label = s.label AND q.dim = s.dim
+        |  GROUP BY q.vec_id, q.label),
+        |norm AS (SELECT label,
+        |    SUM(CAST(sd AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0))) AS ss,
+        |    CAST(MAX(n) AS BIGINT) AS n_vecs
+        |  FROM sums GROUP BY label),
+        |outl AS (SELECT label, vec_id, d2 FROM (
+        |    SELECT label, vec_id, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk FROM member)
+        |  WHERE rnk = 1)
+        |SELECT n.label, n.n_vecs,
+        |  CAST(round(sqrt(CAST(n.ss AS DOUBLE))
+        |    / CAST(n.n_vecs * 1000000 AS DOUBLE), 6) AS DOUBLE)
+        |    AS centroid_norm,
+        |  o.vec_id AS outlier_vec_id,
+        |  CAST(round(sqrt(CAST(o.d2 AS DOUBLE))
+        |    / CAST(n.n_vecs * 1000000 AS DOUBLE), 6) AS DOUBLE)
+        |    AS outlier_dist
+        |FROM norm n JOIN outl o ON n.label = o.label
+        |ORDER BY n.label""".stripMargin,
 
     "agg_collect" ->
       """SELECT o_custkey,

@@ -1305,7 +1305,81 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** MARKOV CHAIN over per-user event sequences — the predictive model
+    * [[eventsPath]]'s raw pair counts feed: the row-normalized transition
+    * matrix P(next | prev) = n(prev→next) / Σ n(prev→·), plus the
+    * Chapman-Kolmogorov TWO-STEP matrix P²(a→c) = Σ_b P(a→b)·P(b→c)
+    * ("where is this user two events from now") computed by a self-join
+    * on the mid state.
+    *
+    * Float discipline: each 1-step probability rounds to 6 decimals and
+    * is held as DECIMAL(10,6); the P² products (DECIMAL exact) then sum
+    * order-independently — a double Σ of products would vary with the
+    * join's partition order.
+    *
+    * 100 TB shape: one shuffle on user_id for the lag window (per-user
+    * sequences are bounded), one shuffle on the (prev, next) pair; from
+    * there everything — normalizing window, matrix self-join — runs on
+    * the MODEL-sized |event_types|² table, so the quadratic step never
+    * touches row-scale data. */
+  val eventsTransition: Q = (s, d) => {
+    val e = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("prev"))
+    val p1 = counts
+      .select(col("prev").as("from_type"), col("event_type").as("to_type"),
+        col("n"),
+        round(col("n").cast("double")
+          / sum(col("n")).over(wRow).cast("double"), 6)
+          .cast("decimal(10,6)").as("p"))
+    val p2 = p1.as("a").join(p1.as("b"), col("a.to_type") === col("b.from_type"))
+      .groupBy(col("a.from_type").as("from_type"),
+        col("b.to_type").as("to_type"))
+      .agg(sum(col("a.p") * col("b.p")).as("pp"))
+      .select(col("from_type"), col("to_type"),
+        round(col("pp").cast("double"), 6).as("p2"))
+    p1.join(p2, Seq("from_type", "to_type"), "left")
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("p").cast("double").as("p"), col("p2"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Gini coefficient of order value per order status — the inequality /
+    * concentration audit (is revenue dominated by a few whale orders?).
+    * Rank form: G = (2·Σᵢ rᵢ·xᵢ − (n+1)·Σᵢ xᵢ) / (n·Σᵢ xᵢ) with ranks
+    * 1..n ascending by value. row_number's tie order is nondeterministic
+    * between engines, but Σ r·x is INVARIANT under permutations within a
+    * tie group (equal x), so the result is still exact: both Σ terms
+    * accumulate in DECIMAL and only the final ratio divides in double.
+    *
+    * 100 TB shape: ranking is a per-group EXTERNAL SORT (row_number
+    * window — spills, memory-bounded), the sums are an ordinary hash
+    * aggregate; nothing holds a group's payload in one buffer. */
+  val aggGini: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    o.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("xd", col("o_totalprice").cast("decimal(20,2)"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("t"),
+        sum(col("xd") * col("r").cast("decimal(10,0)")).as("sv"))
+      .select(col("o_orderstatus"), col("n"),
+        round((lit(2.0) * col("sv").cast("double")
+            - (col("n") + 1L).cast("double") * col("t").cast("double"))
+          / (col("n").cast("double") * col("t").cast("double")), 6).as("gini"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_transition" -> eventsTransition,
+    "agg_gini" -> aggGini,
     "agg_conditional" -> aggConditional,
     "events_anomaly" -> eventsAnomaly,
     "graph_triangles" -> graphTriangles,
@@ -1358,6 +1432,50 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // Markov chain: exact pair counts; 1-step probabilities divide exact
+    // BIGINTs in one double op then round to DECIMAL(10,6); the 2-step
+    // Chapman-Kolmogorov products sum in exact decimal, order-free
+    "events_transition" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, COUNT(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |p1 AS (SELECT prev AS from_type, next AS to_type, n,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6)
+        |      AS DECIMAL(10,6)) AS p
+        |  FROM c),
+        |p2 AS (SELECT a.from_type, b.to_type,
+        |    CAST(round(CAST(SUM(a.p * b.p) AS DOUBLE), 6) AS DOUBLE) AS p2
+        |  FROM p1 a JOIN p1 b ON a.to_type = b.from_type
+        |  GROUP BY a.from_type, b.to_type)
+        |SELECT p1.from_type, p1.to_type, p1.n,
+        |  CAST(p1.p AS DOUBLE) AS p, p2.p2
+        |FROM p1 LEFT JOIN p2 ON p1.from_type = p2.from_type
+        |  AND p1.to_type = p2.to_type
+        |ORDER BY p1.from_type, p1.to_type""".stripMargin,
+
+    // Gini rank form: both Σ terms exact DECIMAL (rank·value products in
+    // DECIMAL(31,2)); the final ratio is one fixed double expression
+    "agg_gini" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(20,2)) AS xd,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice) AS BIGINT) AS r
+        |  FROM orders),
+        |agg AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |    SUM(xd) AS t, SUM(xd * CAST(r AS DECIMAL(10,0))) AS sv
+        |  FROM ranked GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  CAST(round((2.0 * CAST(sv AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS DOUBLE) AS gini
+        |FROM agg ORDER BY o_orderstatus""".stripMargin,
+
     "agg_conditional" ->
       """SELECT o_orderstatus,
         |  COUNT(*) AS n_orders,

@@ -1004,6 +1004,163 @@ object LlmPipeline {
       .orderBy(col("lang"), col("label"))
   }
 
+  // ---------------------------------------------------------- perplexity gate
+
+  /** Perplexity cutoff for [[textPerplexity]]'s keep flag — chosen to
+    * split the harness corpus near its ppl median (≈29.6 at sf0.01); at
+    * scale this is the tunable the pipeline owner sets from a held-out
+    * distribution. */
+  private val PplCutoff = 29.6
+
+  /** Perplexity filter — the KenLM-style quality gate of a training
+    * pipeline: per-doc perplexity under a Jelinek-Mercer INTERPOLATED
+    * bigram model (λ·P_bigram + (1−λ)·P_unigram, λ=0.7, maximum-
+    * likelihood counts from the corpus itself, so every event is
+    * attested and needs no smoothing floor; a doc's first token scores
+    * by the unigram term alone). Docs whose perplexity exceeds
+    * [[PplCutoff]] are FLAGGED for drop, not dropped — the gate's
+    * decision is the observable a pipeline audits.
+    *
+    * Float discipline: each probability is a fixed IEEE expression over
+    * exact counts (identical in both engines), each log-prob rounds to
+    * 8 decimals before the exact decimal sum, the mean rounds in
+    * integer micro-units (see [[textUnigramLm]]), and exp() of the
+    * bit-identical mean rounds to 6.
+    *
+    * 100 TB shape: the unigram table is vocab-sized (top-V-boundable →
+    * broadcast, map-side probe); the bigram table is data-dependent so
+    * it joins by SHUFFLE on the bigram key — deliberately not a forced
+    * broadcast; the lag window partitions by doc; one doc_id shuffle
+    * for the mean. */
+  val textPerplexity: Q = (s, d) => {
+    val toks = T.documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val seq0 = toks.withColumn("w1", lag(col("tok"), 1).over(w))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTot = toks.agg(count(lit(1)).as("nt"))
+    val bigr = seq0.filter(col("w1").isNotNull)
+    val bg = bigr.groupBy(col("w1"), col("tok")).agg(count(lit(1)).as("c12"))
+    val c1 = bigr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val pUni = col("c").cast("double") / col("nt").cast("double")
+    val p = when(col("w1").isNull, pUni)
+      .otherwise(lit(0.7) * (col("c12").cast("double") / col("c1").cast("double"))
+        + lit(0.3) * pUni)
+    val perDoc = seq0.join(broadcast(uni), Seq("tok"))
+      .crossJoin(broadcast(nTot))
+      .join(bg, Seq("w1", "tok"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"), round(log(p), 8).cast("decimal(20,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(col("lp")) * 100000000L).cast("long").as("s8"))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+          |     ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END""".stripMargin))
+    perDoc
+      .select(col("doc_id"), col("n_tok"),
+        round(exp(-col("mean_micro").cast("double") / 1e6), 6).as("ppl"))
+      .withColumn("keep", col("ppl") <= lit(PplCutoff))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ paragraph dedup
+
+  /** Tokens per [[dedupPara]] segment. */
+  private val ParaLen = 10
+
+  /** Paragraph-level dedup — SEGMENT granularity between document-exact
+    * ([[dedupExact]]) and content-defined chunks ([[dedupCdc]]): each doc
+    * is cut into consecutive 10-token segments (the "paragraphs" of the
+    * single-line corpus) and a segment shared verbatim by ≥ 2 distinct
+    * docs is duplicate material. Per doc the observable is its
+    * duplicate-segment fraction — the boilerplate-contamination score a
+    * pipeline gates on before training. The planted +200000 near-dup
+    * variants share every surviving full segment with their base docs,
+    * so they score dup_frac 1.0 and drag the bases up with them.
+    *
+    * The short-doc guard (`size >= 10`) is REQUIRED on the Spark side:
+    * sequence(1, 0) DESCENDS to [1, 0] (step auto-negates) while the
+    * oracle's generate_series returns empty — the same trap documented
+    * at [[graft.ops.Advanced.matchFuzzy]].
+    *
+    * 100 TB shape: segmentation is per-row (no shuffle); the df count
+    * shuffles (segment-hash, doc) pairs once; the per-doc score keys on
+    * doc_id. Never all-pairs — doc pairs are never materialized at all. */
+  val dedupPara: Q = (s, d) => {
+    val segs = corpus(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= ParaLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(l) DIV $ParaLen)," +
+          s" i -> array_join(slice(l, (i-1)*$ParaLen+1, $ParaLen), ' '))")).as("seg"))
+    val hashed = segs.select(col("doc_id"), h48(col("seg")).as("sh"))
+    val dfreq = hashed.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    hashed.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_seg"))
+      .select(col("doc_id"), col("n_seg"), col("n_dup_seg"),
+        round(col("n_dup_seg").cast("double") / col("n_seg").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- label centroids
+
+  /** Per-label embedding centroids with outlier detection — the
+    * class-cohesion audit of a labeled embedding table: per label, the
+    * centroid's L2 norm and the member FARTHEST from its centroid (the
+    * mislabeled-candidate surfaced for human inspection).
+    *
+    * Exact-arithmetic discipline (the [[clusterKmeans]] micro-unit
+    * trick): each float quantizes to integer micro-units, per-(label,
+    * dim) sums are exact BIGINTs, and the distance argmax ranks by the
+    * exact integer Σ_d (n·q_d − S_d)² held in DECIMAL(38,0) — n·q ≈ 2e9
+    * squared, summed over 64 dims, overflows BIGINT — so the ranking
+    * never touches a float. Only the two REPORTED magnitudes divide /
+    * sqrt in double, then round to 6.
+    *
+    * 100 TB shape: the per-(label, dim) sum table is model-sized
+    * (|labels|·64 rows) → BROADCAST back to the member stream, so the
+    * heavy data shuffles once on (label, dim) for the sums and once on
+    * vec_id for the member distances; the final per-label pass moves
+    * |labels| rows. */
+  val embedCentroid: Q = (s, d) => {
+    val q = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+    val sums = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qd")).as("sd"), count(lit(1)).as("n"))
+    val diff = col("n") * col("qd") - col("sd")
+    val member = q.join(broadcast(sums), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"), col("n"),
+        (diff.cast("decimal(18,0)") * diff.cast("decimal(18,0)")).as("dd"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dd")).as("d2"), max(col("n")).as("n"))
+    val wOut = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    val outl = member.withColumn("rnk", row_number().over(wOut))
+      .filter(col("rnk") === 1)
+      .select(col("label"), col("vec_id").as("outlier_vec_id"), col("d2"))
+    val norm = sums
+      .groupBy(col("label"))
+      .agg(sum(col("sd").cast("decimal(18,0)") * col("sd").cast("decimal(18,0)"))
+          .as("ss"),
+        max(col("n")).as("n_vecs"))
+    norm.join(outl, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("ss").cast("double"))
+          / (col("n_vecs") * 1000000L).cast("double"), 6).as("centroid_norm"),
+        col("outlier_vec_id"),
+        round(sqrt(col("d2").cast("double"))
+          / (col("n_vecs") * 1000000L).cast("double"), 6).as("outlier_dist"))
+      .orderBy(col("label"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private def minhashSigSql: String = {
@@ -1043,6 +1200,96 @@ object LlmPipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // interpolated bigram/unigram perplexity: probabilities are exact count
+    // ratios combined in the SAME IEEE expression shape as the Spark side,
+    // log-probs round to 8 before the decimal sum, the mean rounds in
+    // integer micro-units, exp of the bit-identical mean rounds to 6
+    "text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |t AS (SELECT doc_id, i AS pos, l[i] AS tok,
+         |    CASE WHEN i > 1 THEN l[i-1] END AS w1
+         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+         |nt AS (SELECT COUNT(*) AS nt FROM t),
+         |bg AS (SELECT w1, tok, COUNT(*) AS c12 FROM t
+         |       WHERE w1 IS NOT NULL GROUP BY w1, tok),
+         |c1t AS (SELECT w1, COUNT(*) AS c1 FROM t
+         |        WHERE w1 IS NOT NULL GROUP BY w1),
+         |scored AS (SELECT t.doc_id,
+         |    round(ln(CASE WHEN t.w1 IS NULL
+         |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+         |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+         |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+         |      AS lp
+         |  FROM t JOIN uni u ON t.tok = u.tok CROSS JOIN nt
+         |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.tok = b.tok
+         |  LEFT JOIN c1t c ON t.w1 = c.w1),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+         |  FROM scored GROUP BY doc_id),
+         |mm AS (SELECT doc_id, n_tok,
+         |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
+         |         ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS micro
+         |  FROM agg),
+         |ppl AS (SELECT doc_id, n_tok,
+         |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+         |      AS ppl
+         |  FROM mm)
+         |SELECT doc_id, n_tok, ppl, ppl <= $PplCutoff AS keep
+         |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // 10-token segment dedup: same md5_48 segment identity, df = distinct
+    // docs per segment, per-doc duplicate-segment fraction
+    "dedup_para" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+         |segs AS (SELECT doc_id,
+         |    array_to_string(list_slice(l, (i-1)*$ParaLen+1, i*$ParaLen), ' ')
+         |      AS seg
+         |  FROM tok, LATERAL
+         |    (SELECT unnest(generate_series(1, len(l) // $ParaLen)) AS i) g
+         |  WHERE len(l) >= $ParaLen),
+         |h AS (SELECT doc_id, ${h48Sql("seg")} AS sh FROM segs),
+         |dft AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY sh)
+         |SELECT doc_id, COUNT(*) AS n_seg,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_seg,
+         |  CAST(round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS dup_frac
+         |FROM h JOIN dft USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // label centroids: micro-unit quantization, exact BIGINT per-dim sums,
+    // exact DECIMAL distance ranking; only the reported magnitudes go
+    // through double sqrt/divide, then round 6
+    "embed_centroid" ->
+      """WITH q AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |sums AS (SELECT label, dim, CAST(SUM(qd) AS BIGINT) AS sd,
+        |    COUNT(*) AS n
+        |  FROM q GROUP BY label, dim),
+        |member AS (SELECT q.vec_id, q.label,
+        |    SUM(CAST(s.n * q.qd - s.sd AS DECIMAL(18,0))
+        |      * CAST(s.n * q.qd - s.sd AS DECIMAL(18,0))) AS d2,
+        |    MAX(s.n) AS n
+        |  FROM q JOIN sums s ON q.label = s.label AND q.dim = s.dim
+        |  GROUP BY q.vec_id, q.label),
+        |norm AS (SELECT label,
+        |    SUM(CAST(sd AS DECIMAL(18,0)) * CAST(sd AS DECIMAL(18,0))) AS ss,
+        |    CAST(MAX(n) AS BIGINT) AS n_vecs
+        |  FROM sums GROUP BY label),
+        |outl AS (SELECT label, vec_id, d2 FROM (
+        |    SELECT label, vec_id, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk FROM member)
+        |  WHERE rnk = 1)
+        |SELECT n.label, n.n_vecs,
+        |  CAST(round(sqrt(CAST(n.ss AS DOUBLE))
+        |    / CAST(n.n_vecs * 1000000 AS DOUBLE), 6) AS DOUBLE) AS centroid_norm,
+        |  o.vec_id AS outlier_vec_id,
+        |  CAST(round(sqrt(CAST(o.d2 AS DOUBLE))
+        |    / CAST(n.n_vecs * 1000000 AS DOUBLE), 6) AS DOUBLE) AS outlier_dist
+        |FROM norm n JOIN outl o ON n.label = o.label ORDER BY n.label""".stripMargin,
+
     // content-defined chunking: boundaries at i=1 or md5_48(gram) % 64 = 0,
     // spans via lead, chunk identity by md5_48 — every hash reproduced
     "dedup_cdc" ->

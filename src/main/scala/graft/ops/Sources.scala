@@ -511,7 +511,80 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  /** MERGE-ON-READ — the lakehouse read path the reference's rewrite-
+    * in-place model lacks (and [[mergeUpsert]]'s dual: upsert REWRITES
+    * the base at write time, MoR defers ALL reconciliation to the
+    * scan): the base parquet stays immutable while deletes land as a
+    * key list (the deletion-vector analogue) and updates as a delta
+    * file; the read composes base ∖ (deletes ∪ delta-keys) ∪ live
+    * delta. Delete wins over update for a key in both (the Iceberg/
+    * Delta MoR precedence).
+    *
+    * 100 TB shape: the base NEVER rewrites and never shuffles — both
+    * reconciliation joins key on o_orderkey with the small sides
+    * (deletes and one batch's delta) BROADCAST, so a merge-on-read scan
+    * costs one map-side pass over the base regardless of base size.
+    * That asymmetry (cheap writes, slightly heavier reads, zero rewrite
+    * amplification) is the entire point of MoR. */
+  val mergeMor: Q = (s, d) => {
+    val baseDir = ioDir("merge_mor_base")
+    val dvDir = ioDir("merge_mor_dv")
+    val deltaDir = ioDir("merge_mor_delta")
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    o.write.mode("overwrite").parquet(baseDir)
+    o.filter(col("o_orderkey") % 53 === 0).select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(dvDir)
+    o.filter(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("M").as("o_orderstatus"),
+        (col("o_totalprice") + 5.0).as("o_totalprice"))
+      .write.mode("overwrite").parquet(deltaDir)
+    val base = s.read.parquet(baseDir)
+    val dv = s.read.parquet(dvDir)
+    val delta = s.read.parquet(deltaDir)
+    val masked = dv.unionByName(delta.select(col("o_orderkey"))).distinct()
+    base.join(broadcast(masked), Seq("o_orderkey"), "left_anti")
+      .unionByName(
+        delta.join(broadcast(dv), Seq("o_orderkey"), "left_anti"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Small-file COMPACTION — the table-maintenance pass every streaming
+    * or per-batch ingest needs: a 64-small-file layout (each file far
+    * below a parquet row group's worth — the classic "too many files"
+    * state that drowns a 100 TB scan in open/footer overhead and
+    * NameNode pressure) is rewritten into 4 right-sized files. The
+    * declared result is the compaction MANIFEST: file counts observed
+    * from the actual layouts on both sides of the rewrite plus row count
+    * and an exact content checksum, proving the rewrite lost nothing.
+    *
+    * The rewrite uses repartition (round-robin shuffle) so the output
+    * file count is exact and deterministic; a production compactor
+    * would bin-pack with coalesce (no shuffle) at the cost of
+    * size-balanced-only-in-expectation outputs. At 100 TB compaction
+    * runs per-partition-directory, embarrassingly parallel across them. */
+  val sinkCompaction: Q = (s, d) => {
+    val smallDir = ioDir("sink_compaction_small")
+    val outDir = ioDir("sink_compaction_out")
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    li.repartition(64).write.mode("overwrite").parquet(smallDir)
+    val small = s.read.parquet(smallDir)
+    small.repartition(4).write.mode("overwrite").parquet(outDir)
+    val compacted = s.read.parquet(outDir)
+    val before = small.agg(
+      countDistinct(col("_metadata.file_path")).as("files_before"))
+    val after = compacted.agg(
+      countDistinct(col("_metadata.file_path")).as("files_after"),
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("sum_qty"))
+    before.crossJoin(after)
+  }
+
   val queries: Map[String, Q] = Map(
+    "merge_mor" -> mergeMor,
+    "sink_compaction" -> sinkCompaction,
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
     "source_json" -> sourceJson,
@@ -531,6 +604,29 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // merge-on-read re-derived declaratively: the oracle never sees the
+    // base/dv/delta files, only the change rules applied to orders —
+    // delete beats update for keys divisible by both 41 and 53
+    "merge_mor" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 41 = 0 THEN 'M' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 5.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 53 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the file counts are layout constants the engine must OBSERVE from
+    // the actual directories (64 round-robin shards in, 4 out); rows and
+    // checksum recompute from the source — equality proves the
+    // compaction rewrite is lossless
+    "sink_compaction" ->
+      s"""SELECT CAST(64 AS BIGINT) AS files_before,
+         |  CAST(4 AS BIGINT) AS files_after,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem WHERE l_orderkey % 3 = 0""".stripMargin,
+
     // incremental maintenance must equal the one-shot recompute — the
     // oracle IS that recompute; decimal partials make the equality exact
     "view_incremental" ->

@@ -695,4 +695,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       "agg not codegen'd")
   }
+
+  test("merge_mor reconciliation joins broadcast — the base never shuffles") {
+    val df = Sources.mergeMor(spark, sf0001)
+    val p = planString(df)
+    // MoR's contract is a map-side base pass: both the deletion-vector
+    // anti-join and the delta's own dv filter must be broadcast joins;
+    // a sort-merge/shuffled-hash join on the base defeats the design
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "MoR reconciliation did not broadcast both small sides")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "MoR base side was shuffled for reconciliation")
+  }
+
+  test("embed_centroid probes a broadcast (label, dim) model, never all-pairs") {
+    val df = LlmPipeline.embedCentroid(spark, sf0001)
+    val p = planString(df)
+    // the per-(label, dim) sum table is model-sized — the member-distance
+    // join must be a broadcast probe so the exploded member stream never
+    // shuffles a second time for it
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid model join is not a broadcast probe")
+    assert(!p.contains("CartesianProduct"),
+      "centroid audit degenerated to a cartesian product")
+  }
+
+  test("text_perplexity broadcasts the unigram/context models") {
+    val df = LlmPipeline.textPerplexity(spark, sf0001)
+    val p = planString(df)
+    // the vocab-sized unigram + context-count models are broadcast probes
+    // (map-side); only the data-dependent bigram table may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "LM model joins are not broadcast probes")
+  }
 }
