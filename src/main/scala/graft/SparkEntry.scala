@@ -101,6 +101,7 @@ object SparkEntry {
     "text_unigram_lm"  -> LlmPipeline.textUnigramLm,
     "text_bigram_lm"   -> LlmPipeline.textBigramLm,
     "text_perplexity"  -> LlmPipeline.textPerplexity,
+    "text_collocations" -> LlmPipeline.textCollocations,
     "dedup_para"       -> LlmPipeline.dedupPara,
     "embed_centroid"   -> LlmPipeline.embedCentroid,
     "text_winnow"      -> LlmPipeline.textWinnow,

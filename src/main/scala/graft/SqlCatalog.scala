@@ -78,7 +78,7 @@ object SqlCatalog {
     "agg_hist", "merge_scd2", "agg_topk", "agg_zscore", "agg_entropy",
     "events_funnel", "events_path", "events_anomaly", "graph_triangles",
     "meta_profile", "join_skew_salted", "events_transition", "agg_gini",
-    "merge_mor", "sink_compaction",
+    "merge_mor", "sink_compaction", "agg_ab_test",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -249,6 +249,84 @@ object SqlCatalog {
         |FROM lineitem
         |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // seasonal-naive forecast (date_add dialect of the INTERVAL oracle)
+    "events_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.event_type, abs(d.n - p.n) AS err
+        |  FROM daily d JOIN daily p ON d.event_type = p.event_type
+        |    AND date_add(p.day, 7) = d.day),
+        |mae AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(round(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DOUBLE) AS mae
+        |  FROM scored GROUP BY event_type),
+        |maxd AS (SELECT event_type, MAX(day) AS maxd FROM daily
+        |         GROUP BY event_type),
+        |fc AS (SELECT d.event_type, d.n AS forecast_next
+        |  FROM daily d JOIN maxd m ON d.event_type = m.event_type
+        |    AND d.day = date_sub(m.maxd, 6))
+        |SELECT mae.event_type, mae.n_days, mae.mae, fc.forecast_next
+        |FROM mae LEFT JOIN fc ON mae.event_type = fc.event_type
+        |ORDER BY mae.event_type""".stripMargin,
+
+    // CEP regex over journeys (sorted-struct concat + regexp_extract_all
+    // + stack dialect)
+    "events_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id, array_join(transform(
+        |      array_sort(collect_list(struct(ts, event_id, event_type))),
+        |      x -> substring(x.event_type, 1, 1)), '') AS journey
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT
+        |    size(regexp_extract_all(journey, 's.*p', 0)) AS m1,
+        |    size(regexp_extract_all(journey, 'ee+', 0)) AS m2,
+        |    size(regexp_extract_all(journey, 'v[ce]*p', 0)) AS m3
+        |  FROM j),
+        |a AS (SELECT COUNT(*) AS total,
+        |    SUM(CASE WHEN m1 > 0 THEN 1L ELSE 0L END) AS u1,
+        |    SUM(CAST(m1 AS BIGINT)) AS c1,
+        |    SUM(CASE WHEN m2 > 0 THEN 1L ELSE 0L END) AS u2,
+        |    SUM(CAST(m2 AS BIGINT)) AS c2,
+        |    SUM(CASE WHEN m3 > 0 THEN 1L ELSE 0L END) AS u3,
+        |    SUM(CAST(m3 AS BIGINT)) AS c3
+        |  FROM m)
+        |SELECT pattern, n_users, n_matches,
+        |  CAST(round(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS DOUBLE) AS share
+        |FROM (
+        |  SELECT stack(3,
+        |      'error_burst', u2, c2,
+        |      'signup_to_purchase', u1, c1,
+        |      'view_to_purchase_direct', u3, c3)
+        |    AS (pattern, n_users, n_matches), total
+        |  FROM a)
+        |ORDER BY pattern""".stripMargin,
+
+    // PMI collocations (posexplode + lead dialect)
+    "text_collocations" ->
+      """WITH big AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT tok AS w1,
+        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+        |          FROM documents))
+        |  WHERE w2 IS NOT NULL),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |lft AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+        |rgt AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY w2),
+        |nt AS (SELECT SUM(c12) AS nn FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c12,
+        |  CAST(round(ln((CAST(bg.c12 AS DOUBLE) * CAST(nt.nn AS DOUBLE))
+        |    / (CAST(lft.c1 AS DOUBLE) * CAST(rgt.c2 AS DOUBLE))), 6)
+        |    AS DOUBLE) AS pmi
+        |FROM bg JOIN lft ON bg.w1 = lft.w1 JOIN rgt ON bg.w2 = rgt.w2
+        |CROSS JOIN nt
+        |WHERE bg.c12 >= 5
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 15""".stripMargin,
 
     // interpolated-LM perplexity gate (posexplode + DIV dialect of the
     // DuckDB oracle; same IEEE expression shapes)

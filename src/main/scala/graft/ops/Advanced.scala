@@ -1377,7 +1377,123 @@ object Advanced {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SEASONAL-NAIVE forecast with rolling backtest — the capacity-planning
+    * primitive over the daily event grid: the model predicts each day's
+    * per-type count as the count 7 days earlier (same weekday), the
+    * BACKTEST scores that prediction on every observed day (MAE), and the
+    * next-day forecast reads the count at max_day − 6. Same-weekday joins
+    * are by DATE ARITHMETIC on an equi-key, not row offsets — a lag(7)
+    * over rows silently breaks on gap days.
+    *
+    * 100 TB shape: raw volume reduces to the (type, day) grid in the
+    * first aggregate; the prediction join, scoring, and forecast lookup
+    * all run on the grid (|types|·|days| rows) — the `events_path`/
+    * `agg_retention` reduce-first rule. */
+  val eventsForecast: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("pred"))
+    val mae = daily.join(pred, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(abs(col("n") - col("pred"))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mae"))
+    val maxd = daily.groupBy(col("event_type")).agg(max(col("day")).as("maxd"))
+    val fc = daily.join(maxd, Seq("event_type"))
+      .filter(col("day") === date_sub(col("maxd"), 6))
+      .select(col("event_type"), col("n").as("forecast_next"))
+    mae.join(fc, Seq("event_type"), "left").orderBy(col("event_type"))
+  }
+
+  /** WELCH's t-test between two user cohorts (the A/B-test readout): per
+    * event type, cohort = user_id mod 2, the unequal-variance t statistic,
+    * Welch–Satterthwaite degrees of freedom, and the α=0.05 significance
+    * flag. All six moments (n, Σv, Σv² per cohort) ride ONE two-phase
+    * conditional hash aggregate (the [[aggConditional]] shape — no
+    * cohort split, no self-join); the statistics are a fixed IEEE double
+    * sequence over the exact decimal moments ([[aggStats]] discipline),
+    * and the flag tests the ROUNDED t so the decision is engine- and
+    * partition-invariant. */
+  val aggAbTest: Q = (s, d) => {
+    def sd(c: Column) = sum(c.cast("decimal(28,8)"))
+    val e = T.events(s, d).select(col("event_type"),
+      (col("user_id") % 2).as("g"), col("value"))
+    val m = e.groupBy(col("event_type")).agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n2"),
+      sd(when(col("g") === 0, col("value"))).as("sx1"),
+      sd(when(col("g") === 1, col("value"))).as("sx2"),
+      sd(when(col("g") === 0, col("value") * col("value"))).as("sxx1"),
+      sd(when(col("g") === 1, col("value") * col("value"))).as("sxx2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+    val sxx1 = col("sxx1").cast("double"); val sxx2 = col("sxx2").cast("double")
+    val v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    val v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    val se2 = v1 / n1 + v2 / n2
+    val t = (sx1 / n1 - sx2 / n2) / sqrt(se2)
+    val dfW = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    m.select(col("event_type"), col("n1"), col("n2"),
+      round(sx1 / n1 - sx2 / n2, 6).as("mean_diff"),
+      round(t, 6).as("t_stat"),
+      round(dfW, 2).as("df"),
+      (abs(round(t, 6)) > lit(1.96)).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SEQUENCE-PATTERN matching over per-user journeys — the CEP /
+    * MATCH_RECOGNIZE shape ([[eventsFunnel]] tests ONE fixed ordered
+    * path; this matches arbitrary REGULAR EXPRESSIONS over the event
+    * alphabet): each user's journey compresses to a string of event-type
+    * initials (c/e/p/s/v — distinct by construction) in (ts, event_id)
+    * order, and three behavioral patterns are counted per user in one
+    * pass — signup→eventual purchase, ≥2-error burst, view→purchase
+    * with only clicks/errors between. Patterns stay in the
+    * leftmost-greedy common subset where Java regex and RE2 agree.
+    *
+    * 100 TB shape: ONE shuffle on user_id builds every journey
+    * (per-user strings are session-bounded); all three patterns evaluate
+    * per-row on that pass (no per-pattern rescan), and the result
+    * crosses the final exchange as |patterns| rows via stack. */
+  val eventsPattern: Q = (s, d) => {
+    val j = T.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => substring(x.getField("event_type"), 1, 1)), "").as("journey"))
+    val perUser = j.select(
+      size(expr("regexp_extract_all(journey, 's.*p', 0)")).as("m1"),
+      size(expr("regexp_extract_all(journey, 'ee+', 0)")).as("m2"),
+      size(expr("regexp_extract_all(journey, 'v[ce]*p', 0)")).as("m3"))
+    val one = perUser.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("m1") > 0, 1L).otherwise(0L)).as("u1"),
+      sum(col("m1").cast("long")).as("c1"),
+      sum(when(col("m2") > 0, 1L).otherwise(0L)).as("u2"),
+      sum(col("m2").cast("long")).as("c2"),
+      sum(when(col("m3") > 0, 1L).otherwise(0L)).as("u3"),
+      sum(col("m3").cast("long")).as("c3"))
+    one.select(expr(
+      """stack(3,
+        |  'error_burst', u2, c2,
+        |  'signup_to_purchase', u1, c1,
+        |  'view_to_purchase_direct', u3, c3) AS (pattern, n_users, n_matches)
+        |""".stripMargin),
+      col("total"))
+      .select(col("pattern"), col("n_users"), col("n_matches"),
+        round(col("n_users").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("pattern"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_forecast" -> eventsForecast,
+    "agg_ab_test" -> aggAbTest,
+    "events_pattern" -> eventsPattern,
     "events_transition" -> eventsTransition,
     "agg_gini" -> aggGini,
     "agg_conditional" -> aggConditional,
@@ -1432,6 +1548,104 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // seasonal naive: exact grid counts, same-weekday equi-join by date
+    // arithmetic; MAE divides exact integers once in double, then rounds
+    "events_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.event_type, abs(d.n - p.n) AS err
+        |  FROM daily d JOIN daily p ON d.event_type = p.event_type
+        |    AND p.day + INTERVAL 7 DAY = CAST(d.day AS TIMESTAMP)),
+        |mae AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(round(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DOUBLE) AS mae
+        |  FROM scored GROUP BY event_type),
+        |maxd AS (SELECT event_type, MAX(day) AS maxd FROM daily
+        |         GROUP BY event_type),
+        |fc AS (SELECT d.event_type, d.n AS forecast_next
+        |  FROM daily d JOIN maxd m ON d.event_type = m.event_type
+        |    AND CAST(d.day AS TIMESTAMP) + INTERVAL 6 DAY
+        |      = CAST(m.maxd AS TIMESTAMP))
+        |SELECT mae.event_type, mae.n_days, mae.mae, fc.forecast_next
+        |FROM mae LEFT JOIN fc ON mae.event_type = fc.event_type
+        |ORDER BY mae.event_type""".stripMargin,
+
+    // Welch's t: six exact decimal moments, then the SAME fixed IEEE
+    // expression sequence as the engine; the significance flag tests the
+    // ROUNDED t so the α=0.05 decision cannot flip on a libm ulp
+    "agg_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS sxx2
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, n1, n2,
+        |    (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+        |    (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2,
+        |    sx1 / n1 - sx2 / n2 AS md
+        |  FROM m),
+        |fin AS (
+        |  SELECT event_type, n1, n2, md,
+        |    md / sqrt(v1 / n1 + v2 / n2) AS t,
+        |    (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |      / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |        + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dfw
+        |  FROM st)
+        |SELECT event_type, n1, n2,
+        |  CAST(round(md, 6) AS DOUBLE) AS mean_diff,
+        |  CAST(round(t, 6) AS DOUBLE) AS t_stat,
+        |  CAST(round(dfw, 2) AS DOUBLE) AS df,
+        |  abs(round(t, 6)) > 1.96 AS significant
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    // CEP regex over journey strings: string_agg ORDER BY mirrors the
+    // sorted-struct concat; patterns stay in the leftmost-greedy subset
+    // where RE2 and Java regex agree
+    "events_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS journey
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT
+        |    len(regexp_extract_all(journey, 's.*p')) AS m1,
+        |    len(regexp_extract_all(journey, 'ee+')) AS m2,
+        |    len(regexp_extract_all(journey, 'v[ce]*p')) AS m3
+        |  FROM j),
+        |a AS (SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN m1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |    CAST(SUM(m1) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN m2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |    CAST(SUM(m2) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN m3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |    CAST(SUM(m3) AS BIGINT) AS c3
+        |  FROM m)
+        |SELECT pattern, n_users, n_matches,
+        |  CAST(round(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS DOUBLE) AS share
+        |FROM (
+        |  SELECT 'error_burst' AS pattern, u2 AS n_users, c2 AS n_matches,
+        |    total FROM a
+        |  UNION ALL
+        |  SELECT 'signup_to_purchase', u1, c1, total FROM a
+        |  UNION ALL
+        |  SELECT 'view_to_purchase_direct', u3, c3, total FROM a)
+        |ORDER BY pattern""".stripMargin,
+
     // Markov chain: exact pair counts; 1-step probabilities divide exact
     // BIGINTs in one double op then round to DECIMAL(10,6); the 2-step
     // Chapman-Kolmogorov products sum in exact decimal, order-free

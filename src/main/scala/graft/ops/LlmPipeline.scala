@@ -1107,6 +1107,43 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- collocations
+
+  /** PMI COLLOCATION extraction — the phrase-mining step between the raw
+    * bigram counts ([[textBigramLm]]) and tokenizer/vocab construction
+    * ([[textBpePairs]] counts raw frequency; PMI finds pairs that
+    * co-occur MORE than their marginals predict, i.e. real phrases, not
+    * just common words): PMI(w1,w2) = ln(c12·N / (c1·c2)) over the
+    * corpus bigram table with marginal counts as left/right slot sums,
+    * support-filtered (c12 ≥ 5) and ranked top-15 (rounded-PMI desc,
+    * then bigram — fully deterministic).
+    *
+    * 100 TB shape: marginals are groupBys ON the bigram table (already
+    * reduced), joined back by shuffle on w1/w2 (vocab-sized but
+    * data-dependent — not forced broadcast); N is a 1-row broadcast; the
+    * top-15 is TakeOrderedAndProject, never a global sort. */
+  val textCollocations: Q = (s, d) => {
+    val toks = T.documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val nTot = bg.agg(sum(col("c12")).as("nn"))
+    bg.filter(col("c12") >= 5)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") * col("nn").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(15)
+  }
+
   // ----------------------------------------------------- label centroids
 
   /** Per-label embedding centroids with outlier detection — the
@@ -1237,6 +1274,28 @@ object LlmPipeline {
          |  FROM mm)
          |SELECT doc_id, n_tok, ppl, ppl <= $PplCutoff AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // PMI collocations: exact bigram counts + slot marginals; the log
+    // ratio multiplies/divides exact-count doubles in one fixed IEEE
+    // expression (all products < 2^53 — exact), rounds to 6, and the
+    // top-15 ties break on the bigram itself
+    "text_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+        |             FROM documents),
+        |big AS (SELECT l[i] AS w1, l[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |rgt AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+        |nt AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c12,
+        |  CAST(round(ln((CAST(bg.c12 AS DOUBLE) * CAST(nt.nn AS DOUBLE))
+        |    / (CAST(lft.c1 AS DOUBLE) * CAST(rgt.c2 AS DOUBLE))), 6)
+        |    AS DOUBLE) AS pmi
+        |FROM bg JOIN lft ON bg.w1 = lft.w1 JOIN rgt ON bg.w2 = rgt.w2
+        |CROSS JOIN nt
+        |WHERE bg.c12 >= 5
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 15""".stripMargin,
 
     // 10-token segment dedup: same md5_48 segment identity, df = distinct
     // docs per segment, per-doc duplicate-segment fraction
