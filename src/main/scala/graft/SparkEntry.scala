@@ -25,6 +25,7 @@ object SparkEntry {
     // filters / constraints
     "filter_pred"      -> Relational.filterPred,
     "constraint_check" -> Relational.constraintCheck,
+    "constraint_fk"    -> Relational.constraintFk,
     // joins
     "join_inner"       -> Relational.joinInner,
     "join_broadcast"   -> Relational.joinBroadcast,
@@ -67,6 +68,7 @@ object SparkEntry {
     "fn_bitwise"       -> Functions.fnBitwise,
     "fn_regex"         -> Functions.fnRegex,
     "fn_url"           -> Functions.fnUrl,
+    "fn_mask"          -> Functions.fnMask,
     // streaming semantics (batch-mode declared; stream-mode in tests)
     "stream_tumbling"  -> Streaming.streamTumbling,
     "stream_sliding"   -> Streaming.streamSliding,
@@ -74,6 +76,7 @@ object SparkEntry {
     "stream_dedup_watermark" -> Streaming.streamDedup,
     "stream_stateful"  -> Streaming.streamStateful,
     "stream_join"      -> Streaming.streamJoin,
+    "stream_late_audit" -> Streaming.streamLateAudit,
     // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
     "dedup_exact"      -> LlmPipeline.dedupExact,
     "dedup_near"       -> LlmPipeline.dedupNear,
@@ -86,7 +89,9 @@ object SparkEntry {
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_knn_join"     -> LlmPipeline.simKnnJoin,
+    "sim_maxsim"       -> LlmPipeline.simMaxsim,
     "embed_quantize"   -> LlmPipeline.embedQuantize,
+    "embed_pq"         -> LlmPipeline.embedPq,
     "dedup_contaminate" -> LlmPipeline.dedupContaminate,
     "text_stats"       -> LlmPipeline.textStats,
     "text_lang"        -> LlmPipeline.textLang,

@@ -78,7 +78,8 @@ object SqlCatalog {
     "agg_hist", "merge_scd2", "agg_topk", "agg_zscore", "agg_entropy",
     "events_funnel", "events_path", "events_anomaly", "graph_triangles",
     "meta_profile", "join_skew_salted", "events_transition", "agg_gini",
-    "merge_mor", "sink_compaction", "agg_ab_test",
+    "merge_mor", "sink_compaction", "agg_ab_test", "graph_jaccard",
+    "merge_cdc", "meta_time_travel", "agg_ohlc", "constraint_fk",
     // streaming-batch keys whose oracle SQL is already ANSI
     "stream_tumbling", "stream_dedup_watermark", "stream_stateful",
     "stream_join",
@@ -249,6 +250,177 @@ object SqlCatalog {
         |FROM lineitem
         |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // RFM segmentation (datediff + DIV dialect)
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(*) AS f,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(20,8))), 2) AS DOUBLE) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+        |scored AS (
+        |  SELECT user_id, m,
+        |    5L - least(4L, datediff(dmax, last_day) DIV 3) AS r_score,
+        |    least(5L, 1L + f DIV 5) AS f_score,
+        |    least(5L, 1L + CAST(floor(m / 300.0) AS BIGINT)) AS m_score
+        |  FROM p CROSS JOIN mx)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+        |  CAST(ROUND(SUM(CAST(m AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS segment_value
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Benford audit (STRING cast dialect; same ln/ln expectation shape)
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS STRING), 1, 1) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |nt AS (SELECT COUNT(*) AS n_total FROM d)
+        |SELECT digit, n,
+        |  CAST(round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS DOUBLE) AS obs_share,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS DOUBLE) AS exp_share,
+        |  CAST(round((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    * CAST(n_total AS DOUBLE), 4) AS DOUBLE) AS chi2_term
+        |FROM c CROSS JOIN nt ORDER BY digit""".stripMargin,
+
+    // sequence anomaly (DIV dialect of the integer-micro mean)
+    "events_seq_anomaly" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |sq AS (SELECT user_id, prev, event_type FROM seq
+        |       WHERE prev IS NOT NULL),
+        |c AS (SELECT prev, event_type AS nxt, COUNT(*) AS n
+        |  FROM sq GROUP BY prev, event_type),
+        |p1 AS (SELECT prev, nxt,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6)
+        |      AS DECIMAL(10,6)) AS p
+        |  FROM c),
+        |scored AS (SELECT sq.user_id,
+        |    round(ln(CAST(p1.p AS DOUBLE)), 8) AS lp
+        |  FROM sq JOIN p1 ON sq.prev = p1.prev AND sq.event_type = p1.nxt),
+        |agg AS (SELECT user_id, COUNT(*) AS n_trans,
+        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY user_id),
+        |mm AS (SELECT user_id, n_trans,
+        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_trans * 100) DIV (n_trans * 200)
+        |         ELSE -((-s8 * 2 + n_trans * 100) DIV (n_trans * 200)) END
+        |      AS micro
+        |  FROM agg)
+        |SELECT user_id, n_trans,
+        |  CAST(micro AS DOUBLE) / 1000000.0 AS mean_logp,
+        |  CAST(micro AS DOUBLE) / 1000000.0 < -1.614 AS anomalous
+        |FROM mm ORDER BY user_id""".stripMargin,
+
+    // masking pack (native md5_48 pseudonym; length/repeat dialect)
+    "fn_mask" ->
+      """SELECT
+        |  md5_48(CAST(c_custkey AS STRING)) AS pseudo_key,
+        |  substring(c_name, 1, 2) || repeat('*', length(c_name) - 2)
+        |    AS masked_name,
+        |  CAST(floor(c_acctbal / 100.0) * 100 AS BIGINT) AS bal_band,
+        |  c_nationkey
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY pseudo_key""".stripMargin,
+
+    // MaxSim late interaction via the native float_dot
+    "sim_maxsim" ->
+      s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |best AS (SELECT e.label, p.qid,
+         |    MAX(round(${cosFd("p.qv", "e.embedding")}, 6)) AS best
+         |  FROM embeddings e CROSS JOIN probes p GROUP BY e.label, p.qid)
+         |SELECT label, COUNT(*) AS n_q,
+         |  CAST(SUM(CAST(best AS DECIMAL(10,6))) AS DOUBLE) AS maxsim
+         |FROM best GROUP BY label ORDER BY label""".stripMargin,
+
+    // grid-blocked spatial join (native md5_48 replaces the hex-literal
+    // cast DuckDB parses; containment logic identical)
+    "join_spatial" ->
+      """WITH pts AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(md5_48(o_orderkey || 'x') AS DOUBLE) / 281474976710656.0
+        |      AS x,
+        |    CAST(md5_48(o_orderkey || 'y') AS DOUBLE) / 281474976710656.0
+        |      AS y
+        |  FROM orders),
+        |zones AS (SELECT n_nationkey,
+        |    CAST(md5_48(n_name) AS DOUBLE) / 281474976710656.0 AS cx,
+        |    CAST(md5_48(n_name || 'y') AS DOUBLE) / 281474976710656.0 AS cy
+        |  FROM nation)
+        |SELECT n_nationkey, COUNT(*) AS n_pts,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM pts JOIN zones
+        |  ON x >= cx - 0.08 AND x <= cx + 0.08
+        |  AND y >= cy - 0.08 AND y <= cy + 0.08
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    // watermark late-data audit (quoted-INTERVAL + unix_micros dialect)
+    "stream_late_audit" ->
+      """WITH shifted AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 17 = 0
+        |      THEN ts - (event_id % 7 + 1) * INTERVAL '1' HOUR
+        |      ELSE ts END AS ts2
+        |  FROM events),
+        |aud AS (
+        |  SELECT event_type, ts2,
+        |    MAX(ts2) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS wm
+        |  FROM shifted),
+        |flagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts2 < wm - INTERVAL '2' HOUR THEN 1L ELSE 0L END AS late,
+        |    CASE WHEN ts2 < wm - INTERVAL '2' HOUR
+        |      THEN unix_micros(wm) - unix_micros(ts2) ELSE 0L END AS lag_us
+        |  FROM aud)
+        |SELECT event_type, COUNT(*) AS n,
+        |  SUM(late) AS n_late,
+        |  CAST(round(CAST(SUM(late) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS DOUBLE) AS late_share,
+        |  CAST(round(CAST(SUM(lag_us) AS DOUBLE)
+        |    / CAST(greatest(SUM(late), 1L) AS DOUBLE) / 60000000.0, 6)
+        |    AS DOUBLE) AS avg_late_minutes
+        |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // PQ encode (posexplode dialect; same micro-unit algebra)
+    "embed_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    (dim DIV 16) * 16 AS sub
+        |  FROM (SELECT vec_id, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2 AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS d2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |asg AS (SELECT vec_id, sub, cid, d2 FROM (
+        |    SELECT vec_id, sub, cid, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rnk FROM d2)
+        |  WHERE rnk = 1)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN sub = 0 THEN cid END) AS c0,
+        |  MAX(CASE WHEN sub = 16 THEN cid END) AS c1,
+        |  MAX(CASE WHEN sub = 32 THEN cid END) AS c2,
+        |  MAX(CASE WHEN sub = 48 THEN cid END) AS c3,
+        |  CAST(round(sqrt(CAST(SUM(d2) AS DOUBLE)) / 8000000.0, 6) AS DOUBLE)
+        |    AS rmse
+        |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // seasonal-naive forecast (date_add dialect of the INTERVAL oracle)
     "events_forecast" ->
@@ -1310,6 +1482,24 @@ object SqlCatalog {
          |  COUNT(DISTINCT ahash) AS n_ahash
          |FROM sig GROUP BY dhash HAVING COUNT(*) > 1
          |ORDER BY dhash""".stripMargin
+    },
+
+    "mm_dedup" -> {
+      val dhash = (for { r <- 0 until 4; c <- 0 until 3 } yield
+        s"CASE WHEN element_at(p, ${r * 4 + c + 1}) < element_at(p, ${r * 4 + c + 2}) " +
+          s"THEN CAST(${1L << (r * 3 + c)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH px0 AS (SELECT doc_id, $mediaPx AS p FROM documents),
+         |pxv AS (SELECT doc_id + 500000 AS doc_id,
+         |    transform(p, (x, i) -> IF(i = 15, 255 - x, x)) AS p
+         |  FROM px0 WHERE doc_id % 9 = 0),
+         |px AS (SELECT * FROM px0 UNION ALL SELECT * FROM pxv),
+         |sig AS (SELECT doc_id, $dhash AS h FROM px)
+         |SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |  CAST(bit_count(sa.h ^ sb.h) AS BIGINT) AS hamming
+         |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+         |WHERE bit_count(sa.h ^ sb.h) <= 1
+         |ORDER BY a, b""".stripMargin
     },
 
     // --------------------------------------- round-4 additions (this file)

@@ -1490,7 +1490,249 @@ object Advanced {
       .orderBy(col("pattern"))
   }
 
+  /** LINK-PREDICTION Jaccard over the co-purchase graph — the
+    * "customers who bought X also bought Y" affinity score: parts are
+    * nodes, co-occurrence in an order is an edge, and each existing edge
+    * (a,b) scores J = |N(a)∩N(b)| / |N(a)∪N(b)\{a,b}|. The common-
+    * neighbor count |N(a)∩N(b)| is exactly the per-EDGE triangle count,
+    * so the heavy stage reuses [[graphTriangles]]'s degree-oriented
+    * wedge enumeration (orient each edge low-degree→high-degree, expand
+    * wedges from the low side only — the O(m^1.5) bound) with the same
+    * packed-long closing-edge probe; each found triangle then credits
+    * its three canonical edges. Pair generation is bounded by
+    * lines-per-order (≤7), and the declared query samples 1/3 of orders
+    * — the periodic-refresh discipline a production affinity job uses.
+    * Denominator (d_a−1)+(d_b−1)−t ≥ t ≥ 1, so no zero division. */
+  val graphJaccard: Q = (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val deg = edges.select(col("pa").as("p"))
+      .unionAll(edges.select(col("pb").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("p").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("p").as("pb"), col("deg").as("db")), "pb")
+    def ltKey(da: Column, ua: Column, db: Column, ub: Column): Column =
+      da < db || (da === db && ua < ub)
+    val isFwd = ltKey(col("da"), col("pa"), col("db"), col("pb"))
+    val dir = withDeg.select(
+      when(isFwd, col("pa")).otherwise(col("pb")).as("src"),
+      when(isFwd, col("pb")).otherwise(col("pa")).as("dst"),
+      greatest(col("da"), col("db")).as("dd"))
+    val np = s.sessionState.conf.numShufflePartitions
+    val dirP = dir.repartition(np, col("src"))
+    val w1 = dirP.select(col("src"), col("dst").as("u_b"), col("dd").as("d_b"))
+    val w2 = dirP.select(col("src"), col("dst").as("u_c"), col("dd").as("d_c"))
+    val tri = w1.join(w2, Seq("src"))
+      .filter(ltKey(col("d_b"), col("u_b"), col("d_c"), col("u_c")))
+      .join(dirP.select((shiftleft(col("src"), 32) + col("dst")).as("bc")),
+        shiftleft(col("u_b"), 32) + col("u_c") === col("bc"))
+    val triEdges = tri.select(explode(array(
+        struct(least(col("src"), col("u_b")).as("pa"),
+          greatest(col("src"), col("u_b")).as("pb")),
+        struct(least(col("src"), col("u_c")).as("pa"),
+          greatest(col("src"), col("u_c")).as("pb")),
+        struct(least(col("u_b"), col("u_c")).as("pa"),
+          greatest(col("u_b"), col("u_c")).as("pb")))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("t"))
+    withDeg.join(triEdges, Seq("pa", "pb"))
+      .select(col("pa"), col("pb"), col("t"),
+        round(col("t").cast("double")
+          / (col("da") + col("db") - lit(2) - col("t")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** GRID-BLOCKED SPATIAL JOIN — the distributed point-in-region join
+    * (the GeoSpark/Sedona partitioning shape, reduced to its relational
+    * core): points and query rectangles both map to fixed 0.1-wide grid
+    * CELLS — a rectangle explodes to every cell it overlaps (≤ 9 here),
+    * a point to exactly one — candidates come from the cell EQUI-join,
+    * and exact containment verifies. Never point × region. Coordinates
+    * derive from the engine's portable 48-bit hash scaled by 2⁻⁴⁸
+    * (division by a power of two — exact in IEEE, so both engines hold
+    * bit-identical doubles); zones are nation-derived 0.16×0.16
+    * rectangles. Per zone: matched-point count + exact decimal revenue.
+    *
+    * 100 TB shape: the zone-cell table is |zones|·9 rows → BROADCAST;
+    * the point side never shuffles for the join (cell id is a map-side
+    * projection), and only the per-zone aggregate crosses an exchange.
+    * Finer grids trade replication (more cells per zone) against
+    * candidate precision — the standard spatial-partitioning dial. */
+  val joinSpatial: Q = (s, d) => {
+    val h = graft.expr.Md5Prefix48.md548 _
+    val two48 = math.pow(2.0, 48)
+    val pts = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+      (h(concat(col("o_orderkey"), lit("x"))).cast("double") / two48).as("x"),
+      (h(concat(col("o_orderkey"), lit("y"))).cast("double") / two48).as("y"))
+    val zones = T.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        (h(col("n_name")).cast("double") / two48).as("cx"),
+        (h(concat(col("n_name"), lit("y"))).cast("double") / two48).as("cy"))
+      .select(col("n_nationkey"), col("n_name"),
+        (col("cx") - 0.08).as("x0"), (col("cx") + 0.08).as("x1"),
+        (col("cy") - 0.08).as("y0"), (col("cy") + 0.08).as("y1"))
+    val zoneCells = zones.select(col("n_nationkey"), col("x0"), col("x1"),
+        col("y0"), col("y1"),
+        explode(expr("""flatten(transform(
+          sequence(int(floor(x0 * 10)), int(floor(x1 * 10))),
+          cx -> transform(
+            sequence(int(floor(y0 * 10)), int(floor(y1 * 10))),
+            cy -> cx * 100 + cy)))""")).as("cell"))
+    val ptCells = pts.withColumn("cell",
+      (floor(col("x") * 10) * 100 + floor(col("y") * 10)).cast("int"))
+    ptCells.join(broadcast(zoneCells), Seq("cell"))
+      .filter(col("x") >= col("x0") && col("x") <= col("x1") &&
+        col("y") >= col("y0") && col("y") <= col("y1"))
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_pts"),
+        graft.core.Numeric.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** OHLC BARS — the time-series bar aggregation every telemetry /
+    * financial pipeline runs (candlesticks, but for any value stream):
+    * per (type, day) the first value (open), extremes (high/low), last
+    * value (close), event count (volume) and exact decimal total. Open/
+    * close are `min_by`/`max_by` over the (ts, event_id) struct — a
+    * single (value, key) pair of aggregate state per group, never a
+    * sort; ties are impossible by the event_id tiebreak. Raw stored
+    * doubles pass through untouched (no arithmetic → no rounding
+    * needed); only the total goes through the decimal-sum discipline.
+    *
+    * 100 TB shape: ONE two-phase hash aggregate — partials combine
+    * map-side, the shuffle carries |types|·|days| grid rows of fixed
+    * state. The window/row_number spelling of first/last would sort
+    * every group; the argmin/argmax spelling is O(1) state. */
+  val aggOhlc: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        dsum(col("value")).as("total"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** RFM SEGMENTATION — the classic customer-value grid (recency /
+    * frequency / monetary): per purchasing user, days since last
+    * purchase, purchase count, exact decimal spend; each metric scores
+    * 1–5 by FIXED THRESHOLD BANDS, users aggregate into (r, f, m)
+    * segments. Fixed bands — not ntile quantiles — deliberately: the
+    * quantile spelling needs a GLOBAL total order (a partition-less
+    * window, the one plan shape this engine bans at scale), while
+    * threshold bands are a pure per-row projection a pipeline owner
+    * recalibrates from a separate profile query.
+    *
+    * 100 TB shape: one user-keyed aggregate (event volume → user grid),
+    * one map-side banding projection, one segment-keyed aggregate over
+    * ≤ 125 segment rows. The max-date scalar broadcasts. */
+  val eventsRfm: Q = (s, d) => {
+    val e = T.events(s, d)
+    val maxd = e.agg(max(to_date(col("ts"))).as("dmax"))
+    val per = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        dsum(col("value")).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("user_id"),
+        datediff(col("dmax"), col("last_day")).cast("long").as("r"),
+        col("f"), col("m"))
+    per.select(col("user_id"), col("m"),
+        (lit(5L) - least(lit(4L), expr("r DIV 3"))).as("r_score"),
+        least(lit(5L), lit(1L) + expr("f DIV 5")).as("f_score"),
+        least(lit(5L), lit(1L) + floor(col("m") / 300.0).cast("long"))
+          .as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), dsum(col("m")).as("segment_value"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** BENFORD first-digit audit — the fraud/quality screen over a value
+    * column: observed first-significant-digit shares of o_totalprice
+    * against the Benford expectation log10(1 + 1/d), with each digit's
+    * χ² contribution. Synthetic TPC-H prices are nowhere near Benford —
+    * which is exactly what the audit is for: surfacing a distribution
+    * that doesn't look organically generated. All counts exact; the
+    * expectation and χ² terms are fixed IEEE expressions, rounded.
+    *
+    * 100 TB shape: one two-phase hash aggregate on a 9-value key. */
+  val aggBenford: Q = (s, d) => {
+    val digit = substring(floor(col("o_totalprice")).cast("long")
+      .cast("string"), 1, 1)
+    val n = T.orders(s, d).agg(count(lit(1)).as("n_total"))
+    val exp = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    T.orders(s, d).select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("obs_share"),
+        round(exp, 6).as("exp_share"),
+        round((col("n").cast("double") / col("n_total").cast("double") - exp)
+          * (col("n").cast("double") / col("n_total").cast("double") - exp)
+          / exp * col("n_total").cast("double"), 4).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** SEQUENCE-LIKELIHOOD anomaly detection — [[eventsTransition]]'s
+    * Markov model turned into a detector: each user's observed
+    * transitions score ln P(next | prev) under the corpus 1-step matrix
+    * (the DECIMAL(10,6) probabilities — bit-identical in both engines),
+    * the per-user mean log-likelihood uses the exact integer-micro
+    * rounding of [[graft.ops.LlmPipeline.textUnigramLm]], and users
+    * below the tuned threshold flag as behavioral anomalies (bot /
+    * broken-client detection).
+    *
+    * 100 TB shape: the transition matrix is |types|² rows → BROADCAST;
+    * scoring is map-side against the lag stream; one user_id shuffle
+    * for the mean. */
+  val eventsSeqAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = T.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("event_type"))
+    val counts = seq0.groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy(col("prev"))
+    val p1 = counts.select(col("prev"), col("event_type"),
+      round(col("n").cast("double")
+        / sum(col("n")).over(wRow).cast("double"), 6)
+        .cast("decimal(10,6)").as("p"))
+    seq0.join(broadcast(p1), Seq("prev", "event_type"))
+      .select(col("user_id"),
+        round(log(col("p").cast("double")), 8).cast("decimal(20,8)").as("lp"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        (sum(col("lp")) * 100000000L).cast("long").as("s8"))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN s8 >= 0 THEN (s8 * 2 + n_trans * 100) DIV (n_trans * 200)
+          |     ELSE -((-s8 * 2 + n_trans * 100) DIV (n_trans * 200)) END""".stripMargin))
+      .select(col("user_id"), col("n_trans"),
+        (col("mean_micro").cast("double") / 1e6).as("mean_logp"))
+      .withColumn("anomalous", col("mean_logp") < lit(-1.614))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_rfm" -> eventsRfm,
+    "agg_benford" -> aggBenford,
+    "events_seq_anomaly" -> eventsSeqAnomaly,
+    "agg_ohlc" -> aggOhlc,
+    "join_spatial" -> joinSpatial,
+    "graph_jaccard" -> graphJaccard,
     "events_forecast" -> eventsForecast,
     "agg_ab_test" -> aggAbTest,
     "events_pattern" -> eventsPattern,
@@ -1548,6 +1790,155 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // RFM: exact metrics, fixed threshold bands (// floors — operands
+    // non-negative), decimal segment totals
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(*) AS f,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(20,8))), 2) AS DOUBLE) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+        |scored AS (
+        |  SELECT user_id, m,
+        |    5 - least(4, date_diff('day', last_day, dmax) // 3) AS r_score,
+        |    least(5, 1 + f // 5) AS f_score,
+        |    least(5, 1 + CAST(floor(m / 300.0) AS BIGINT)) AS m_score
+        |  FROM p CROSS JOIN mx)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  COUNT(*) AS n_users,
+        |  CAST(ROUND(SUM(CAST(m AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS segment_value
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Benford: exact digit counts; expectation written as ln/ln to match
+    // the engine's log(base, x) expansion; rounds absorb libm ulps
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |nt AS (SELECT COUNT(*) AS n_total FROM d)
+        |SELECT digit, n,
+        |  CAST(round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS DOUBLE) AS obs_share,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS DOUBLE) AS exp_share,
+        |  CAST(round((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    * CAST(n_total AS DOUBLE), 4) AS DOUBLE) AS chi2_term
+        |FROM c CROSS JOIN nt ORDER BY digit""".stripMargin,
+
+    // sequence anomaly: DECIMAL(10,6) matrix probabilities, 8-decimal
+    // log rounding, integer-micro mean — the LM scoring discipline
+    "events_seq_anomaly" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |sq AS (SELECT user_id, prev, event_type FROM seq
+        |       WHERE prev IS NOT NULL),
+        |c AS (SELECT prev, event_type AS nxt, COUNT(*) AS n
+        |  FROM sq GROUP BY prev, event_type),
+        |p1 AS (SELECT prev, nxt,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6)
+        |      AS DECIMAL(10,6)) AS p
+        |  FROM c),
+        |scored AS (SELECT sq.user_id,
+        |    round(ln(CAST(p1.p AS DOUBLE)), 8) AS lp
+        |  FROM sq JOIN p1 ON sq.prev = p1.prev AND sq.event_type = p1.nxt),
+        |agg AS (SELECT user_id, COUNT(*) AS n_trans,
+        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY user_id),
+        |mm AS (SELECT user_id, n_trans,
+        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_trans * 100) // (n_trans * 200)
+        |         ELSE -((-s8 * 2 + n_trans * 100) // (n_trans * 200)) END
+        |      AS micro
+        |  FROM agg)
+        |SELECT user_id, n_trans,
+        |  CAST(micro AS DOUBLE) / 1000000.0 AS mean_logp,
+        |  CAST(micro AS DOUBLE) / 1000000.0 < -1.614 AS anomalous
+        |FROM mm ORDER BY user_id""".stripMargin,
+
+    // OHLC: open/close via the row_number spelling of min_by/max_by on
+    // (ts, event_id) — tie-free; raw doubles pass through, only the
+    // total sums in decimal
+    "agg_ohlc" ->
+      s"""WITH ranked AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+         |      ORDER BY ts, event_id) AS ro,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+         |      ORDER BY ts DESC, event_id DESC) AS rc
+         |  FROM events)
+         |SELECT event_type, day,
+         |  MAX(CASE WHEN ro = 1 THEN value END) AS open,
+         |  MAX(value) AS high,
+         |  MIN(value) AS low,
+         |  MAX(CASE WHEN rc = 1 THEN value END) AS close,
+         |  COUNT(*) AS volume,
+         |  ${dsumSql("value")} AS total
+         |FROM ranked GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
+
+    // spatial join: the oracle verifies containment NAIVELY (grid
+    // blocking is result-invariant); coordinates are md5_48 / 2^48 —
+    // division by a power of two, bit-identical doubles in both engines
+    "join_spatial" ->
+      """WITH pts AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(CAST('0x' || substr(md5(o_orderkey || 'x'), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 AS x,
+        |    CAST(CAST('0x' || substr(md5(o_orderkey || 'y'), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 AS y
+        |  FROM orders),
+        |zones AS (SELECT n_nationkey,
+        |    CAST(CAST('0x' || substr(md5(n_name), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 AS cx,
+        |    CAST(CAST('0x' || substr(md5(n_name || 'y'), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 AS cy
+        |  FROM nation)
+        |SELECT n_nationkey, COUNT(*) AS n_pts,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM pts JOIN zones
+        |  ON x >= cx - 0.08 AND x <= cx + 0.08
+        |  AND y >= cy - 0.08 AND y <= cy + 0.08
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    // edge Jaccard: the oracle enumerates triangles naively in canonical
+    // a<b<c id order (orientation is result-invariant); all counts exact,
+    // one double division, round 6, ties break on the pair itself
+    "graph_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 3 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT pa AS p FROM e UNION ALL SELECT pb FROM e) GROUP BY p),
+        |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+        |  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |te AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |    SELECT a AS pa, b AS pb FROM tri
+        |    UNION ALL SELECT a, c FROM tri
+        |    UNION ALL SELECT b, c FROM tri) GROUP BY pa, pb)
+        |SELECT e.pa, e.pb, te.t,
+        |  CAST(round(CAST(te.t AS DOUBLE)
+        |    / CAST(da.deg + db.deg - 2 - te.t AS DOUBLE), 6) AS DOUBLE)
+        |    AS jaccard
+        |FROM e JOIN te ON e.pa = te.pa AND e.pb = te.pb
+        |JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p
+        |ORDER BY jaccard DESC, e.pa, e.pb LIMIT 20""".stripMargin,
+
     // seasonal naive: exact grid counts, same-weekday equi-join by date
     // arithmetic; MAE divides exact integers once in double, then rounds
     "events_forecast" ->

@@ -173,7 +173,41 @@ object Functions {
         parse_url(col("url"), lit("QUERY"), lit("q")).cast("long").as("q_val"))
       .orderBy(col("event_id"))
 
+  /** DATA-MASKING pack — the governance projection a shared analytics
+    * table applies before leaving the trust boundary: deterministic
+    * PSEUDONYMIZATION of the key (portable md5-48 token — stable across
+    * runs and engines, so masked tables still JOIN on the token),
+    * partial redaction of the name (keep a 2-char prefix, star the
+    * rest), coarse generalization of the balance (banded to hundreds)
+    * and the nation kept in the clear. A pure per-row projection — at
+    * 100 TB it fuses into the scan like [[fnRegex]]/[[fnUrl]] (PlanSpec
+    * pins no agg, no join, no shuffle). */
+  val fnMask: Q = (s, d) =>
+    T.customer(s, d)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(
+        graft.expr.Md5Prefix48.md548(col("c_custkey").cast("string"))
+          .as("pseudo_key"),
+        concat(substring(col("c_name"), 1, 2),
+          expr("repeat('*', length(c_name) - 2)")).as("masked_name"),
+        (floor(col("c_acctbal") / 100.0) * 100).cast("long").as("bal_band"),
+        col("c_nationkey"))
+      .orderBy(col("pseudo_key"))
+
   val oracles: Map[String, String] = Map(
+    // masking: md5_48 pseudonym re-derived from the same hex prefix;
+    // floor-banding on the raw double is identical IEEE both sides
+    "fn_mask" ->
+      """SELECT
+        |  CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+        |    AS BIGINT) AS pseudo_key,
+        |  substr(c_name, 1, 2) || repeat('*', len(c_name) - 2)
+        |    AS masked_name,
+        |  CAST(floor(c_acctbal / 100.0) * 100 AS BIGINT) AS bal_band,
+        |  c_nationkey
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY pseudo_key""".stripMargin,
+
     "fn_regex" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,

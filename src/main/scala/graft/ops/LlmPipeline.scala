@@ -1107,6 +1107,90 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- late interaction
+
+  /** MAXSIM late-interaction scoring (the ColBERT retrieval shape,
+    * Khattab & Zaharia SIGIR'20) — the multi-vector companion of
+    * [[simTopk]]'s single-vector ranking: a QUERY is a SET of vectors
+    * (here the 4 lowest-id embeddings), a candidate is a GROUP of
+    * vectors (a label cohort), and the score is Σ_q max_v cos(q, v) —
+    * each query vector finds its best match independently, so partial
+    * matches accumulate instead of averaging away. Per-pair cosines
+    * round to 6 BEFORE the max (engine-portable), and the final Σ is an
+    * exact decimal sum of rounded maxima.
+    *
+    * 100 TB shape: the query set BROADCASTS (late interaction keeps the
+    * corpus side untouched — that asymmetry is the point of the
+    * architecture); cosines evaluate map-side via the codegen'd
+    * [[graft.expr.FloatDotProduct]]; the max and sum shuffle (label,
+    * query) grid rows only. */
+  val simMaxsim: Q = (s, d) => {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"))
+    val probes = e.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(probes))
+      .select(col("label"), col("qid"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos"))
+      .groupBy(col("label"), col("qid"))
+      .agg(max(col("cos")).as("best"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(col("best").cast("decimal(10,6)")).cast("double").as("maxsim"))
+      .orderBy(col("label"))
+  }
+
+  // -------------------------------------------------- product quantization
+
+  /** PRODUCT QUANTIZATION encode (Jégou et al., PAMI'11) — the vector-
+    * compression standard behind billion-scale ANN indexes, and the
+    * third leg of the engine's vector family: [[embedQuantize]] is the
+    * SCALAR (per-dim) compressor, IVF ([[simTopkIvf]]) the coarse
+    * partitioner, PQ the fine sub-vector codebook: the 64-dim vector
+    * splits into 4 subspaces of 16 dims, each encoded as the id of its
+    * nearest codeword (k=4 per subspace, codebook = the 4 lowest-id
+    * vectors' sub-vectors — the deterministic-seed discipline of
+    * [[clusterKmeans]], which is also how a production PQ trains:
+    * per-subspace k-means on a sample). 64 floats → 4 codes.
+    *
+    * All distances are exact integer micro-unit L2 (ties → lowest
+    * codeword id); only the reported reconstruction RMSE divides/sqrts
+    * in double, then rounds.
+    *
+    * 100 TB shape: the codebook is 4·4·16 numbers → BROADCAST; encoding
+    * is one map-side pass over the exploded vector stream, and the
+    * argmin + code assembly shuffle on vec_id only — the corpus never
+    * joins itself. */
+  val embedPq: Q = (s, d) => {
+    val q = T.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+      .withColumn("sub", col("dim") - pmod(col("dim"), lit(16)))
+    val seeds = T.embeddings(s, d).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(4)
+    val cents = q.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("dim"), col("qd").as("cv"))
+    val d2 = q.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("d2"))
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("cid"))
+    val assigned = d2.withColumn("rnk", row_number().over(wMin))
+      .filter(col("rnk") === 1)
+    assigned.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("sub") === 0, col("cid"))).as("c0"),
+        max(when(col("sub") === 16, col("cid"))).as("c1"),
+        max(when(col("sub") === 32, col("cid"))).as("c2"),
+        max(when(col("sub") === 48, col("cid"))).as("c3"),
+        sum(col("d2")).as("err"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(sqrt(col("err").cast("double")) / 8000000.0, 6).as("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------- collocations
 
   /** PMI COLLOCATION extraction — the phrase-mining step between the raw
@@ -1274,6 +1358,46 @@ object LlmPipeline {
          |  FROM mm)
          |SELECT doc_id, n_tok, ppl, ppl <= $PplCutoff AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // MaxSim: per-pair cosines round to 6 BEFORE the max; the final sum
+    // is exact decimal over the rounded maxima
+    "sim_maxsim" ->
+      s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |best AS (SELECT e.label, p.qid,
+         |    MAX(round(${cosineSql("p.qv", "e.embedding")}, 6)) AS best
+         |  FROM embeddings e CROSS JOIN probes p GROUP BY e.label, p.qid)
+         |SELECT label, COUNT(*) AS n_q,
+         |  CAST(SUM(CAST(best AS DECIMAL(10,6))) AS DOUBLE) AS maxsim
+         |FROM best GROUP BY label ORDER BY label""".stripMargin,
+
+    // PQ encode: micro-unit exact distances, lowest-cid ties, double only
+    // for the reported RMSE (sum < 2^53 — the decimal cast is exact)
+    "embed_pq" ->
+      """WITH q AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    ((i - 1) // 16) * 16 AS sub
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2 AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS d2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |asg AS (SELECT vec_id, sub, cid, d2 FROM (
+        |    SELECT vec_id, sub, cid, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, cid) AS rnk FROM d2)
+        |  WHERE rnk = 1)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN sub = 0 THEN cid END) AS c0,
+        |  MAX(CASE WHEN sub = 16 THEN cid END) AS c1,
+        |  MAX(CASE WHEN sub = 32 THEN cid END) AS c2,
+        |  MAX(CASE WHEN sub = 48 THEN cid END) AS c3,
+        |  CAST(round(sqrt(CAST(SUM(d2) AS DOUBLE)) / 8000000.0, 6) AS DOUBLE)
+        |    AS rmse
+        |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // PMI collocations: exact bigram counts + slot marginals; the log
     // ratio multiplies/divides exact-count doubles in one fixed IEEE

@@ -251,7 +251,49 @@ object Multimodal {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** IMAGE NEAR-DUP dedup — [[mmPhash]]'s exact-signature grouping
+    * relaxed to a HAMMING ball, the way production image dedup works
+    * (a re-encode/resize/crop perturbs a few signature bits; exact
+    * grouping misses it): planted variants (every 9th image, last pixel
+    * inverted — a compression artifact stand-in) perturb ≤ 1 dhash bit;
+    * the pigeonhole band join (split the 12-bit dhash into two 6-bit
+    * halves — Hamming ≤ 1 ⇒ at least one half matches exactly) yields
+    * candidates from an EQUI-join, and `bit_count(xor)` verifies. The
+    * SimHash discipline ([[graft.ops.LlmPipeline]] `dedup_simhash`)
+    * applied to the vision signature — never all-pairs.
+    *
+    * 100 TB shape: signatures are per-row expressions; candidates
+    * shuffle on the (half, value) band key only. A production 64-bit
+    * pHash uses 4×16-bit blocks — block width grows with hash width,
+    * holding bucket sizes flat. */
+  val mmDedup: Q = (s, d) => {
+    val basePx = media(s, d)
+      .select(col("doc_id"), pixels(col("payload"), 16).as("p"))
+    val varPx = basePx.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        expr("transform(p, (x, i) -> IF(i = 15, 255 - x, x))").as("p"))
+    val sigs = basePx.unionByName(varPx)
+      .select(col("doc_id"), dhashOf(col("p")).as("h"))
+    val bands = sigs.select(col("doc_id"), col("h"),
+        explode(expr(
+          "array(named_struct('b', 0, 'v', h & 63)," +
+            " named_struct('b', 1, 'v', shiftright(h, 6) & 63))")).as("blk"))
+      .select(col("doc_id"), col("h"),
+        col("blk.b").as("b"), col("blk.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand.filter(expr("bit_count(ha ^ hb) <= 1"))
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_dedup" -> mmDedup,
     "mm_shard" -> mmShard,
     "mm_meta" -> mmMeta,
     "mm_pixels" -> mmPixels,
@@ -262,6 +304,26 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Hamming near-dup: the oracle compares ALL pairs (banding is
+    // result-invariant); variant pixel lists rebuild via slice+concat
+    "mm_dedup" -> {
+      val dhash = (for { r <- 0 until 4; c <- 0 until 3 } yield
+        s"CASE WHEN p[${r * 4 + c + 1}] < p[${r * 4 + c + 2}] " +
+          s"THEN CAST(${1L << (r * 3 + c)} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH px0 AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents),
+         |pxv AS (SELECT doc_id + 500000 AS doc_id,
+         |    p[1:15] || [255 - p[16]] AS p
+         |  FROM px0 WHERE doc_id % 9 = 0),
+         |px AS (SELECT * FROM px0 UNION ALL SELECT * FROM pxv),
+         |sig AS (SELECT doc_id, $dhash AS h FROM px)
+         |SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+         |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+         |WHERE bit_count(xor(sa.h, sb.h)) <= 1
+         |ORDER BY a, b""".stripMargin
+    },
+
     // DuckDB dialect: `//` floors — operands are non-negative so it
     // matches Spark's DIV (see Numeric.idiv dialect note)
     "mm_shard" ->

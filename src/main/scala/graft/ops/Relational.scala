@@ -137,6 +137,44 @@ object Relational {
       .withColumn("accepted", col("reject_reason").isNull)
       .orderBy(col("id"))
 
+  /** REFERENTIAL-INTEGRITY audit — the cross-table companion of
+    * [[constraintCheck]]'s row-level CHECK (the reference validates only
+    * within one row, `/root/reference/db.cpp:455-470`): each FK edge
+    * (lineitem→orders, orders→customer) reports child count, orphan
+    * count (anti-join against the parent key set) and orphan share.
+    * Orphans are PLANTED (child slices re-keyed +9·10⁹, far above any
+    * harness-scale parent key) so the audit has a known answer.
+    *
+    * 100 TB shape: each audit is ONE anti-join shuffled on the FK — the
+    * same cost as the join the FK exists to serve; AQE broadcasts the
+    * parent side when it fits. The two scalar counts ride the same
+    * pass (count + anti-count, no second scan of the child). */
+  val constraintFk: Q = (s, d) => {
+    def audit(child: DataFrame, key: String, parent: DataFrame,
+        pkey: String, name: String): DataFrame = {
+      val flagged = child.join(
+        parent.select(col(pkey).as(key)).distinct()
+          .withColumn("hit", lit(1)), Seq(key), "left")
+      flagged.agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"),
+          round(col("n_orphan").cast("double")
+            / col("n_child").cast("double"), 6).as("orphan_share"))
+    }
+    val li = T.lineitem(s, d).select(col("l_orderkey"))
+    val liB = li.unionByName(li.filter(col("l_orderkey") % 101 === 0)
+      .select((col("l_orderkey") + 9000000000L).as("l_orderkey")))
+    val o = T.orders(s, d)
+    val oK = o.select(col("o_custkey"))
+    val oB = oK.unionByName(o.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_custkey") + 9000000000L).as("o_custkey")))
+    audit(liB, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+      .unionByName(
+        audit(oB, "o_custkey", T.customer(s, d), "c_custkey",
+          "orders->customer"))
+      .orderBy(col("fk_edge"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Equi inner join fact ⋈ fact-side dim (sort-merge / shuffled-hash —

@@ -85,6 +85,26 @@ object RelationalOracles {
          |  AND l_discount BETWEEN 0.02 AND 0.04
          |  AND l_quantity < 25""".stripMargin,
 
+    // FK audit: orphan counts recomputed declaratively — planted keys
+    // (+9e9) can never hit a parent, so orphans = planted-slice size
+    "constraint_fk" ->
+      """SELECT fk_edge, n_child, n_orphan,
+        |  CAST(round(CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+        |    AS DOUBLE) AS orphan_share
+        |FROM (
+        |  SELECT 'lineitem->orders' AS fk_edge,
+        |    (SELECT COUNT(*) FROM lineitem)
+        |      + (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 101 = 0)
+        |      AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 101 = 0)
+        |      AS n_orphan
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    (SELECT COUNT(*) FROM orders)
+        |      + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 0),
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 0))
+        |ORDER BY fk_edge""".stripMargin,
+
     "constraint_check" ->
       """SELECT id, username, email, reject_reason,
         |  (reject_reason IS NULL) AS accepted

@@ -582,7 +582,94 @@ object Sources {
     before.crossJoin(after)
   }
 
+  /** CDC-LOG APPLY — the Debezium/binlog shape [[mergeUpsert]] (U+I
+    * only) and [[mergeMor]] (read-side) both stop short of: an ordered
+    * change log of INSERT / UPDATE / DELETE operations with sequence
+    * numbers replays onto a snapshot, LAST operation per key wins, and a
+    * winning DELETE removes the row. The planted log exercises every
+    * precedence: keys %31 get an U@1; the %62 subset then a D@2
+    * (delete-after-update → gone); the %93 subset an I@3 re-insert
+    * (update-then-reinsert → the @3 row survives, and on the %186
+    * overlap the I@3 beats the D@2 — the resurrection case every CDC
+    * consumer must get right).
+    *
+    * 100 TB shape: one hash shuffle on the key for the latest-wins
+    * `row_number` — identical cost to [[mergeUpsert]]; op semantics add
+    * ZERO extra passes because the D filter rides the same window
+    * projection. A real CDC consumer runs this per micro-batch with the
+    * snapshot partitioned on the same key, so only changed partitions
+    * rewrite. */
+  val mergeCdc: Q = (s, d) => {
+    val baseDir = ioDir("merge_cdc_base")
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    o.select(col("*"), lit(0L).as("seq"), lit("I").as("op"))
+      .write.mode("overwrite").parquet(baseDir)
+    val upd = o.filter(col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), lit("C").as("o_orderstatus"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val del = o.filter(col("o_orderkey") % 62 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(2L).as("seq"), lit("D").as("op"))
+    val ins = o.filter(col("o_orderkey") % 93 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), lit("R").as("o_orderstatus"),
+        (col("o_totalprice") + 2.0).as("o_totalprice"),
+        lit(3L).as("seq"), lit("I").as("op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+    s.read.parquet(baseDir)
+      .unionByName(upd).unionByName(del).unionByName(ins)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("seq"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TIME TRAVEL — the versioned-snapshot read (Delta/Iceberg `VERSION
+    * AS OF`): version 0 is the immutable base write, version 1 a delta
+    * batch (updates on keys %43, inserts at +6,000,000); a read AS OF v
+    * unions every batch with version ≤ v, latest version per key wins.
+    * The declared result audits BOTH versions side by side — row count
+    * and exact revenue checksum per version — proving the v0 read is
+    * untouched by the v1 write (snapshot isolation as a queryable
+    * fact).
+    *
+    * 100 TB shape: each version batch is its own immutable file set, so
+    * AS OF v scans only versions ≤ v; the latest-wins window shuffles
+    * on the key once per read. The audit aggregates are one pass per
+    * version over pruned file sets — a manifest/metadata-level
+    * operation in a real table format. */
+  val metaTimeTravel: Q = (s, d) => {
+    val v0Dir = ioDir("time_travel_v0")
+    val v1Dir = ioDir("time_travel_v1")
+    val o = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    o.select(col("*"), lit(0L).as("version"))
+      .write.mode("overwrite").parquet(v0Dir)
+    o.filter(col("o_orderkey") % 43 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"),
+        lit(1L).as("version"))
+      .unionByName(o.filter(col("o_orderkey") % 71 === 0)
+        .select((col("o_orderkey") + 6000000L).as("o_orderkey"),
+          col("o_totalprice"), lit(1L).as("version")))
+      .write.mode("overwrite").parquet(v1Dir)
+    def asOf(v: Long): DataFrame = {
+      val dirs = Seq(v0Dir, v1Dir).take(v.toInt + 1)
+      val all = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue"))
+    }
+    asOf(0L).unionByName(asOf(1L)).orderBy(col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "merge_cdc" -> mergeCdc,
+    "meta_time_travel" -> metaTimeTravel,
     "merge_mor" -> mergeMor,
     "sink_compaction" -> sinkCompaction,
     "sink_roundtrip" -> sinkRoundtrip,
@@ -604,6 +691,40 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // CDC replay re-derived declaratively: last-seq-wins with D removal;
+    // the %186 overlap (D@2 then I@3) pins the resurrection precedence
+    "merge_cdc" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, seq FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 93 = 0 THEN 'R'
+        |         WHEN o_orderkey % 31 = 0 THEN 'C'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 93 = 0 THEN o_totalprice + 2.0
+        |         WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CAST(CASE WHEN o_orderkey % 93 = 0 THEN 3
+        |              WHEN o_orderkey % 31 = 0 THEN 1
+        |              ELSE 0 END AS BIGINT) AS seq
+        |  FROM orders
+        |  WHERE o_orderkey % 62 <> 0 OR o_orderkey % 93 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // time travel: both versions' audits recompute declaratively; the v0
+    // row matching the pre-v1 table proves snapshot isolation
+    "meta_time_travel" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), COUNT(*), ${dsumSql("p")}
+         |FROM (
+         |  SELECT CASE WHEN o_orderkey % 43 = 0 THEN o_totalprice + 100.0
+         |              ELSE o_totalprice END AS p
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 71 = 0)
+         |ORDER BY version""".stripMargin,
+
     // merge-on-read re-derived declaratively: the oracle never sees the
     // base/dv/delta files, only the change rules applied to orders —
     // delete beats update for keys divisible by both 41 and 53

@@ -123,6 +123,48 @@ object Streaming {
   val streamJoin: Q = (s, d) =>
     intervalJoin(T.events(s, d)).orderBy(col("purchase_id"), col("view_id"))
 
+  /** LATE-DATA audit — the watermark accounting every production stream
+    * needs (what share of events would a 2-hour watermark DROP, and how
+    * late do they arrive?): arrival order is event_id, the watermark is
+    * the running max event time per type stream, and an event is late
+    * when its time trails the watermark by more than the 2-hour
+    * allowance. The harness events arrive perfectly ordered, so lateness
+    * is PLANTED deterministically (every 17th event's time shifts back
+    * 1–7 hours — a buffered device flushing), the same planted-variant
+    * discipline as the dedup corpus. Lateness sums in exact MICROSECONDS
+    * (second-truncation differs between engines on µs timestamps).
+    *
+    * 100 TB shape: one shuffle on the stream key (event_type) for the
+    * running-max window — the same partitioning the streaming engine's
+    * watermark tracker uses; the audit aggregate rides the window pass.
+    * In streaming mode this is exactly what `withWatermark("ts", "2
+    * hours")` + the dropped-rows metric report; batch mode makes the
+    * drop set a queryable fact. */
+  val streamLateAudit: Q = (s, d) => {
+    val shifted = T.events(s, d)
+      .withColumn("ts2", when(col("event_id") % 17 === 0,
+        col("ts") - expr("(event_id % 7 + 1) * INTERVAL '1' HOUR"))
+        .otherwise(col("ts")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val audited = shifted
+      .withColumn("wm", max(col("ts2")).over(w))
+      .withColumn("late",
+        col("ts2") < col("wm") - expr("INTERVAL '2' HOUR"))
+      .withColumn("lag_us",
+        when(col("late"), unix_micros(col("wm")) - unix_micros(col("ts2")))
+          .otherwise(lit(0L)))
+    audited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("late"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("late_share"),
+        round(sum(col("lag_us")).cast("double")
+          / greatest(sum(when(col("late"), 1L).otherwise(0L)), lit(1L))
+            .cast("double") / 60000000.0, 6).as("avg_late_minutes"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------- streaming builders
 
   /** Streaming flavor of [[tumblingCounts]] with a watermark for state
@@ -187,6 +229,36 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    // watermark audit: planted 1-7h backshifts on every 17th event; the
+    // running max per type stream is the watermark; lateness is summed
+    // in exact microseconds, divided once in double, then rounded
+    "stream_late_audit" ->
+      """WITH shifted AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 17 = 0
+        |      THEN ts - (event_id % 7 + 1) * INTERVAL 1 HOUR
+        |      ELSE ts END AS ts2
+        |  FROM events),
+        |aud AS (
+        |  SELECT event_type, ts2,
+        |    MAX(ts2) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS wm
+        |  FROM shifted),
+        |flagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts2 < wm - INTERVAL 2 HOUR THEN 1 ELSE 0 END AS late,
+        |    CASE WHEN ts2 < wm - INTERVAL 2 HOUR
+        |      THEN epoch_us(wm) - epoch_us(ts2) ELSE 0 END AS lag_us
+        |  FROM aud)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST(round(CAST(SUM(late) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS DOUBLE) AS late_share,
+        |  CAST(round(CAST(SUM(lag_us) AS DOUBLE)
+        |    / CAST(greatest(SUM(late), 1) AS DOUBLE) / 60000000.0, 6)
+        |    AS DOUBLE) AS avg_late_minutes
+        |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_tumbling" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value

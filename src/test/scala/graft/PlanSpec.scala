@@ -720,6 +720,26 @@ class PlanSpec extends SparkSpecBase {
       "centroid audit degenerated to a cartesian product")
   }
 
+  test("join_spatial probes a broadcast zone-cell table (points never shuffle)") {
+    val df = graft.ops.Advanced.joinSpatial(spark, sf0001)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "spatial candidates are not a broadcast cell equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatial join degenerated to point × region")
+  }
+
+  test("embed_pq broadcasts the codebook — the corpus never joins itself") {
+    val df = LlmPipeline.embedPq(spark, sf0001)
+    val p = planString(df)
+    // codebook (seeds + centroid values) must reach the exploded vector
+    // stream as broadcast probes; a shuffle join here would re-key the
+    // whole corpus for a 256-number model
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "PQ codebook joins are not broadcast probes")
+    assert(!p.contains("CartesianProduct"), "PQ encode went cartesian")
+  }
+
   test("text_perplexity broadcasts the unigram/context models") {
     val df = LlmPipeline.textPerplexity(spark, sf0001)
     val p = planString(df)
