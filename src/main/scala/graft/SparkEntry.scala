@@ -39,6 +39,7 @@ object SparkEntry {
     "join_asof_near"   -> Relational.joinAsofNear,
     "join_full"        -> Relational.joinFull,
     "join_cross"       -> Relational.joinCross,
+    "join_null_safe"   -> Relational.joinNullSafe,
     // aggregations
     "agg_hash"         -> Relational.aggHash,
     "agg_distinct"     -> Relational.aggDistinct,
@@ -69,6 +70,7 @@ object SparkEntry {
     "fn_regex"         -> Functions.fnRegex,
     "fn_url"           -> Functions.fnUrl,
     "fn_mask"          -> Functions.fnMask,
+    "fn_try"           -> Functions.fnTry,
     // streaming semantics (batch-mode declared; stream-mode in tests)
     "stream_tumbling"  -> Streaming.streamTumbling,
     "stream_sliding"   -> Streaming.streamSliding,

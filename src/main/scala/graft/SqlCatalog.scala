@@ -251,6 +251,44 @@ object SqlCatalog {
         |WHERE md5_48(concat_ws('|', l_orderkey, l_linenumber)) % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // try-family (Spark try_cast/try_divide/try_element_at spellings)
+    "fn_try" ->
+      """SELECT c_custkey,
+        |  try_cast(amount_str AS INT) AS parsed,
+        |  CAST(try_divide(CAST(c_acctbal AS DECIMAL(12,2)),
+        |    CAST(c_custkey % 3 AS DECIMAL(12,2))) AS DOUBLE) AS ratio,
+        |  try_element_at(split(c_name, '#'), CAST(c_custkey % 3 + 1 AS INT))
+        |    AS name_part,
+        |  try_cast(amount_str AS INT) IS NULL AS quarantined
+        |FROM (
+        |  SELECT c_custkey, c_acctbal, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN '  42 '
+        |         WHEN c_custkey % 5 = 1 THEN ''
+        |         WHEN c_custkey % 5 = 2 THEN 'N/A'
+        |         WHEN c_custkey % 5 = 3 THEN '9999999999'
+        |         ELSE CAST(c_custkey AS STRING) END AS amount_str
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // null-safe join (<=> spelling of IS NOT DISTINCT FROM)
+    "join_null_safe" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE o_orderkey % 5 END AS tag
+        |  FROM orders),
+        |dim AS (
+        |  SELECT d_tag,
+        |    coalesce(concat('region_', CAST(d_tag AS STRING)),
+        |      'unattributed') AS tag_name
+        |  FROM (SELECT DISTINCT tag AS d_tag FROM fact))
+        |SELECT d.tag_name, COUNT(*) AS n,
+        |  SUM(CASE WHEN f.tag = d.d_tag THEN 1L ELSE 0L END) AS n_plain_eq,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM fact f JOIN dim d ON f.tag <=> d.d_tag
+        |GROUP BY d.tag_name ORDER BY d.tag_name""".stripMargin,
+
     // RFM segmentation (datediff + DIV dialect)
     "events_rfm" ->
       """WITH p AS (

@@ -1508,15 +1508,21 @@ object Advanced {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    // the edge list is consumed four times (degrees, orientation, the
+    // closing-edge probe, the final score join) — an eager localCheckpoint
+    // truncates the basket self-join out of every reuse (the TextDedup
+    // reuse-point discipline; a cluster run would persist or checkpoint)
     val edges = a.join(b, Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()
+      .localCheckpoint(true)
     val deg = edges.select(col("pa").as("p"))
       .unionAll(edges.select(col("pb").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     val withDeg = edges
       .join(deg.select(col("p").as("pa"), col("deg").as("da")), "pa")
       .join(deg.select(col("p").as("pb"), col("deg").as("db")), "pb")
+      .localCheckpoint(true)
     def ltKey(da: Column, ua: Column, db: Column, ub: Column): Column =
       da < db || (da === db && ua < ub)
     val isFwd = ltKey(col("da"), col("pa"), col("db"), col("pb"))

@@ -194,7 +194,58 @@ object Functions {
         col("c_nationkey"))
       .orderBy(col("pseudo_key"))
 
+  /** TRY-variant error handling — the ingestion-safety pack (ANSI mode
+    * turns malformed input into job-killing exceptions; the `try_`
+    * family turns it into NULLs a pipeline can quarantine): planted
+    * dirty strings (valid / padded / empty / sentinel / overflow) go
+    * through `try_cast`, division hits planted zeros through
+    * `try_divide`, and out-of-bounds access through `try_element_at`.
+    * Per-row projection — fuses into the scan; the quarantine filter
+    * (`IS NULL` on the parsed column) is then an ordinary pushable
+    * predicate. */
+  val fnTry: Q = (s, d) =>
+    T.customer(s, d)
+      .filter(col("c_custkey") % 11 === 0)
+      .withColumn("amount_str",
+        when(col("c_custkey") % 5 === 0, lit("  42 "))
+          .when(col("c_custkey") % 5 === 1, lit(""))
+          .when(col("c_custkey") % 5 === 2, lit("N/A"))
+          .when(col("c_custkey") % 5 === 3, lit("9999999999"))
+          .otherwise(col("c_custkey").cast("string")))
+      .select(col("c_custkey"),
+        expr("try_cast(amount_str AS INT)").as("parsed"),
+        expr("try_divide(CAST(c_acctbal AS DECIMAL(12,2))," +
+          " CAST(c_custkey % 3 AS DECIMAL(12,2)))")
+          .cast("double").as("ratio"),
+        expr("try_element_at(split(c_name, '#')," +
+          " CAST(c_custkey % 3 + 1 AS INT))").as("name_part"),
+        expr("try_cast(amount_str AS INT) IS NULL").as("quarantined"))
+      .orderBy(col("c_custkey"))
+
   val oracles: Map[String, String] = Map(
+    // try-family: DuckDB TRY_CAST + guarded division mirror Spark's
+    // null-on-error semantics (both trim on numeric casts, both null
+    // out-of-range and out-of-bounds)
+    "fn_try" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(amount_str AS INTEGER) AS parsed,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE CAST(c_acctbal AS DOUBLE)
+        |         / CAST(c_custkey % 3 AS DOUBLE)
+        |  END AS ratio,
+        |  string_split(c_name, '#')[CAST(c_custkey % 3 + 1 AS INTEGER)]
+        |    AS name_part,
+        |  TRY_CAST(amount_str AS INTEGER) IS NULL AS quarantined
+        |FROM (
+        |  SELECT c_custkey, c_acctbal, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN '  42 '
+        |         WHEN c_custkey % 5 = 1 THEN ''
+        |         WHEN c_custkey % 5 = 2 THEN 'N/A'
+        |         WHEN c_custkey % 5 = 3 THEN '9999999999'
+        |         ELSE CAST(c_custkey AS VARCHAR) END AS amount_str
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
     // masking: md5_48 pseudonym re-derived from the same hex prefix;
     // floor-banding on the raw double is identical IEEE both sides
     "fn_mask" ->

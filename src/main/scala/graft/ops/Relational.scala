@@ -175,6 +175,37 @@ object Relational {
       .orderBy(col("fk_edge"))
   }
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics corner plain `=` silently gets wrong: a nullable
+    * dimension key (here a region tag that is NULL for every 11th
+    * order — the "unattributed" bucket every real dimension has) drops
+    * its NULL rows under `=` but matches NULL-to-NULL under `<=>`, so
+    * the unattributed bucket stays countable. The declared result
+    * aggregates the fact through a null-safe broadcast probe against
+    * the 6-row tag dim (5 tags + the NULL member) and reports the
+    * null bucket alongside — plus the `=`-join total as a column, so
+    * the two semantics' difference is itself part of the answer.
+    *
+    * 100 TB shape: null-safe equality is still HASH-partitionable
+    * (NULL hashes to a bucket like any value), so `<=>` joins broadcast
+    * or shuffle exactly like `=` joins — no nested-loop penalty. */
+  val joinNullSafe: Q = (s, d) => {
+    val fact = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("o_orderkey") % 5).as("tag"))
+    val dim = fact.select(col("tag").as("d_tag")).distinct()
+      .withColumn("tag_name",
+        coalesce(concat(lit("region_"), col("d_tag").cast("string")),
+          lit("unattributed")))
+    fact.join(broadcast(dim), col("tag") <=> col("d_tag"))
+      .groupBy(col("tag_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tag") === col("d_tag"), 1L).otherwise(0L))
+          .as("n_plain_eq"),
+        graft.core.Numeric.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("tag_name"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Equi inner join fact ⋈ fact-side dim (sort-merge / shuffled-hash —

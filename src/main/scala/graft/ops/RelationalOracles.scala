@@ -85,6 +85,27 @@ object RelationalOracles {
          |  AND l_discount BETWEEN 0.02 AND 0.04
          |  AND l_quantity < 25""".stripMargin,
 
+    // null-safe join: IS NOT DISTINCT FROM matches the NULL bucket;
+    // the plain-= count is zero exactly there
+    "join_null_safe" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE o_orderkey % 5 END AS tag
+        |  FROM orders),
+        |dim AS (
+        |  SELECT tag,
+        |    coalesce('region_' || CAST(tag AS VARCHAR), 'unattributed')
+        |      AS tag_name
+        |  FROM (SELECT DISTINCT tag FROM fact))
+        |SELECT d.tag_name, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN f.tag = d.tag THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_plain_eq,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM fact f JOIN dim d ON f.tag IS NOT DISTINCT FROM d.tag
+        |GROUP BY d.tag_name ORDER BY d.tag_name""".stripMargin,
+
     // FK audit: orphan counts recomputed declaratively — planted keys
     // (+9e9) can never hit a parent, so orphans = planted-slice size
     "constraint_fk" ->

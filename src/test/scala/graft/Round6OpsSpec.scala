@@ -192,6 +192,32 @@ class Round6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("fn_try: quarantine flags exactly the unparseable variants") {
+    val rows = Functions.fnTry(spark, sf0001)
+      .select(col("c_custkey"), col("parsed"), col("quarantined")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expectNull = k % 5 == 1 || k % 5 == 2 || k % 5 == 3
+      assert(r.getBoolean(2) == expectNull,
+        s"key $k quarantine flag wrong")
+      assert(r.isNullAt(1) == expectNull, s"key $k parse result wrong")
+    }
+  }
+
+  test("join_null_safe: the unattributed bucket is kept and plain-= drops it") {
+    val rows = Relational.joinNullSafe(spark, sf0001).collect()
+    val nullRow = rows.find(_.getString(0) == "unattributed")
+    assert(nullRow.isDefined, "<=> must keep the NULL bucket")
+    assert(nullRow.get.getAs[Long]("n") > 0)
+    assert(nullRow.get.getAs[Long]("n_plain_eq") == 0,
+      "plain = must never match the NULL bucket")
+    rows.filterNot(_.getString(0) == "unattributed").foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("n_plain_eq"),
+        "non-null buckets must agree between <=> and =")
+    }
+  }
+
   test("agg_ab_test: cohort sizes partition each type's events") {
     val rows = Advanced.aggAbTest(spark, sf0001)
       .select(col("event_type"), col("n1"), col("n2")).collect()
