@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_near"       -> LlmPipeline.dedupNear,
     "dedup_near_salted" -> LlmPipeline.dedupNearSalted,
     "dedup_minhash"    -> LlmPipeline.dedupMinhash,
+    "dedup_incremental" -> LlmPipeline.dedupIncremental,
     "dedup_simhash"    -> LlmPipeline.dedupSimhash,
     "dedup_embed"      -> LlmPipeline.dedupEmbed,
     "dedup_embed_lsh"  -> LlmPipeline.dedupEmbedLsh,

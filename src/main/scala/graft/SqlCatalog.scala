@@ -134,6 +134,47 @@ object SqlCatalog {
 
   /** MinHash signature CTEs (Spark dialect; constants shared with
     * [[graft.expr.MinHashAgg]] so SQL and DataFrame signatures agree). */
+  /** Incremental-dedup statement form: same sig/band algebra as
+    * [[minhashSql]] over base ∪ delta, with candidates restricted to
+    * delta-side × base-side (the semantic mirror of the index probe). */
+  private def minhashIncrementalSql: String = {
+    val (p, k, a, b) = graft.expr.MinHashAgg.params
+    val nBands = 8
+    val r = k / nBands
+    val mins = (0 until k).map(i =>
+      s"min((${a(i)} * hv + ${b(i)}) % $p) AS mh_$i").mkString(",\n    ")
+    val bands = (0 until nBands).map { bnd =>
+      val key = (0 until r).map(j => s"CAST(mh_${bnd * r + j} AS STRING)")
+        .mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |         array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |$shingleSetsSql,
+       |sh AS (SELECT doc_id, explode($shingles) s FROM tok WHERE size(l) >= 3),
+       |hv AS (SELECT doc_id, md5_48(s) % $p AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hv GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS base_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id >= 200000 AND y.doc_id < 200000)
+       |SELECT delta_id, base_id, round(jacc, 6) AS jacc FROM (
+       |  SELECT delta_id, base_id, $jaccSql AS jacc
+       |  FROM cand
+       |    JOIN ssets sa ON sa.doc_id = delta_id
+       |    JOIN ssets sb ON sb.doc_id = base_id)
+       |WHERE jacc >= 0.7
+       |ORDER BY delta_id, base_id""".stripMargin
+  }
+
   private def minhashSql: String = {
     val (p, k, a, b) = graft.expr.MinHashAgg.params
     val nBands = 8
@@ -918,6 +959,7 @@ object SqlCatalog {
     // (and rows) are identical to dedup_near
     "dedup_near_salted" -> dedupNearSql,
     "dedup_minhash" -> minhashSql,
+    "dedup_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
 
     "dedup_embed" ->

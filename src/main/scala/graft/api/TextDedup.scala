@@ -240,6 +240,61 @@ object TextDedup {
       .groupBy(col(idCol))
       .agg(MinHashAgg.minhash(col("__hv")).as("sig"))
 
+  /** LSH INDEX rows for a corpus: (id, band, bkey) — the persistable
+    * form of the banded MinHash signatures. Write this to storage once
+    * per corpus version and incremental dedup ([[minhashIncremental]])
+    * probes it per delta batch without ever rescanning the corpus;
+    * append each accepted batch's own rows to keep the index current.
+    * Pure per-row projection (native [[graft.expr.MinHashSig]]) — no
+    * shuffle to build. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      nBands: Int = 8, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    require(nBands * rowsPerBand == MinHashAgg.K,
+      s"banding ${nBands}x$rowsPerBand must cover K=${MinHashAgg.K}")
+    val sigs = minhashSignatures(docs, idCol, textCol, n)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"),
+        col("bd.bkey").as("bkey"))
+  }
+
+  /** INCREMENTAL near-dup: a delta batch against a PREBUILT LSH index
+    * ([[minhashIndex]]) and its corpus — the production shape where a
+    * new crawl/ingest batch dedups in O(|delta| + |candidates|), never
+    * O(|corpus|): candidates come from the delta-bands ⋈ index equi-join,
+    * the corpus is then read ONLY for candidate docs (a semi-join prune
+    * before any shingling — at 100 TB this is the difference between
+    * fetching a few thousand docs and rescanning the corpus), and exact
+    * Jaccard verifies at >= threshold. Output: (delta_id, base_id, jacc). */
+  def minhashIncremental(index: DataFrame, baseDocs: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String, threshold: Double,
+      nBands: Int = 8, rowsPerBand: Int = 4, n: Int = 3,
+      roundTo: Int = 6): DataFrame = {
+    val dBands = minhashIndex(delta, idCol, textCol, nBands, rowsPerBand, n)
+    val cand = dBands.as("x").join(index.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col(s"x.$idCol").as("delta_id"), col(s"y.$idCol").as("base_id"))
+      .distinct()
+    val candBase = baseDocs.join(
+      cand.select(col("base_id").as(idCol)).distinct(), Seq(idCol),
+      "left_semi")
+    val baseSets = hashedShingleSets(candBase, idCol, textCol, n)
+    val deltaSets = hashedShingleSets(delta, idCol, textCol, n)
+    cand.hint("shuffle_hash")
+      .join(deltaSets.select(col(idCol).as("delta_id"), col("sset").as("sa")),
+        "delta_id")
+      .join(baseSets.select(col(idCol).as("base_id"), col("sset").as("sb")),
+        "base_id")
+      .withColumn("jacc", jaccard(col("sa"), col("sb")))
+      .filter(col("jacc") >= threshold)
+      .select(col("delta_id"), col("base_id"),
+        round(col("jacc"), roundTo).as("jacc"))
+  }
+
   /** MinHash + LSH near-dup pairs over one corpus: band equi-join for
     * candidates (id_a < id_b), exact-Jaccard verify at >= threshold.
     * Output: (a, b, jacc rounded). nBands*rowsPerBand must equal
@@ -247,20 +302,11 @@ object TextDedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, nBands: Int = 8, rowsPerBand: Int = 4,
       n: Int = 3, roundTo: Int = 6): DataFrame = {
-    require(nBands * rowsPerBand == MinHashAgg.K,
-      s"banding ${nBands}x$rowsPerBand must cover K=${MinHashAgg.K}")
     // both the signatures and the verify-side shingle sets are per-row
     // projections (native MinHashSig / ShingleXx64) — candidate
     // generation's only shuffles are the band join and the verify join
-    val sigs = minhashSignatures(docs, idCol, textCol, n)
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
-    }
-    val bands = cached(sigs // self-joined: signatures computed once
-      .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
-      .select(col(idCol), col("bd.band").as("band"), col("bd.bkey").as("bkey")))
+    val bands = cached( // self-joined: signatures computed once
+      minhashIndex(docs, idCol, textCol, nBands, rowsPerBand, n))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col(s"x.$idCol") < col(s"y.$idCol"))

@@ -157,6 +157,31 @@ object LlmPipeline {
         JaccThreshold, NBands, R)
       .orderBy(col("a"), col("b"))
 
+  /** INCREMENTAL MinHash dedup — the production pattern [[dedupMinhash]]
+    * composes into at scale: the base corpus builds a persistable LSH
+    * INDEX once (written to parquet here — a table in a real pipeline),
+    * and each arriving batch (the planted truncated variants standing in
+    * for a new crawl) probes ONLY the index: candidates from the
+    * delta-bands ⋈ index equi-join, corpus text fetched just for the
+    * candidate docs (semi-join prune BEFORE shingling), exact-Jaccard
+    * verify. Batch cost is O(|delta| + |candidates|), never O(|corpus|) —
+    * re-dedup of a 100 TB corpus per ingest batch is exactly what this
+    * avoids. */
+  val dedupIncremental: Q = (s, d) => {
+    val idxDir =
+      s"${sys.props("java.io.tmpdir")}/graft_io/dedup_incr_index"
+    val base = T.documents(s, d).select(col("doc_id"), col("text"))
+    graft.api.TextDedup.minhashIndex(base, "doc_id", "text", NBands, R)
+      .write.mode("overwrite").parquet(idxDir)
+    val toks = split(col("text"), " ")
+    val delta = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text"))
+    graft.api.TextDedup.minhashIncremental(s.read.parquet(idxDir), base,
+        delta, "doc_id", "text", JaccThreshold, NBands, R)
+      .orderBy(col("delta_id"), col("base_id"))
+  }
+
   // ---------------------------------------------------------- dedup: SimHash
 
   /** 48-bit SimHash near-dup pairs at Hamming ≤ 10
@@ -1358,6 +1383,31 @@ object LlmPipeline {
          |  FROM mm)
          |SELECT doc_id, n_tok, ppl, ppl <= $PplCutoff AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // incremental dedup: same sig/band algebra as dedup_minhash, but
+    // candidates are STRICTLY delta-side x base-side (the index probe)
+    "dedup_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 2), ' ')
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
+         |$minhashSigSql,
+         |bands AS (
+         |$bandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS base_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.doc_id >= 200000 AND y.doc_id < 200000),
+         |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)
+         |SELECT delta_id, base_id, round($jaccSql, 6) AS jacc
+         |FROM cand
+         |  JOIN ssets sa ON sa.doc_id = delta_id
+         |  JOIN ssets sb ON sb.doc_id = base_id
+         |WHERE $jaccSql >= $JaccThreshold
+         |ORDER BY delta_id, base_id""".stripMargin,
 
     // MaxSim: per-pair cosines round to 6 BEFORE the max; the final sum
     // is exact decimal over the rounded maxima
