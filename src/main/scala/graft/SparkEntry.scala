@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_cluster"    -> LlmPipeline.dedupCluster,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
+    "sim_index_persist" -> LlmPipeline.simIndexPersist,
     "sim_knn_join"     -> LlmPipeline.simKnnJoin,
     "sim_maxsim"       -> LlmPipeline.simMaxsim,
     "embed_quantize"   -> LlmPipeline.embedQuantize,

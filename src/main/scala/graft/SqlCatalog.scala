@@ -1984,7 +1984,11 @@ object SqlCatalog {
   /** SQL text per declared query key, runnable via [[sql]]. */
   val queriesSql: Map[String, String] =
     sharedWithOracle.map(k => k -> oracleOf(k)).toMap ++
-      Composite.oracles ++ sparkDialect
+      Composite.oracles ++ sparkDialect +
+      // the persisted-index probe's statement-level contract IS the
+      // in-flight IVF routing (results pinned identical); the index
+      // write itself is the DataFrame path's storage concern
+      ("sim_index_persist" -> sparkDialect("sim_topk_ivf"))
 
   /** Run a declared query from SQL text against the catalog views. */
   def sql(name: String)(spark: SparkSession, sfDir: String): DataFrame = {

@@ -48,6 +48,66 @@ object VectorSearch {
     * centroid cells (broadcast argmin assignment); each probe searches its
     * `nprobe` nearest cells via an equi-join on cell id, never a full
     * cross join. */
+  /** Persistable IVF index rows: (id, vec, norm, cell) with cell = the
+    * argmax-cosine centroid id. Write with `partitionBy("cell")` and a
+    * probe query reads ONLY its nprobe cells — partition pruning at the
+    * reader, the storage form of the IVF routing [[ivfTopK]] computes
+    * in-flight. Rebuild (or re-assign incrementally) when the centroid
+    * model revs. */
+  def ivfIndex(cands: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, roundTo: Int = 6): DataFrame = {
+    val ct = broadcast(withNorm(cents, vecCol)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent"),
+        col("norm").as("ctn")))
+    val e = withNorm(cands, vecCol)
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    e.crossJoin(ct)
+      .withColumn("ccos",
+        cos(col(vecCol), col("cent"), col("norm"), col("ctn"), roundTo))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col(idCol), col(vecCol), col("norm"),
+        col("cent_id").as("cell"))
+  }
+
+  /** Top-k cosine search against a PERSISTED [[ivfIndex]] (read back from
+    * its cell-partitioned layout): probes rank their nprobe cells against
+    * the broadcast centroid model, and the index joins on the cell
+    * PARTITION column — dynamic partition pruning drops every unprobed
+    * cell at the reader, so a probe batch reads nprobe/|cells| of the
+    * index bytes. Same output contract as [[ivfTopK]]. */
+  def ivfProbeIndex(probes: DataFrame, index: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      roundTo: Int = 6): DataFrame = {
+    val ct = broadcast(withNorm(cents, vecCol)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent"),
+        col("norm").as("ctn")))
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"),
+        col("norm").as("pn"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probeCells = broadcast(p).crossJoin(ct)
+      .withColumn("pcos", cos(col("pe"), col("cent"), col("pn"), col("ctn"), roundTo))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("probe_id"), col("pe"), col("pn"),
+        col("cent_id").as("cell"))
+    val cells = index.select(col(idCol).as("cand_id"),
+      col(vecCol).as("ce"), col("norm").as("cn"),
+      col("cell").cast("long").as("cell"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cells.join(broadcast(probeCells), "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cos(col("pe"), col("ce"), col("pn"), col("cn"), roundTo))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("cos"))
+  }
+
   def ivfTopK(probes: DataFrame, cands: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       roundTo: Int = 6): DataFrame = {

@@ -1132,6 +1132,30 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** PERSISTED-INDEX ANN — [[simTopkIvf]]'s routing made durable (the
+    * vector twin of [[dedupIncremental]]'s index-probe pattern): the IVF
+    * cell assignments write once as a CELL-PARTITIONED parquet layout
+    * (`api.VectorSearch.ivfIndex` + `partitionBy("cell")` — a real
+    * deployment's index table), and each probe batch joins the index on
+    * the cell PARTITION column, so dynamic partition pruning drops every
+    * unprobed cell at the reader: a probe batch reads nprobe/|cells| of
+    * the index bytes instead of the corpus. Same parameters as
+    * [[simTopkIvf]] — the result is pinned identical to the in-flight
+    * routing by the shared oracle. */
+  val simIndexPersist: Q = (s, d) => {
+    val idxDir =
+      s"${sys.props("java.io.tmpdir")}/graft_io/sim_ivf_index"
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+    graft.api.VectorSearch.ivfIndex(e, cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    graft.api.VectorSearch.ivfProbeIndex(
+        probes = e.filter(col("vec_id") < 10),
+        index = s.read.parquet(idxDir), cents = cents,
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------- late interaction
 
   /** MAXSIM late-interaction scoring (the ColBERT retrieval shape,
@@ -1674,7 +1698,14 @@ object LlmPipeline {
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
-    "sim_topk_ivf" ->
+    // the persisted-index probe must return exactly the in-flight IVF
+    // routing's answer — one oracle text pins both
+    "sim_index_persist" -> simTopkIvfSql,
+    "sim_topk_ivf" -> simTopkIvfSql,
+  ) ++ oraclesRest
+
+  /** Shared oracle for [[simTopkIvf]] and [[simIndexPersist]]. */
+  private lazy val simTopkIvfSql: String =
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
          |assign AS (
@@ -1704,8 +1735,9 @@ object LlmPipeline {
          |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
-         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  private lazy val oraclesRest: Map[String, String] = Map(
     "sim_knn_join" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),

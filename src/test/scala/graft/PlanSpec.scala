@@ -729,6 +729,16 @@ class PlanSpec extends SparkSpecBase {
       "spatial join degenerated to point × region")
   }
 
+  test("sim_index_persist probe scan carries dynamic partition pruning") {
+    val df = LlmPipeline.simIndexPersist(spark, sf0001)
+    val p = planString(df)
+    // the index is cell-partitioned on disk; the probe join on the cell
+    // partition column must prune unprobed cells at the reader —
+    // otherwise the "index" is just a copy of the corpus
+    assert(p.contains("dynamicpruning"),
+      "probe reads the whole index instead of pruning to its nprobe cells")
+  }
+
   test("embed_pq broadcasts the codebook — the corpus never joins itself") {
     val df = LlmPipeline.embedPq(spark, sf0001)
     val p = planString(df)
