@@ -38,7 +38,10 @@ object Bench {
     "dedup_exact", "dedup_near", "dedup_minhash", "dedup_simhash",
     "dedup_embed", "dedup_cluster", "sim_topk_ivf", "sim_knn_join",
     "text_tfidf", "text_winnow", "text_bigram_lm", "cluster_kmeans",
-    "pipeline_e2e", "mm_batch_stats", "mm_phash", "mm_shard")
+    "pipeline_e2e", "mm_batch_stats", "mm_phash", "mm_shard",
+    // round-6 flagships
+    "graph_jaccard", "dedup_incremental", "sim_index_persist",
+    "join_spatial", "merge_mor", "text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
