@@ -168,6 +168,34 @@ class Round6OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_incremental: pairs are strictly delta-vs-base and recover the planted batch") {
+    val pairs = LlmPipeline.dedupIncremental(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "index probe found nothing")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("delta_id") >= 200000L &&
+        r.getAs[Long]("base_id") < 200000L,
+        "incremental dedup must never pair delta-with-delta or base-with-base")
+      assert(r.getAs[Double]("jacc") >= 0.7)
+    }
+    val self = pairs.count(r =>
+      r.getAs[Long]("delta_id") - 200000L == r.getAs[Long]("base_id"))
+    val planted = graft.core.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(self >= (planted * 8) / 10,
+      s"index probe recovered only $self of $planted planted variants")
+  }
+
+  test("sim_index_persist returns exactly the in-flight IVF routing's answer") {
+    val viaIndex = LlmPipeline.simIndexPersist(spark, sf0001)
+      .collect().map(_.toSeq)
+    val inFlight = LlmPipeline.simTopkIvf(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(viaIndex.length == inFlight.length)
+    viaIndex.zip(inFlight).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i: persisted=$a in-flight=$b")
+    }
+  }
+
   test("agg_gini: coefficients stay in [0, 1)") {
     Advanced.aggGini(spark, sf0001).select(col("gini")).collect()
       .foreach(r => assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0))
