@@ -330,6 +330,22 @@ object SqlCatalog {
         |FROM fact f JOIN dim d ON f.tag <=> d.d_tag
         |GROUP BY d.tag_name ORDER BY d.tag_name""".stripMargin,
 
+    // seasonality grid (Spark dayofweek is 1-based — the -1 bridges)
+    "agg_seasonality" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(n) AS nt FROM grid GROUP BY event_type)
+        |SELECT g.event_type, g.dow, g.n,
+        |  CAST(round(CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6)
+        |    AS DOUBLE) AS share,
+        |  CAST(round(CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE) * 7.0, 4)
+        |    AS DOUBLE) AS seasonal_index
+        |FROM grid g JOIN tot t ON g.event_type = t.event_type
+        |ORDER BY g.event_type, g.dow""".stripMargin,
+
     // RFM segmentation (datediff + DIV dialect)
     "events_rfm" ->
       """WITH p AS (

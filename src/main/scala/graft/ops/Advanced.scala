@@ -1732,7 +1732,34 @@ object Advanced {
       .orderBy(col("user_id"))
   }
 
+  /** DAY-OF-WEEK SEASONALITY profile — the seasonal index
+    * [[eventsForecast]]'s same-weekday model implicitly assumes, made
+    * explicit: per (type, weekday) the event count, the share of the
+    * type's volume, and the seasonal INDEX share·7 (1.0 = flat; the
+    * capacity-planning multiplier). Exact counts; one double division
+    * per cell, rounded. Weekday numbering pinned to Sunday=0 (Spark's
+    * dayofweek is 1-based, DuckDB's 0-based — the subtraction is the
+    * dialect bridge).
+    *
+    * 100 TB shape: one two-phase hash aggregate to the |types|·7 grid;
+    * the per-type totals join ON the grid. */
+  val aggSeasonality: Q = (s, d) => {
+    val grid = T.events(s, d)
+      .groupBy(col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = grid.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    grid.join(totals, "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("n").cast("double") / col("nt").cast("double"), 6)
+          .as("share"),
+        round(col("n").cast("double") / col("nt").cast("double") * 7.0, 4)
+          .as("seasonal_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
     "agg_benford" -> aggBenford,
     "events_seq_anomaly" -> eventsSeqAnomaly,
@@ -1796,6 +1823,24 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // seasonality grid: exact counts; the share/index divisions are one
+    // double op each, rounded; DuckDB dayofweek is already Sunday=0
+    "agg_seasonality" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+        |        FROM grid GROUP BY event_type)
+        |SELECT g.event_type, g.dow, g.n,
+        |  CAST(round(CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6)
+        |    AS DOUBLE) AS share,
+        |  CAST(round(CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE) * 7.0, 4)
+        |    AS DOUBLE) AS seasonal_index
+        |FROM grid g JOIN tot t ON g.event_type = t.event_type
+        |ORDER BY g.event_type, g.dow""".stripMargin,
+
     // RFM: exact metrics, fixed threshold bands (// floors — operands
     // non-negative), decimal segment totals
     "events_rfm" ->
