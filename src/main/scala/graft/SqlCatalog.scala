@@ -403,7 +403,7 @@ object SqlCatalog {
         |      AS DECIMAL(10,6)) AS p
         |  FROM c),
         |scored AS (SELECT sq.user_id,
-        |    round(ln(CAST(p1.p AS DOUBLE)), 8) AS lp
+        |    round(ln(greatest(CAST(p1.p AS DOUBLE), 0.000001)), 8) AS lp
         |  FROM sq JOIN p1 ON sq.prev = p1.prev AND sq.event_type = p1.nxt),
         |agg AS (SELECT user_id, COUNT(*) AS n_trans,
         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8

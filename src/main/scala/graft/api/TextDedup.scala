@@ -30,10 +30,21 @@ import graft.expr.MinHashAgg
   *    survives executor loss — the correct default for multi-round jobs
   *    on a real cluster, where losing round N of 20 to one preempted
   *    executor is otherwise unrecoverable. */
-sealed trait CheckpointStrategy
+sealed trait CheckpointStrategy {
+  /** Materialize `df` eagerly and truncate its lineage per this strategy —
+    * the reuse-point primitive every iterative / multiply-consumed plan in
+    * the engine goes through (connected components, PageRank, Jaccard
+    * affinity, kNN join), so swapping Local → Reliable is one argument at
+    * every site, not a code change. */
+  def materialize(df: DataFrame): DataFrame
+}
 object CheckpointStrategy {
-  case object Local extends CheckpointStrategy
-  case object Reliable extends CheckpointStrategy
+  case object Local extends CheckpointStrategy {
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  }
+  case object Reliable extends CheckpointStrategy {
+    def materialize(df: DataFrame): DataFrame = df.checkpoint(eager = true)
+  }
 }
 
 object TextDedup {
@@ -349,10 +360,7 @@ object TextDedup {
     // per-round lineage truncation: Local for local-mode/short jobs;
     // Reliable (requires SparkContext.setCheckpointDir) for cluster runs
     // where a lost executor must not kill a multi-round job
-    val trunc: DataFrame => DataFrame = checkpoint match {
-      case CheckpointStrategy.Local    => _.localCheckpoint(true)
-      case CheckpointStrategy.Reliable => _.checkpoint(true)
-    }
+    val trunc: DataFrame => DataFrame = checkpoint.materialize
     val sym = trunc(pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct())

@@ -156,7 +156,8 @@ object VectorSearch {
     * product is against the broadcast centroid model. Output:
     * (probe_id, rnk, cand_id, cos), k rows per vector. */
   def knnJoin(corpus: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String, k: Int, nprobe: Int = 3, roundTo: Int = 6): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int = 3, roundTo: Int = 6,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     val ct = broadcast(withNorm(cents, vecCol)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent"), col("norm").as("ctn")))
     val e = withNorm(corpus, vecCol)
@@ -170,14 +171,15 @@ object VectorSearch {
       .filter(col("__crnk") <= nprobe)
       .select(col("__id"), col("__e"), col("__n"), col("cent_id").as("cell"),
         col("__crnk"))
-      // eager localCheckpoint, not persist(): computed once, lineage
-      // truncated, blocks freed by the ContextCleaner on GC — no caching
-      // contract leaks to the caller (same rule as TextDedup.cached)
-      .localCheckpoint(true)
-    val cells = ranked.filter(col("__crnk") === 1)
+    // eager materialization, not persist(): computed once, lineage
+    // truncated (Local frees blocks via the ContextCleaner on GC; Reliable
+    // survives executor loss on a cluster — same dial as
+    // TextDedup.connectedComponents)
+    val rankedM = checkpoint.materialize(ranked)
+    val cells = rankedM.filter(col("__crnk") === 1)
       .select(col("__id").as("cand_id"), col("__e").as("ce"), col("__n").as("cn"),
         col("cell"))
-    val probes = ranked
+    val probes = rankedM
       .select(col("__id").as("probe_id"), col("__e").as("pe"), col("__n").as("pn"),
         col("cell"))
     val wTop = Window.partitionBy(col("probe_id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.api.CheckpointStrategy
 import graft.core.{Tables => T}
 import graft.core.Numeric._
 
@@ -686,16 +687,16 @@ object Advanced {
     * touching raw event volume again. Dangling mass is dropped (no
     * outgoing edges → contribution lost), documented and mirrored by the
     * oracle. */
-  val graphPagerank: Q = (s, d) => {
+  def graphPagerank(cp: CheckpointStrategy = CheckpointStrategy.Local): Q =
+    (s, d) => {
     val win = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = T.events(s, d)
+    val edges = cp.materialize(T.events(s, d)
       .withColumn("from_type", lag(col("event_type"), 1).over(win))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val nodes = edges.select(col("from_type").as("t"))
-      .union(edges.select(col("to_type"))).distinct().localCheckpoint()
+      .agg(count(lit(1)).as("w")))
+    val nodes = cp.materialize(edges.select(col("from_type").as("t"))
+      .union(edges.select(col("to_type"))).distinct())
     val outw = edges.groupBy(col("from_type")).agg(sum(col("w")).as("ow"))
     val e = edges.join(outw, Seq("from_type"))
     val nn = nodes.count() // scalar driver agg, like dedup_cluster's check
@@ -1357,6 +1358,10 @@ object Advanced {
     * between engines, but Σ r·x is INVARIANT under permutations within a
     * tie group (equal x), so the result is still exact: both Σ terms
     * accumulate in DECIMAL and only the final ratio divides in double.
+    * Ranks multiply as DECIMAL(19,0) — the full BIGINT range, so the
+    * rank-sum stays exact past 10^10 rows per group (a DECIMAL(10,0)
+    * cast would silently null there); the (20,2)×(19,0) product is
+    * DECIMAL(38,2) in both engines.
     *
     * 100 TB shape: ranking is a per-group EXTERNAL SORT (row_number
     * window — spills, memory-bounded), the sums are an ordinary hash
@@ -1369,7 +1374,7 @@ object Advanced {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("xd")).as("t"),
-        sum(col("xd") * col("r").cast("decimal(10,0)")).as("sv"))
+        sum(col("xd") * col("r").cast("decimal(19,0)")).as("sv"))
       .select(col("o_orderstatus"), col("n"),
         round((lit(2.0) * col("sv").cast("double")
             - (col("n") + 1L).cast("double") * col("t").cast("double"))
@@ -1503,26 +1508,30 @@ object Advanced {
     * lines-per-order (≤7), and the declared query samples 1/3 of orders
     * — the periodic-refresh discipline a production affinity job uses.
     * Denominator (d_a−1)+(d_b−1)−t ≥ t ≥ 1, so no zero division. */
-  val graphJaccard: Q = (s, d) => {
+  def graphJaccard(cp: CheckpointStrategy = CheckpointStrategy.Local): Q =
+    (s, d) => {
     val li = T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    // the edge list is consumed four times (degrees, orientation, the
-    // closing-edge probe, the final score join) — an eager localCheckpoint
-    // truncates the basket self-join out of every reuse (the TextDedup
-    // reuse-point discipline; a cluster run would persist or checkpoint)
+    // ONE materialization barrier for the whole prologue: the degree-
+    // annotated edge list is the value every later stage (orientation,
+    // closing-edge probe, final score join) reads, so that is the single
+    // reuse point. The basket self-join appears three times in withDeg's
+    // own plan (edges + the two degree scans), but those are IDENTICAL
+    // subtrees — ReuseExchange collapses them to one physical computation
+    // within the single materializing job. Checkpointing `edges` AND
+    // `withDeg` (the round-6 shape) paid the self-join barrier twice
+    // back-to-back for nothing.
     val edges = a.join(b, Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()
-      .localCheckpoint(true)
     val deg = edges.select(col("pa").as("p"))
       .unionAll(edges.select(col("pb").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges
+    val withDeg = cp.materialize(edges
       .join(deg.select(col("p").as("pa"), col("deg").as("da")), "pa")
-      .join(deg.select(col("p").as("pb"), col("deg").as("db")), "pb")
-      .localCheckpoint(true)
+      .join(deg.select(col("p").as("pb"), col("deg").as("db")), "pb"))
     def ltKey(da: Column, ua: Column, db: Column, ub: Column): Column =
       da < db || (da === db && ua < ub)
     val isFwd = ltKey(col("da"), col("pa"), col("db"), col("pb"))
@@ -1698,7 +1707,13 @@ object Advanced {
     * the per-user mean log-likelihood uses the exact integer-micro
     * rounding of [[graft.ops.LlmPipeline.textUnigramLm]], and users
     * below the tuned threshold flag as behavioral anomalies (bot /
-    * broken-client detection).
+    * broken-client detection). Probabilities floor at 1e-6 (one ulp of
+    * the DECIMAL(10,6) grid) before the log: a transition whose true
+    * conditional probability rounds to 0.000000 — reachable once a
+    * prev-type total exceeds ~2M rows — would otherwise score
+    * ln(0) = -Inf, where Spark and DuckDB -Inf/NULL semantics diverge;
+    * the floor caps any single transition's penalty at ln(1e-6) in both
+    * engines, documented as part of the scoring contract.
     *
     * 100 TB shape: the transition matrix is |types|² rows → BROADCAST;
     * scoring is map-side against the lag stream; one user_id shuffle
@@ -1719,7 +1734,8 @@ object Advanced {
         .cast("decimal(10,6)").as("p"))
     seq0.join(broadcast(p1), Seq("prev", "event_type"))
       .select(col("user_id"),
-        round(log(col("p").cast("double")), 8).cast("decimal(20,8)").as("lp"))
+        round(log(greatest(col("p").cast("double"), lit(1e-6))), 8)
+          .cast("decimal(20,8)").as("lp"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_trans"),
         (sum(col("lp")) * 100000000L).cast("long").as("s8"))
@@ -1765,7 +1781,7 @@ object Advanced {
     "events_seq_anomaly" -> eventsSeqAnomaly,
     "agg_ohlc" -> aggOhlc,
     "join_spatial" -> joinSpatial,
-    "graph_jaccard" -> graphJaccard,
+    "graph_jaccard" -> graphJaccard(),
     "events_forecast" -> eventsForecast,
     "agg_ab_test" -> aggAbTest,
     "events_pattern" -> eventsPattern,
@@ -1808,7 +1824,7 @@ object Advanced {
     "match_fuzzy" -> matchFuzzy,
     "events_sessionize" -> eventsSessionize,
     "meta_profile" -> metaProfile,
-    "graph_pagerank" -> graphPagerank,
+    "graph_pagerank" -> graphPagerank(),
     "agg_decay" -> aggDecay,
     "join_skew_salted" -> joinSkewSalted,
     "sample_reservoir" -> sampleReservoir,
@@ -1904,7 +1920,7 @@ object Advanced {
         |      AS DECIMAL(10,6)) AS p
         |  FROM c),
         |scored AS (SELECT sq.user_id,
-        |    round(ln(CAST(p1.p AS DOUBLE)), 8) AS lp
+        |    round(ln(greatest(CAST(p1.p AS DOUBLE), 0.000001)), 8) AS lp
         |  FROM sq JOIN p1 ON sq.prev = p1.prev AND sq.event_type = p1.nxt),
         |agg AS (SELECT user_id, COUNT(*) AS n_trans,
         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
@@ -2124,7 +2140,7 @@ object Advanced {
         |      ORDER BY o_totalprice) AS BIGINT) AS r
         |  FROM orders),
         |agg AS (SELECT o_orderstatus, COUNT(*) AS n,
-        |    SUM(xd) AS t, SUM(xd * CAST(r AS DECIMAL(10,0))) AS sv
+        |    SUM(xd) AS t, SUM(xd * CAST(r AS DECIMAL(19,0))) AS sv
         |  FROM ranked GROUP BY o_orderstatus)
         |SELECT o_orderstatus, n,
         |  CAST(round((2.0 * CAST(sv AS DOUBLE)

@@ -629,7 +629,10 @@ object Sources {
 
   /** TIME TRAVEL — the versioned-snapshot read (Delta/Iceberg `VERSION
     * AS OF`): version 0 is the immutable base write, version 1 a delta
-    * batch (updates on keys %43, inserts at +6,000,000); a read AS OF v
+    * batch (updates on keys %43, inserts at +9,000,000,000 — beyond any
+    * genuine orderkey at any SF, the same collision-free offset
+    * `constraint_fk` uses; +6M collided with real keys at sf ≥ 1, where
+    * latest-wins dedup and the oracle's blind union diverge); a read AS OF v
     * unions every batch with version ≤ v, latest version per key wins.
     * The declared result audits BOTH versions side by side — row count
     * and exact revenue checksum per version — proving the v0 read is
@@ -651,7 +654,7 @@ object Sources {
       .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("o_totalprice"),
         lit(1L).as("version"))
       .unionByName(o.filter(col("o_orderkey") % 71 === 0)
-        .select((col("o_orderkey") + 6000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 9000000000L).as("o_orderkey"),
           col("o_totalprice"), lit(1L).as("version")))
       .write.mode("overwrite").parquet(v1Dir)
     def asOf(v: Long): DataFrame = {
