@@ -42,7 +42,9 @@ object Bench {
     "pipeline_e2e", "mm_batch_stats", "mm_phash", "mm_shard",
     // round-6 flagships
     "graph_jaccard", "dedup_incremental", "sim_index_persist",
-    "join_spatial", "merge_mor", "text_perplexity")
+    "join_spatial", "merge_mor", "text_perplexity",
+    // round-7 flagships
+    "dedup_semantic", "mm_shard_read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

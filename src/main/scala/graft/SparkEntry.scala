@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_embed"      -> LlmPipeline.dedupEmbed,
     "dedup_embed_lsh"  -> LlmPipeline.dedupEmbedLsh,
     "dedup_cluster"    -> LlmPipeline.dedupCluster,
+    "dedup_semantic"   -> LlmPipeline.dedupSemantic(),
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,

@@ -40,13 +40,14 @@ import graft.ops.{Composite, RelationalOracles}
   * closest possible mirror of the reference's actual interface: a REPL
   * consuming a sequence of statements (`db.cpp:549-598`).
   *
-  * The ONE DataFrame-only key is `dedup_cluster`: connected components
-  * needs either an iterative fixpoint or a recursive closure with
-  * cross-iteration dedup, and Spark 4.1's recursive CTEs reject UNION
-  * (distinct) inside the recursion ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]
-  * — UNION ALL alone cannot terminate on the cyclic symmetrized pair
-  * graph). The DataFrame API's pointer-doubling loop is the right tool,
-  * and the DuckDB oracle's `WITH RECURSIVE ... UNION` pins the semantics.
+  * The TWO DataFrame-only keys are `dedup_cluster` and `dedup_semantic`:
+  * connected components needs either an iterative fixpoint or a recursive
+  * closure with cross-iteration dedup, and Spark 4.1's recursive CTEs
+  * reject UNION (distinct) inside the recursion
+  * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — UNION ALL alone cannot
+  * terminate on the cyclic symmetrized pair graph). The DataFrame API's
+  * pointer-doubling loop is the right tool, and the DuckDB oracles'
+  * `WITH RECURSIVE ... UNION` pins the semantics.
   */
 object SqlCatalog {
 
@@ -2173,6 +2174,62 @@ object SqlCatalog {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
          |FROM parquet.`${ioDir("merge_upsert")}`
          |ORDER BY o_orderkey""".stripMargin),
+
+    // WebDataset pack + read-back loop in statement form: shard assignment
+    // and offsets are windows, the shard blob is a bounded binary-concat
+    // aggregate, and the readback slices every record out of the written
+    // bytes and byte-verifies it (X'' = the empty-binary fold seed)
+    "mm_shard_read" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("mm_shard_read")}/index' USING parquet
+         |SELECT doc_id, source, shard_id, coalesce(SUM(bytes) OVER (
+         |    PARTITION BY source, shard_id ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+         |  bytes
+         |FROM (
+         |  SELECT doc_id, source, bytes,
+         |    (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+         |      DIV 16384 AS shard_id
+         |  FROM (SELECT doc_id, source, n_chars + 16 AS bytes FROM documents))""".stripMargin,
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("mm_shard_read")}/shards' USING parquet
+         |SELECT source, shard_id,
+         |  aggregate(sort_array(collect_list(struct(offset, rec))), X'',
+         |    (acc, x) -> concat(acc, x.rec)) AS blob
+         |FROM (
+         |  SELECT source, doc_id, rec,
+         |    coalesce(SUM(bytes) OVER (PARTITION BY source, shard_id
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+         |    shard_id
+         |  FROM (
+         |    SELECT doc_id, source, bytes,
+         |      concat(encode(text, 'UTF-8'), unhex(md5(text))) AS rec,
+         |      (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+         |        DIV 16384 AS shard_id
+         |    FROM (SELECT doc_id, source, text, n_chars + 16 AS bytes
+         |          FROM documents)))
+         |GROUP BY source, shard_id""".stripMargin,
+      s"""SELECT i.source, i.shard_id, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN decode(substr(b.rec2, 1, CAST(i.bytes - 16 AS INT)),
+         |        'UTF-8') = d.text
+         |      AND substr(b.rec2, CAST(i.bytes - 15 AS INT), 16)
+         |        = unhex(md5(d.text))
+         |      THEN 1 ELSE 0 END) AS n_matched,
+         |  SUM(i.bytes) AS shard_bytes,
+         |  MIN(i.doc_id) AS first_doc, MAX(i.doc_id) AS last_doc
+         |FROM parquet.`${ioDir("mm_shard_read")}/index` i
+         |JOIN (
+         |  SELECT ii.doc_id,
+         |    substr(ss.blob, CAST(ii.offset + 1 AS INT),
+         |      CAST(ii.bytes AS INT)) AS rec2
+         |  FROM parquet.`${ioDir("mm_shard_read")}/index` ii
+         |  JOIN parquet.`${ioDir("mm_shard_read")}/shards` ss
+         |    ON ii.source = ss.source AND ii.shard_id = ss.shard_id) b
+         |  ON i.doc_id = b.doc_id
+         |JOIN documents d ON i.doc_id = d.doc_id
+         |GROUP BY i.source, i.shard_id
+         |ORDER BY i.source, i.shard_id""".stripMargin),
 
     "source_evolution" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_evolution")}/batch=1' USING parquet

@@ -759,6 +759,39 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC dedup — the embedding-space twin of [[dedupCluster]], and
+    * the composition the two green halves were built for: the corpus-self
+    * kNN graph ([[graft.api.VectorSearch.knnJoin]] — IVF-cell-blocked,
+    * never |N|²) keeps edges with cosine ≥ 0.999, connected components
+    * ([[graft.api.TextDedup.connectedComponents]] — pointer-doubling
+    * min-label propagation) groups them, and each vector maps to its
+    * cluster's canonical representative (component min id; `is_rep` marks
+    * the keeper — the SemDeDup recipe: keep one doc per semantic
+    * cluster). Runs on the planted-variant vector corpus, so every
+    * base/variant pair (cosine ≈ 1 up to float32 rounding) must cluster.
+    *
+    * 100 TB shape: candidate edges come from one broadcast-centroid
+    * argmin + one cell equi-join (the kNN-graph build); CC rounds are
+    * two model-sized hash joins each with per-round lineage truncation —
+    * [[graft.api.CheckpointStrategy]] threads through BOTH stages, so a
+    * cluster run swaps Local → Reliable end to end with one argument. */
+  def dedupSemantic(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val vc = vecCorpus(s, d)
+    val cents = T.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val knn = graft.api.VectorSearch.knnJoin(vc, cents, "vec_id", "embedding",
+      k = 3, nprobe = 3, checkpoint = cp)
+    val edges = knn.filter(col("cos") >= 0.999)
+      .select(col("probe_id"), col("cand_id"))
+    graft.api.TextDedup
+      .connectedComponents(edges, "probe_id", "cand_id", checkpoint = cp)
+      .select(col("id").as("vec_id"), col("component").as("cluster_root"),
+        (col("id") === col("component")).as("is_rep"))
+      .orderBy(col("vec_id"))
+  }
+
   val textWinnow: Q = (s, d) =>
     graft.api.TextDedup.winnowFingerprints(
         T.documents(s, d), "doc_id", "text", k = 8, w = 16)
@@ -1761,6 +1794,43 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // semantic dedup: the sim_knn_join chain on the planted-variant
+    // corpus, thresholded, then the dedup_cluster WITH RECURSIVE closure
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $vecCorpusSql,
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+         |ranked_cells AS (
+         |  SELECT vec_id, embedding, cell, crnk FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
+         |    FROM vcorpus e CROSS JOIN cents c)
+         |  WHERE crnk <= 3),
+         |cells AS (SELECT vec_id AS cand_id, embedding AS ce, cell
+         |          FROM ranked_cells WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cell FROM ranked_cells),
+         |scored AS (
+         |  SELECT p.probe_id, s.cand_id, round(${cosineSql("p.pe", "s.ce")}, 6) AS cos
+         |  FROM probes p JOIN cells s ON p.cell = s.cell
+         |  WHERE s.cand_id <> p.probe_id),
+         |knn AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 3 AND cos >= 0.999),
+         |edges AS (SELECT probe_id AS x, cand_id AS y FROM knn
+         |          UNION SELECT cand_id, probe_id FROM knn),
+         |nodes AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.x AS id, reach.r FROM edges e JOIN reach ON e.y = reach.id)
+         |SELECT id AS vec_id, min(r) AS cluster_root,
+         |  (id = min(r)) AS is_rep
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     // int8 min-max quantization: DuckDB zips parallel unnests, so
     // (value, dimension-index) pairs come from one pass; the arithmetic

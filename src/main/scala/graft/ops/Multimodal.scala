@@ -251,6 +251,67 @@ object Multimodal {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** SHARD READER — the training loader's half of the WebDataset
+    * contract [[mmShard]] writes: records (text bytes ‖ 16-byte media
+    * raster) PACK into ≤16 KiB shard blobs with an offset-index sidecar
+    * (the tar + .idx layout), both land on storage, and the reader gets
+    * each record back by (shard, offset, length) alone — then proves the
+    * round trip BYTE-LOSSLESS by re-deriving the media bytes from the
+    * recovered text (`unhex(md5(text'))` must equal the recovered
+    * raster) and matching the text against the source table. Output is
+    * the read-side manifest: per shard, docs read, docs byte-verified
+    * (== n_docs when lossless), byte total, key range.
+    *
+    * 100 TB shape: the pack is one window + one bounded aggregate per
+    * shard (blob size ≤ capacity + one straddling record — the
+    * collect_list is capacity-bounded, never corpus-bounded); the read
+    * side is an index-to-shard equi-join where each task slices its own
+    * records out of its own blobs — no driver funnel either way. The
+    * offset index is exactly what lets a trainer fetch record i of
+    * shard j with one ranged read. */
+  val mmShardRead: Q = (s, d) => {
+    val cap = 16384L
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/mm_shard_read"
+    val recs = T.documents(s, d).select(col("doc_id"), col("source"),
+      col("text"), (col("n_chars") + 16L).as("bytes"),
+      concat(encode(col("text"), "UTF-8"), unhex(md5(col("text")))).as("rec"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val assigned = recs
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("shard_id",
+        graft.core.Numeric.idiv(col("cum") - 1L, lit(cap)))
+    val wS = Window.partitionBy(col("source"), col("shard_id"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val indexed = assigned
+      .withColumn("offset", coalesce(sum(col("bytes")).over(wS), lit(0L)))
+    indexed.select(col("doc_id"), col("source"), col("shard_id"),
+        col("offset"), col("bytes"))
+      .write.mode("overwrite").parquet(s"$dir/index")
+    indexed
+      .groupBy(col("source"), col("shard_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("offset"), col("rec")))),
+        lit(Array.empty[Byte]),
+        (acc, x) => concat(acc, x.getField("rec"))).as("blob"))
+      .write.mode("overwrite").parquet(s"$dir/shards")
+    val idx = s.read.parquet(s"$dir/index")
+    val shards = s.read.parquet(s"$dir/shards")
+    val back = idx.join(shards, Seq("source", "shard_id"))
+      .withColumn("rec2", expr("substr(blob, CAST(offset + 1 AS INT), CAST(bytes AS INT))"))
+      .withColumn("text2", expr("decode(substr(rec2, 1, CAST(bytes - 16 AS INT)), 'UTF-8')"))
+      .withColumn("media2", expr("substr(rec2, CAST(bytes - 15 AS INT), 16)"))
+    back.join(T.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("ok",
+        col("text2") === col("text") && col("media2") === unhex(md5(col("text"))))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_matched"),
+        sum(col("bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   /** IMAGE NEAR-DUP dedup — [[mmPhash]]'s exact-signature grouping
     * relaxed to a HAMMING ball, the way production image dedup works
     * (a re-encode/resize/crop perturbs a few signature bits; exact
@@ -295,6 +356,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm_dedup" -> mmDedup,
     "mm_shard" -> mmShard,
+    "mm_shard_read" -> mmShardRead,
     "mm_meta" -> mmMeta,
     "mm_pixels" -> mmPixels,
     "mm_resize" -> mmResize,
@@ -323,6 +385,28 @@ object Multimodal {
          |WHERE bit_count(xor(sa.h, sb.h)) <= 1
          |ORDER BY a, b""".stripMargin
     },
+
+    // read-side manifest re-derived declaratively: the oracle never sees
+    // the shard blobs or the index, only the packing rule — and asserts
+    // n_matched == n_docs, which the engine must EARN by slicing every
+    // record back out of the written bytes and verifying it (the
+    // source_binary oracle discipline: recompute the invariant, let the
+    // filesystem round trip prove itself)
+    "mm_shard_read" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source, n_chars + 16 AS bytes FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, bytes,
+        |    (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+        |      // 16384 AS shard_id
+        |  FROM sized)
+        |SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs, COUNT(*) AS n_matched,
+        |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM packed GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
 
     // DuckDB dialect: `//` floors — operands are non-negative so it
     // matches Spark's DIV (see Numeric.idiv dialect note)

@@ -331,6 +331,25 @@ class ApiSpec extends SparkSpecBase {
     assert(run(graft.api.CheckpointStrategy.Reliable) === expect)
   }
 
+  test("pagerank and semantic dedup agree across Local and Reliable checkpointing") {
+    // the round-6 gap: every iterative/reused-lineage op must take the
+    // strategy dial, not hard-code localCheckpoint — on a cluster, Local
+    // dies with the first preempted executor. Result parity across media
+    // is the whole contract (the connectedComponents test's discipline).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt7")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    def pr(cp: graft.api.CheckpointStrategy): Seq[Seq[Any]] =
+      graft.ops.Advanced.graphPagerank(cp)(spark, sf0001)
+        .collect().toSeq.map(_.toSeq)
+    assert(pr(graft.api.CheckpointStrategy.Local) ===
+      pr(graft.api.CheckpointStrategy.Reliable))
+    def sem(cp: graft.api.CheckpointStrategy): Seq[Seq[Any]] =
+      graft.ops.LlmPipeline.dedupSemantic(cp)(spark, sf0001)
+        .collect().toSeq.map(_.toSeq)
+    assert(sem(graft.api.CheckpointStrategy.Local) ===
+      sem(graft.api.CheckpointStrategy.Reliable))
+  }
+
   test("Clustering.fit is partition-invariant and assigns every vector once") {
     val embs = graft.core.Tables(spark, sf0001, "embeddings")
     def labels(df: org.apache.spark.sql.DataFrame, iters: Int,

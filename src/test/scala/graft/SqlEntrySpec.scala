@@ -49,10 +49,11 @@ class SqlEntrySpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
     // statement-text coverage: single SELECTs + scripts must reach every
-    // declared key except the documented iterative dedup_cluster
+    // declared key except the documented iterative connected-components
+    // pair (Spark 4.1 recursive CTEs reject UNION-distinct recursion)
     val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
     val uncovered = SparkEntry.queries.keySet -- covered
-    assert(uncovered == Set("dedup_cluster"),
+    assert(uncovered == Set("dedup_cluster", "dedup_semantic"),
       s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
   }
 }
