@@ -139,6 +139,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.exceptAll(batch).isEmpty)
   }
 
+  test("stateful aggregation survives restart from a RocksDB state-store checkpoint") {
+    // the production failure drill: process part of the stream, STOP the
+    // query (a crash/redeploy), restart against the SAME checkpoint with
+    // the RocksDB state-store provider, feed the rest — the final counts
+    // must reflect every event exactly once, with the first run's window
+    // state recovered from RocksDB, not recomputed from the source.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft-rocksdb-ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val name = s"rocks_t${System.nanoTime()}"
+      def run(): Unit = {
+        val q = Streaming.tumblingStream(ms.toDF()).writeStream
+          .format("memory").queryName(name).outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ms.addData(sample.take(3))
+      run() // run 1: first three events, then the query STOPS
+      ms.addData(sample.drop(3))
+      run() // run 2: restart from the checkpoint, only the new events
+      val batch = Streaming.tumblingCounts(batchDf)
+      assert(sortedRows(s.table(name)) == sortedRows(batch),
+        "restarted aggregate must equal the one-shot batch over all events")
+      // the recovery actually went through on-disk state, not memory
+      assert(new java.io.File(s"$ckpt/state").exists(),
+        "checkpoint has no state directory — nothing was recovered")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   test("late data beyond the watermark is dropped from open aggregations") {
     val s = spark
     import s.implicits._
