@@ -90,6 +90,10 @@ object SparkEntry {
     "dedup_embed_lsh"  -> LlmPipeline.dedupEmbedLsh,
     "dedup_cluster"    -> LlmPipeline.dedupCluster,
     "dedup_semantic"   -> LlmPipeline.dedupSemantic(),
+    "dedup_bloom"      -> LlmPipeline.dedupBloom,
+    "dedup_url"        -> LlmPipeline.dedupUrl,
+    "text_quality_lr"  -> LlmPipeline.textQualityLr,
+    "embed_matryoshka" -> LlmPipeline.embedMatryoshka,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,

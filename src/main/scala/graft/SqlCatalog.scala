@@ -1599,6 +1599,160 @@ object SqlCatalog {
          |ORDER BY a, b""".stripMargin
     },
 
+    // --------------------------------------- round-7 additions (this file)
+    // the statement form runs the REAL bloom-gated plan (bloom_agg /
+    // bloom_contains are the engine's registered native functions)
+    "dedup_bloom" ->
+      s"""WITH $corpusSql,
+         |base AS (SELECT doc_id AS base_id, md5_48(lower(trim(text))) AS hv
+         |  FROM corpus WHERE doc_id < 100000),
+         |batch AS (SELECT doc_id, md5_48(lower(trim(text))) AS hv
+         |  FROM corpus WHERE doc_id >= 100000),
+         |bf AS (SELECT bloom_agg(hv, 131072, 5) AS bf FROM base)
+         |SELECT /*+ SHUFFLE_HASH(s) */ b.doc_id,
+         |  MIN(s.base_id) AS base_id, COUNT(*) AS n_base
+         |FROM batch b CROSS JOIN bf
+         |JOIN base s ON b.hv = s.hv
+         |WHERE bloom_contains(bf.bf, b.hv)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Spark regexp_replace is global by default — no 'g' flag arg
+    "dedup_url" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           |    source || '.Example.com' ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+           |    '/docs/' || CAST(doc_id % 100 AS STRING) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, url,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(lower(url),
+           |      '#.*$$', ''),
+           |      '[?&]utm_[^&#]*', ''),
+           |      '\\?&', '?'),
+           |      '\\?$$', ''),
+           |      '://www\\.', '://'),
+           |      ':443/', '/'),
+           |      '/$$', '') AS curl
+           |  FROM u)
+           |SELECT curl, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS rep_doc_id
+           |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+
+    "text_quality_lr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    round(least(1.0,
+        |      CAST(size(split(text, ' ')) AS DOUBLE) / 100.0), 6) AS x_len,
+        |    round(CAST(size(filter(split(text, ' '),
+        |        x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |      / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS x_stop,
+        |    round(CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS x_alpha,
+        |    round(CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(size(split(text, ' ')) AS DOUBLE), 6) AS x_wlen,
+        |    round(CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS x_digit
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, x_len, x_stop, x_alpha, x_wlen, x_digit,
+        |    -1.5 + 2.1 * x_len - 3.0 * x_stop + 1.8 * x_alpha
+        |      + 0.12 * x_wlen - 2.5 * x_digit AS zv
+        |  FROM f)
+        |SELECT doc_id, x_len, x_stop, x_alpha, x_wlen, x_digit,
+        |  round(zv, 6) AS z,
+        |  round(1.0 / (1.0 + exp(-zv)), 6) AS p_keep,
+        |  zv > 0.0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "embed_matryoshka" -> {
+      def cosK(k: Int): String =
+        s"round(float_dot(slice(p.pe, 1, $k), slice(e.embedding, 1, $k)) " +
+          s"/ (sqrt(float_dot(slice(p.pe, 1, $k), slice(p.pe, 1, $k))) " +
+          s"* sqrt(float_dot(slice(e.embedding, 1, $k), slice(e.embedding, 1, $k)))), 6)"
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT p.probe_id, e.vec_id AS cand_id,
+         |    ${cosK(16)} AS c16, ${cosK(32)} AS c32, ${cosK(64)} AS c64
+         |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+         |r AS (
+         |  SELECT probe_id, cand_id, c16, c32, c64,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c16 DESC, cand_id) AS r16,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c32 DESC, cand_id) AS r32,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c64 DESC, cand_id) AS r64
+         |  FROM pairs)
+         |SELECT probe_id,
+         |  MAX(CASE WHEN r16 = 1 THEN cand_id END) AS top1_16,
+         |  MAX(CASE WHEN r16 = 1 THEN c16 END) AS cos_16,
+         |  MAX(CASE WHEN r32 = 1 THEN cand_id END) AS top1_32,
+         |  MAX(CASE WHEN r32 = 1 THEN c32 END) AS cos_32,
+         |  MAX(CASE WHEN r64 = 1 THEN cand_id END) AS top1_64,
+         |  MAX(CASE WHEN r64 = 1 THEN c64 END) AS cos_64,
+         |  (MAX(CASE WHEN r16 = 1 THEN cand_id END)
+         |    = MAX(CASE WHEN r64 = 1 THEN cand_id END)) AS agree_16,
+         |  (MAX(CASE WHEN r32 = 1 THEN cand_id END)
+         |    = MAX(CASE WHEN r64 = 1 THEN cand_id END)) AS agree_32
+         |FROM r GROUP BY probe_id ORDER BY probe_id""".stripMargin
+    },
+
+    "events_cohort" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |acts AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST(datediff(CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE),
+        |      f.cohort_week) / 7 AS BIGINT) AS week_offset
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM acts GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "mm_audio_feats" -> {
+      def en(base: String) = (1 to 4)
+        .map(i => s"CAST(element_at(p, $base + $i) - 128 AS BIGINT) * CAST(element_at(p, $base + $i) - 128 AS BIGINT)")
+        .mkString(" + ")
+      def zc(base: String) = (1 to 3)
+        .map(i => s"CASE WHEN (element_at(p, $base + $i) >= 128) != (element_at(p, $base + $i + 1) >= 128) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents),
+         |fr AS (
+         |  SELECT doc_id, f.f AS frame_no,
+         |    ${en("f.f*4")} AS energy, ${zc("f.f*4")} AS zcr
+         |  FROM px CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(f))
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(energy AS BIGINT) AS energy,
+         |  round(sqrt(CAST(energy AS DOUBLE) / 4.0), 6) AS rms,
+         |  CAST(zcr AS BIGINT) AS zcr, energy >= 21844 AS active
+         |FROM fr ORDER BY doc_id, frame_no""".stripMargin
+    },
+
+    "mm_scene_detect" -> {
+      def fs(f: Int) = (1 to 4)
+        .map(i => s"CAST(element_at(p, ${f * 4 + i}) AS BIGINT)").mkString(" + ")
+      val ds = (1 to 3).map(f => s"abs((${fs(f)}) - (${fs(f - 1)}))")
+      val cuts = (1 to 3).map(f =>
+        s"CASE WHEN ${ds(f - 1)} > 200 THEN $f ELSE 0 END")
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents)
+         |SELECT doc_id,
+         |  CAST(${cuts.map(c => s"CASE WHEN ($c) > 0 THEN 1 ELSE 0 END")
+              .mkString(" + ")} + 1 AS BIGINT) AS n_scenes,
+         |  CAST(CASE WHEN (${cuts(0)}) > 0 THEN 1
+         |       WHEN (${cuts(1)}) > 0 THEN 2
+         |       WHEN (${cuts(2)}) > 0 THEN 3 ELSE 0 END AS BIGINT)
+         |    AS first_cut,
+         |  greatest(${ds.mkString(", ")}) AS max_delta
+         |FROM px ORDER BY doc_id""".stripMargin
+    },
+
     // --------------------------------------- round-4 additions (this file)
     // mergeable exact distinct via Spark's bitmap functions — the SQL text
     // runs the REAL bitmap plan (not the COUNT DISTINCT the oracle pins)

@@ -714,6 +714,39 @@ object Advanced {
       .orderBy(desc("rank_micro"), col("event_type"))
   }
 
+  /** WEEKLY COHORT RETENTION MATRIX — the classic growth-analytics grid
+    * ([[aggRetention]]'s day-pair form generalized to the signup-cohort
+    * view every product dashboard ships): each user joins the cohort of
+    * their FIRST event's ISO week; for every (cohort_week, week_offset)
+    * cell, the distinct users active that many weeks after their cohort
+    * week. Week arithmetic is pure date math on week-truncated DATEs
+    * (both engines truncate to Monday), so offsets are exact integers.
+    *
+    * 100 TB shape: the first-event pass and the activity pass both
+    * shuffle on user_id (one partial-agg each; the join is user-keyed on
+    * both sides so it co-locates), the (user, cohort, offset) distinct
+    * collapses per-user event volume BEFORE the grid aggregate, and the
+    * final grid is |cohorts|·|offsets| rows — model-sized. */
+  val eventsCohort: Q = (s, d) => {
+    val firsts = T.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_day")).cast("date").as("cohort_week"))
+    T.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", to_date(col("ts"))).cast("date").as("act_week"))
+      .join(firsts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Column PROFILE — the ANALYZE TABLE / statistics-collection pass every
     * engine ships (and the optimizer's food: row counts, null counts, NDV
     * and min/max bounds drive join reorder, broadcast decisions and range
@@ -1777,6 +1810,7 @@ object Advanced {
   val queries: Map[String, Q] = Map(
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
+    "events_cohort" -> eventsCohort,
     "agg_benford" -> aggBenford,
     "events_seq_anomaly" -> eventsSeqAnomaly,
     "agg_ohlc" -> aggOhlc,
@@ -1856,6 +1890,24 @@ object Advanced {
         |    AS DOUBLE) AS seasonal_index
         |FROM grid g JOIN tot t ON g.event_type = t.event_type
         |ORDER BY g.event_type, g.dow""".stripMargin,
+
+    // cohort matrix: week truncation is Monday-based in both engines;
+    // offsets are exact multiples of 7 days so // 7 is exact
+    "events_cohort" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |acts AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    date_diff('day', f.cohort_week,
+        |      date_trunc('week', CAST(e.ts AS DATE))) // 7 AS week_offset
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort_week AS DATE) AS cohort_week,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM acts GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // RFM: exact metrics, fixed threshold bands (// floors — operands
     // non-negative), decimal segment totals

@@ -319,6 +319,81 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** BLOOM-GATED exact dedup of an arriving batch against the base corpus
+    * — the cheapest member of the incremental-dedup family (next to
+    * [[dedupIncremental]]'s LSH index): the base corpus folds into ONE
+    * fixed-size bloom filter (a mergeable aggregate — map-side partials,
+    * 2¹⁷ bits here regardless of corpus size), the filter broadcasts, and
+    * the arriving batch drops every doc the bloom rules out BEFORE any
+    * join. Survivors (true matches + bloom false positives) verify
+    * against the base hash set by an exact equi-join, so the bloom is a
+    * pure superset prefilter — result-invariant, which is exactly what
+    * the oracle (a plain hash join, no bloom) pins. Uses the engine's
+    * portable [[graft.expr.Bloom]] (same bit math both sides of
+    * `join_bloom`). At 100 TB: bits scale with corpus NDV (~10 bits/key
+    * for 1% fpp); the batch never shuffles except its surviving
+    * candidates. */
+  val dedupBloom: Q = (s, d) => {
+    val c = corpus(s, d)
+    def nh(t: Column): Column = h48(lower(trim(t)))
+    val base = c.filter(col("doc_id") < 100000L)
+      .select(col("doc_id").as("base_id"), nh(col("text")).as("hv"))
+    val batch = c.filter(col("doc_id") >= 100000L)
+      .select(col("doc_id"), nh(col("text")).as("hv"))
+    val bloom = base.agg(graft.expr.Bloom.agg(col("hv"), 1 << 17, 5).as("bf"))
+    val cand = batch.join(broadcast(bloom))
+      .filter(graft.expr.Bloom.mightContain(col("bf"), col("hv")))
+      .drop("bf")
+    cand.join(base.hint("shuffle_hash"), "hv")
+      .groupBy(col("doc_id"))
+      .agg(min(col("base_id")).as("base_id"), count(lit(1)).as("n_base"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL-canonicalization dedup — the web-corpus front gate (CommonCrawl
+    * pipelines dedup by canonical URL before any text ever loads): URLs
+    * decorated with the classic noise (scheme/WWW case, `www.` prefix,
+    * default `:443` port, trailing slash, `utm_*` tracking params,
+    * fragments — planted deterministically from doc_id, the text_pii
+    * discipline) normalize through a fixed regex chain to one canonical
+    * form; grouping on it collapses every decoration variant of the same
+    * resource. Pure per-row canonicalization (fused into the scan) + ONE
+    * hash aggregate on the canonical key — `dedup_exact`'s shape with a
+    * normalizer instead of a text hash. The regex chain is RE2-common
+    * syntax, identical in both engines (DuckDB needs the 'g' flag; Spark
+    * replaces all by default). */
+  val dedupUrl: Q = (s, d) => {
+    val pk = (col("doc_id") % 100L).cast("string")
+    val raw = concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".Example.com"),
+      when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), pk,
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
+    def canon(u0: Column): Column = {
+      var u = lower(u0)
+      u = regexp_replace(u, "#.*$", "")            // fragment
+      u = regexp_replace(u, "[?&]utm_[^&#]*", "")  // tracking params
+      u = regexp_replace(u, "\\?&", "?")           // ?& left by a leading utm
+      u = regexp_replace(u, "\\?$", "")            // empty query
+      u = regexp_replace(u, "://www\\.", "://")    // www prefix
+      u = regexp_replace(u, ":443/", "/")          // default https port
+      regexp_replace(u, "/$", "")                  // trailing slash
+    }
+    T.documents(s, d)
+      .withColumn("url", raw)
+      .withColumn("curl", canon(col("url")))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("curl"))
+  }
+
   // ------------------------------------------------------- similarity search
 
   /** Brute-force exact cosine top-5 for a fixed probe set (vec_id < 10) —
@@ -362,6 +437,43 @@ object LlmPipeline {
         cents = e.filter(col("vec_id") % 50 === 0),
         idCol = "vec_id", vecCol = "embedding", k = 3, nprobe = 3)
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** MATRYOSHKA TRUNCATION AUDIT (Kusupati et al., NeurIPS'22 — MRL
+    * embeddings serve their PREFIX as a cheaper vector): for each probe,
+    * the top-1 neighbour under the first-16 and first-32 dims versus the
+    * full 64, plus agreement flags — the retrieval-quality check a team
+    * runs before switching ANN search to truncated vectors (agreement
+    * rate ≈ how much recall the cheap prefix keeps). One pass: the probe
+    * set broadcasts, all three prefix cosines compute per candidate row
+    * (native `float_dot` on array slices — index-ascending double
+    * accumulation, same bit discipline as `sim_topk`), and the per-k
+    * winner is a lexicographic struct-max aggregate (highest cosine,
+    * lowest cand tie-break) — NO window over the candidate stream, so
+    * the only shuffle is the k-independent probe-keyed aggregate. */
+  val embedMatryoshka: Q = (s, d) => {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    def cosK(k: Int): Column = {
+      val a = slice(col("pe"), 1, k)
+      val b = slice(col("ce"), 1, k)
+      round(dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b))), 6)
+    }
+    def win(c: Column): Column = max(struct(c.as("c"), (-col("cand_id")).as("n")))
+    val agg0 = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(win(cosK(16)).as("m16"), win(cosK(32)).as("m32"),
+        win(cosK(64)).as("m64"))
+    agg0.select(col("probe_id"),
+      (-col("m16.n")).as("top1_16"), col("m16.c").as("cos_16"),
+      (-col("m32.n")).as("top1_32"), col("m32.c").as("cos_32"),
+      (-col("m64.n")).as("top1_64"), col("m64.c").as("cos_64"),
+      (col("m16.n") === col("m64.n")).as("agree_16"),
+      (col("m32.n") === col("m64.n")).as("agree_32"))
+      .orderBy(col("probe_id"))
   }
 
   /** Scalar INT8 quantization of the embedding corpus — the memory lever
@@ -464,6 +576,48 @@ object LlmPipeline {
       .select(col("doc_id"), col("n_tok"),
         round(col("stop_ratio"), 6).as("stop_ratio"),
         round(col("alpha_ratio"), 6).as("alpha_ratio"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LINEAR QUALITY CLASSIFIER — the fasttext-style learned filter one
+    * step up from [[textQuality]]'s hand-tuned score (the
+    * CCNet/DCLM-shaped gate: engineer features, apply a FROZEN weight
+    * vector, keep above the decision boundary): five per-doc features
+    * (length saturation, stopword ratio, alpha ratio, mean word length,
+    * digit ratio) each ROUND to 6 decimals — the portability firewall:
+    * the linear form is then a fixed IEEE multiply-add sequence over
+    * identical inputs in both engines — then z = w·x + b decides
+    * keep/drop on the UNROUNDED margin (z > 0 ⟺ p > 0.5 exactly; no
+    * threshold-on-rounded-value edge). The sigmoid probability is
+    * reported rounded 6 (libm exp, the text_perplexity convention). Pure
+    * per-row expressions fused into the scan — at 100 TB the classifier
+    * costs a projection, nothing more. */
+  val textQualityLr: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    def r6(c: Column): Column = round(c, 6)
+    T.documents(s, d)
+      .withColumn("x_len", r6(least(lit(1.0), nTok.cast("double") / 100.0)))
+      .withColumn("x_stop", r6(
+        size(filter(toks, x => x.isin("the", "a", "value", "data")))
+          .cast("double") / nTok.cast("double")))
+      .withColumn("x_alpha", r6(
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double")))
+      .withColumn("x_wlen", r6(
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nTok.cast("double")))
+      .withColumn("x_digit", r6(
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text")).cast("double")))
+      .withColumn("z",
+        lit(-1.5) + lit(2.1) * col("x_len") - lit(3.0) * col("x_stop")
+          + lit(1.8) * col("x_alpha") + lit(0.12) * col("x_wlen")
+          - lit(2.5) * col("x_digit"))
+      .select(col("doc_id"), col("x_len"), col("x_stop"), col("x_alpha"),
+        col("x_wlen"), col("x_digit"), round(col("z"), 6).as("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("p_keep"),
+        (col("z") > 0.0).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -1794,6 +1948,112 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // bloom-gated dedup: the oracle is the PLAIN hash join — the bloom
+    // prefilter is a superset + exact verify, so it must change nothing
+    "dedup_bloom" ->
+      s"""WITH $corpusSql,
+         |base AS (SELECT doc_id AS base_id,
+         |    ${h48Sql("lower(trim(text))")} AS hv
+         |  FROM corpus WHERE doc_id < 100000),
+         |batch AS (SELECT doc_id, ${h48Sql("lower(trim(text))")} AS hv
+         |  FROM corpus WHERE doc_id >= 100000)
+         |SELECT b.doc_id, MIN(s.base_id) AS base_id, COUNT(*) AS n_base
+         |FROM batch b JOIN base s ON b.hv = s.hv
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: same regex chain, 'g' flags (Spark
+    // regexp_replace is global by default)
+    "dedup_url" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           |    source || '.Example.com' ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+           |    '/docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, url,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(lower(url),
+           |      '#.*$$', '', 'g'),
+           |      '[?&]utm_[^&#]*', '', 'g'),
+           |      '\?&', '?', 'g'),
+           |      '\?$$', '', 'g'),
+           |      '://www\.', '://', 'g'),
+           |      ':443/', '/', 'g'),
+           |      '/$$', '', 'g') AS curl
+           |  FROM u)
+           |SELECT curl, COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT url) AS n_variants, MIN(doc_id) AS rep_doc_id
+           |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+
+    // linear quality classifier: every feature rounds to 6 BEFORE the
+    // linear form (fixed IEEE multiply-add order both engines); keep
+    // decides on the unrounded margin
+    "text_quality_lr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    round(least(1.0,
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0), 6) AS x_len,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x_stop,
+        |    round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS x_alpha,
+        |    round(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x_wlen,
+        |    round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS x_digit
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, x_len, x_stop, x_alpha, x_wlen, x_digit,
+        |    -1.5 + 2.1 * x_len - 3.0 * x_stop + 1.8 * x_alpha
+        |      + 0.12 * x_wlen - 2.5 * x_digit AS zv
+        |  FROM f)
+        |SELECT doc_id, x_len, x_stop, x_alpha, x_wlen, x_digit,
+        |  round(zv, 6) AS z,
+        |  round(1.0 / (1.0 + exp(-zv)), 6) AS p_keep,
+        |  zv > 0.0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    // matryoshka audit: prefix dots re-derived positionally; winners by
+    // (rounded cos desc, cand asc) row_number — equals the engine's
+    // lexicographic struct-max
+    "embed_matryoshka" -> {
+      def dotK(a: String, b: String, k: Int): String =
+        s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM range(1, ${k + 1}) r(i))"
+      def cosK(k: Int): String =
+        s"round(${dotK("p.pe", "e.embedding", k)} / (sqrt(${dotK("p.pe", "p.pe", k)}) * sqrt(${dotK("e.embedding", "e.embedding", k)})), 6)"
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT p.probe_id, e.vec_id AS cand_id,
+         |    ${cosK(16)} AS c16, ${cosK(32)} AS c32, ${cosK(64)} AS c64
+         |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+         |r AS (
+         |  SELECT probe_id, cand_id, c16, c32, c64,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c16 DESC, cand_id) AS r16,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c32 DESC, cand_id) AS r32,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c64 DESC, cand_id) AS r64
+         |  FROM pairs)
+         |SELECT probe_id,
+         |  MAX(CASE WHEN r16 = 1 THEN cand_id END) AS top1_16,
+         |  MAX(CASE WHEN r16 = 1 THEN c16 END) AS cos_16,
+         |  MAX(CASE WHEN r32 = 1 THEN cand_id END) AS top1_32,
+         |  MAX(CASE WHEN r32 = 1 THEN c32 END) AS cos_32,
+         |  MAX(CASE WHEN r64 = 1 THEN cand_id END) AS top1_64,
+         |  MAX(CASE WHEN r64 = 1 THEN c64 END) AS cos_64,
+         |  (MAX(CASE WHEN r16 = 1 THEN cand_id END)
+         |    = MAX(CASE WHEN r64 = 1 THEN cand_id END)) AS agree_16,
+         |  (MAX(CASE WHEN r32 = 1 THEN cand_id END)
+         |    = MAX(CASE WHEN r64 = 1 THEN cand_id END)) AS agree_32
+         |FROM r GROUP BY probe_id ORDER BY probe_id""".stripMargin
+    },
 
     // semantic dedup: the sim_knn_join chain on the planted-variant
     // corpus, thresholded, then the dedup_cluster WITH RECURSIVE closure

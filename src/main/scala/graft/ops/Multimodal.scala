@@ -251,6 +251,60 @@ object Multimodal {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** AUDIO feature extraction — the third modality's plumbing (image:
+    * [[mmPixels]], video: [[mmFrames]], audio: this): the payload read as
+    * 16 unsigned 8-bit PCM samples (centered at 128), framed 4 samples per
+    * frame; per frame the exact integer ENERGY Σx², RMS (one sqrt — IEEE
+    * correctly-rounded, so cross-engine exact, unlike ln/exp), the
+    * zero-crossing count (the classic cheap pitch/noisiness signal), and a
+    * voice-activity flag at the uniform-noise mean-square threshold
+    * (energy ≥ 4·5461) — the VAD gate an audio pipeline drops silence
+    * with. All per-row codegen'd expressions; one Generate for the frame
+    * explode; no shuffle before the declared sort. */
+  val mmAudioFeats: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    val frames = transform(sequence(lit(0), lit(3)), f =>
+      struct(f.as("frame_no"), slice(px, f * 4 + 1, lit(4)).as("sm")))
+    media(s, d)
+      .select(col("doc_id"), explode(frames).as("fr"))
+      .select(col("doc_id"), col("fr.frame_no").cast("int").as("frame_no"),
+        col("fr.sm").as("sm"))
+      .withColumn("energy", aggregate(col("sm"), lit(0L), (a, p) =>
+        a + (p - 128).cast("long") * (p - 128).cast("long")))
+      .withColumn("zcr", size(filter(sequence(lit(1), lit(3)), i =>
+        (element_at(col("sm"), i) >= 128) =!=
+          (element_at(col("sm"), i + 1) >= 128))).cast("long"))
+      .select(col("doc_id"), col("frame_no"), col("energy"),
+        round(sqrt(col("energy").cast("double") / 4.0), 6).as("rms"),
+        col("zcr"), (col("energy") >= 21844L).as("active"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** SCENE-CHANGE detection on the 4-frame "video" — the shot-boundary
+    * pass a video curation pipeline runs before frame sampling (sample
+    * per SCENE, not per fixed stride, or long static shots dominate):
+    * consecutive frame brightness sums (exact integers) difference, a
+    * boundary opens where |Δ| exceeds the threshold (200 ≈ one σ of the
+    * 4-byte sum delta), scenes = boundaries + 1. `first_cut` = 0 means
+    * "single scene" (frame 0 can never open a boundary) — no NULL in the
+    * declared output. Integer math end to end; per-row expressions only. */
+  val mmSceneDetect: Q = (s, d) => {
+    val px = pixels(col("payload"), 16)
+    def fsum(f: Int): Column =
+      (1 to 4).map(i => element_at(px, f * 4 + i).cast("long")).reduce(_ + _)
+    val deltas = (1 to 3).map(f => abs(fsum(f) - fsum(f - 1)))
+    val cuts = (1 to 3).map(f =>
+      when(deltas(f - 1) > 200L, lit(f.toLong)).otherwise(lit(0L)))
+    media(s, d)
+      .select(col("doc_id"),
+        (cuts.map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _) + 1L)
+          .as("n_scenes"),
+        cuts.reduce((a, b) =>
+          when(a > 0L, a).otherwise(b)).as("first_cut"),
+        greatest(deltas: _*).as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SHARD READER — the training loader's half of the WebDataset
     * contract [[mmShard]] writes: records (text bytes ‖ 16-byte media
     * raster) PACK into ≤16 KiB shard blobs with an offset-index sidecar
@@ -357,6 +411,8 @@ object Multimodal {
     "mm_dedup" -> mmDedup,
     "mm_shard" -> mmShard,
     "mm_shard_read" -> mmShardRead,
+    "mm_audio_feats" -> mmAudioFeats,
+    "mm_scene_detect" -> mmSceneDetect,
     "mm_meta" -> mmMeta,
     "mm_pixels" -> mmPixels,
     "mm_resize" -> mmResize,
@@ -384,6 +440,45 @@ object Multimodal {
          |FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
          |WHERE bit_count(xor(sa.h, sb.h)) <= 1
          |ORDER BY a, b""".stripMargin
+    },
+
+    // audio features re-derived from the md5 pixel math: exact integer
+    // energy/zcr, one correctly-rounded sqrt for the rms
+    "mm_audio_feats" -> {
+      def en(base: String) = (1 to 4)
+        .map(i => s"(p[$base + $i] - 128) * (p[$base + $i] - 128)")
+        .mkString(" + ")
+      def zc(base: String) = (1 to 3)
+        .map(i => s"CASE WHEN (p[$base + $i] >= 128) <> (p[$base + $i + 1] >= 128) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents),
+         |fr AS (
+         |  SELECT doc_id, f.f AS frame_no,
+         |    ${en("f.f*4")} AS energy, ${zc("f.f*4")} AS zcr
+         |  FROM px CROSS JOIN (VALUES (0), (1), (2), (3)) f(f))
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         |  CAST(energy AS BIGINT) AS energy,
+         |  round(sqrt(CAST(energy AS DOUBLE) / 4.0), 6) AS rms,
+         |  CAST(zcr AS BIGINT) AS zcr, energy >= 21844 AS active
+         |FROM fr ORDER BY doc_id, frame_no""".stripMargin
+    },
+
+    // scene cuts re-derived from the same integer frame sums
+    "mm_scene_detect" -> {
+      def fs(f: Int) = (1 to 4).map(i => s"p[${f * 4 + i}]").mkString(" + ")
+      val ds = (1 to 3).map(f => s"abs((${fs(f)}) - (${fs(f - 1)}))")
+      val cuts = (1 to 3).map(f =>
+        s"CASE WHEN ${ds(f - 1)} > 200 THEN $f ELSE 0 END")
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents)
+         |SELECT doc_id,
+         |  CAST(${cuts.map(c => s"CASE WHEN ($c) > 0 THEN 1 ELSE 0 END")
+              .mkString(" + ")} + 1 AS BIGINT) AS n_scenes,
+         |  CAST(CASE WHEN (${cuts(0)}) > 0 THEN ${1}
+         |       WHEN (${cuts(1)}) > 0 THEN ${2}
+         |       WHEN (${cuts(2)}) > 0 THEN ${3} ELSE 0 END AS BIGINT)
+         |    AS first_cut,
+         |  CAST(greatest(${ds.mkString(", ")}) AS BIGINT) AS max_delta
+         |FROM px ORDER BY doc_id""".stripMargin
     },
 
     // read-side manifest re-derived declaratively: the oracle never sees
