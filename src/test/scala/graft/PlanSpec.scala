@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-import graft.ops.{LlmPipeline, Relational, Sources}
+import graft.ops.{LlmPipeline, Multimodal, Relational, Sources}
 
 /** Physical-plan audits (the 100 TB design contract): filters reach the
   * parquet scan, projections prune columns at the reader, small dims
@@ -757,5 +757,68 @@ class PlanSpec extends SparkSpecBase {
     // (map-side); only the data-dependent bigram table may shuffle
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "LM model joins are not broadcast probes")
+  }
+
+  // ------------------------------------------------- round-7 plan pins
+
+  test("dedup_bloom gates the batch through a broadcast 1-row filter before the verify join") {
+    val df = LlmPipeline.dedupBloom(spark, sf0001)
+    val p = planString(df)
+    // the bloom must reach the batch as a broadcast (1-row model); the
+    // exact verify join may shuffle — but only AFTER the bloom filter
+    // pruned, which is the whole point of the gate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bloom model is not broadcast to the batch side")
+    assert(p.contains("bloom_might_contain") || p.contains("BloomMightContain") ||
+      p.toLowerCase.contains("bloom"),
+      "no bloom predicate in the batch scan stage")
+  }
+
+  test("embed_matryoshka ranks via aggregation — no window over the candidate stream") {
+    val df = LlmPipeline.embedMatryoshka(spark, sf0001)
+    val p = planString(df)
+    // the per-k winner is a lexicographic struct-max AGGREGATE: a window
+    // over the (probes × corpus) stream would re-sort the whole candidate
+    // volume per k; the probe set itself must be the broadcast side
+    assert(!p.contains("Window"),
+      "matryoshka audit sorts the candidate stream through a window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe set is not broadcast")
+  }
+
+  test("dedup_url and text_quality_lr fuse into the scan (one aggregate, no join)") {
+    Seq(
+      "dedup_url" -> LlmPipeline.dedupUrl(spark, sf0001),
+      "text_quality_lr" -> LlmPipeline.textQualityLr(spark, sf0001)
+    ).foreach { case (k, df) =>
+      val p = planString(df)
+      assert(!p.contains("Join"), s"$k: per-row gate grew a join")
+      // dedup_url needs its one canonical-key aggregate; quality_lr none
+      if (k == "text_quality_lr")
+        assert(!p.contains("HashAggregate"),
+          s"$k: pure projection grew an aggregate")
+    }
+  }
+
+  test("events_cohort reduces to the (user, week) grid before the grid aggregate") {
+    val df = graft.ops.Advanced.eventsCohort(spark, sf0001)
+    val p = planString(df)
+    // the per-user distinct must precede the cohort-grid aggregate: a
+    // grid agg directly over raw events would carry per-event volume
+    // into countDistinct state
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "cohort matrix lost its pre-aggregation (distinct collapse) stage")
+    assert(!p.contains("CartesianProduct"), "cohort join went cartesian")
+  }
+
+  test("mm_audio_feats and mm_scene_detect are scan-fused per-row expressions") {
+    Seq(
+      "mm_audio_feats" -> Multimodal.mmAudioFeats(spark, sf0001),
+      "mm_scene_detect" -> Multimodal.mmSceneDetect(spark, sf0001)
+    ).foreach { case (k, df) =>
+      val p = planString(df)
+      assert(!p.contains("Join"), s"$k: per-row media math grew a join")
+      assert(!p.contains("HashAggregate"), s"$k: per-row media math grew an aggregate")
+    }
   }
 }
