@@ -94,6 +94,8 @@ object SparkEntry {
     "dedup_url"        -> LlmPipeline.dedupUrl,
     "text_quality_lr"  -> LlmPipeline.textQualityLr,
     "embed_matryoshka" -> LlmPipeline.embedMatryoshka,
+    "sample_split"     -> LlmPipeline.sampleSplit,
+    "text_oov_rate"    -> LlmPipeline.textOovRate,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,

@@ -1753,6 +1753,53 @@ object SqlCatalog {
          |FROM px ORDER BY doc_id""".stripMargin
     },
 
+    "events_features" ->
+      s"""WITH f AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+         |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+         |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+         |    MIN(CAST(ts AS DATE)) AS first_day,
+         |    MAX(CAST(ts AS DATE)) AS last_day,
+         |    ${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}
+         |      AS pv
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events)
+         |SELECT user_id, n_events,
+         |  CAST(n_purchases AS BIGINT) AS n_purchases,
+         |  CAST(n_views AS BIGINT) AS n_views,
+         |  CAST(n_errors AS BIGINT) AS n_errors,
+         |  CAST(datediff(d1, last_day) AS BIGINT) AS recency_days,
+         |  CAST(datediff(last_day, first_day) + 1 AS BIGINT) AS span_days,
+         |  coalesce(pv, 0.0) AS purchase_value,
+         |  round(CAST(n_events AS DOUBLE)
+         |    / CAST(datediff(last_day, first_day) + 1 AS DOUBLE), 6)
+         |    AS events_per_day
+         |FROM f CROSS JOIN mx ORDER BY user_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH g AS (
+        |  SELECT doc_id, size(split(text, ' ')) AS n_tok,
+        |    CASE md5_48('split:' || CAST(doc_id AS STRING)) % 100
+        |      WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM g GROUP BY split ORDER BY split""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH tokr AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS c FROM tokr GROUP BY tok),
+        |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 256)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tokr t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // --------------------------------------- round-4 additions (this file)
     // mergeable exact distinct via Spark's bitmap functions — the SQL text
     // runs the REAL bitmap plan (not the COUNT DISTINCT the oracle pins)

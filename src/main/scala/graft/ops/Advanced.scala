@@ -747,6 +747,43 @@ object Advanced {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** FEATURE-STORE MATERIALIZATION — the per-entity feature vector a
+    * training pipeline or online store serves (the batch half of a
+    * feature platform): per user, conditional per-type event counts (the
+    * pivot the model consumes), first/last activity, recency in whole
+    * days against the corpus anchor (broadcast 1-row scalar), exact
+    * decimal purchase value, and an activity-span rate. ONE user-keyed
+    * hash aggregate computes every feature — conditional aggregation
+    * costs nothing extra because the predicates evaluate in the partial
+    * projection (the `agg_conditional` rule); the anchor crossJoin is a
+    * broadcast scalar. At 100 TB this is the canonical "wide agg"
+    * materialization: map-side partials, state = one row per user. */
+  val eventsFeatures: Q = (s, d) => {
+    val anchor = T.events(s, d).agg(max(to_date(col("ts"))).as("d1"))
+    T.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        dsum(when(col("event_type") === "purchase", col("value")))
+          .as("purchase_value"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("n_views"), col("n_errors"),
+        datediff(col("d1"), col("last_day")).cast("long").as("recency_days"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("span_days"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+        round(col("n_events").cast("double") /
+          (datediff(col("last_day"), col("first_day")) + 1).cast("double"), 6)
+          .as("events_per_day"))
+      .orderBy(col("user_id"))
+  }
+
   /** Column PROFILE — the ANALYZE TABLE / statistics-collection pass every
     * engine ships (and the optimizer's food: row counts, null counts, NDV
     * and min/max bounds drive join reorder, broadcast decisions and range
@@ -1811,6 +1848,7 @@ object Advanced {
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
     "events_cohort" -> eventsCohort,
+    "events_features" -> eventsFeatures,
     "agg_benford" -> aggBenford,
     "events_seq_anomaly" -> eventsSeqAnomaly,
     "agg_ohlc" -> aggOhlc,
@@ -1890,6 +1928,32 @@ object Advanced {
         |    AS DOUBLE) AS seasonal_index
         |FROM grid g JOIN tot t ON g.event_type = t.event_type
         |ORDER BY g.event_type, g.dow""".stripMargin,
+
+    // feature vector: conditional counts via FILTER, decimal purchase sum,
+    // day arithmetic against the broadcast anchor
+    "events_features" ->
+      s"""WITH f AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+         |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+         |    COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+         |    MIN(CAST(ts AS DATE)) AS first_day,
+         |    MAX(CAST(ts AS DATE)) AS last_day,
+         |    ${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}
+         |      AS pv
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events)
+         |SELECT user_id, n_events,
+         |  CAST(n_purchases AS BIGINT) AS n_purchases,
+         |  CAST(n_views AS BIGINT) AS n_views,
+         |  CAST(n_errors AS BIGINT) AS n_errors,
+         |  CAST(date_diff('day', last_day, d1) AS BIGINT) AS recency_days,
+         |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS span_days,
+         |  coalesce(pv, 0.0) AS purchase_value,
+         |  round(CAST(n_events AS DOUBLE)
+         |    / CAST(date_diff('day', first_day, last_day) + 1 AS DOUBLE), 6)
+         |    AS events_per_day
+         |FROM f CROSS JOIN mx ORDER BY user_id""".stripMargin,
 
     // cohort matrix: week truncation is Monday-based in both engines;
     // offsets are exact multiples of 7 days so // 7 is exact

@@ -579,6 +579,55 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic TRAIN/VAL/TEST SPLIT manifest — the reproducibility
+    * primitive every training run depends on: each doc's fate is a pure
+    * row property (portable md5-48 of a salted key, mod 100 → bucket 0 =
+    * val, 1 = test, else train — a 98/1/1 split), so the assignment is
+    * identical across engines, partitionings, reruns and corpus
+    * APPENDS (an existing doc never changes split when new docs arrive —
+    * the property a random split lacks, and the leakage guard a
+    * held-out set needs). Declared output = the split manifest (docs,
+    * tokens, id range per split); the gate itself is a scan-fused
+    * projection, the manifest one 3-group aggregate. */
+  val sampleSplit: Q = (s, d) => {
+    val bucket = h48(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+    val fate = when(bucket === 0L, "val")
+      .when(bucket === 1L, "test").otherwise("train")
+    T.documents(s, d)
+      .withColumn("split", fate)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** OOV-RATE audit against the frozen top-V vocabulary — the
+    * tokenizer-coverage check between vocabulary induction
+    * (`text_bpe_pairs`) and LM scoring (`text_unigram_lm`, which uses
+    * the same bounded top-V recipe): vocab = top-256 corpus tokens
+    * under the deterministic (count desc, token asc) total order; per
+    * doc, the share of tokens outside it. High OOV = encoding blowup
+    * at training time — the audit runs BEFORE the tokenizer is frozen.
+    * The vocab is bounded → BROADCAST; the token stream left-joins it
+    * map-side and re-aggregates on doc_id — the `dedup_contaminate`
+    * broadcast-membership shape. */
+  val textOovRate: Q = (s, d) => {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(256)
+      .select(col("tok"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LINEAR QUALITY CLASSIFIER — the fasttext-style learned filter one
     * step up from [[textQuality]]'s hand-tuned score (the
     * CCNet/DCLM-shaped gate: engineer features, apply a FROZEN weight
@@ -1948,6 +1997,31 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // split manifest: the same salted md5-48 gate re-derived
+    "sample_split" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         |    CASE ${h48Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+         |      WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM g GROUP BY split ORDER BY split""".stripMargin,
+
+    // OOV audit: same deterministic top-256 vocab, left-join membership
+    "text_oov_rate" ->
+      """WITH tokr AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS c FROM tokr GROUP BY tok),
+        |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 256)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tokr t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // bloom-gated dedup: the oracle is the PLAIN hash join — the bloom
     // prefilter is a superset + exact verify, so it must change nothing

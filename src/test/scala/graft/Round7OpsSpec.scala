@@ -120,6 +120,52 @@ class Round7OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sample_split: fates are stable under corpus growth and partition all docs") {
+    val s = spark
+    val full = LlmPipeline.sampleSplit(spark, sf0001)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(full == graft.core.Tables.documents(spark, sf0001).count(),
+      "split manifest must account for every doc exactly once")
+    // append-stability: the fate of doc 0..N/2 must not change when the
+    // rest of the corpus arrives — recompute the gate on a half-corpus
+    // prefix and compare the same docs' fates in the full corpus
+    def fates(df: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val bucket = graft.api.TextDedup
+        .h48(concat(lit("split:"), col("doc_id").cast("string"))) % 250L
+      df.select(col("doc_id"),
+          when(bucket === 0L, "val").when(bucket === 1L, "test")
+            .otherwise("train").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val half = fates(docs.filter(col("doc_id") < 250L))
+    val fullF = fates(docs)
+    half.foreach { case (id, f) =>
+      assert(fullF(id) == f, s"doc $id changed split on corpus growth")
+    }
+  }
+
+  test("text_oov_rate: rates bounded and in-vocab docs score 0") {
+    val rows = LlmPipeline.textOovRate(spark, sf0001)
+      .select(col("n_tokens"), col("n_oov"), col("oov_rate")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("events_features: conditional counts sum under the total, span positive") {
+    val rows = Advanced.eventsFeatures(spark, sf0001)
+      .select(col("n_events"), col("n_purchases"), col("n_views"),
+        col("n_errors"), col("recency_days"), col("span_days")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) <= r.getLong(0))
+      assert(r.getLong(4) >= 0 && r.getLong(5) >= 1)
+    }
+  }
+
   test("mm_scene_detect: scene count is 1 + boundary count, first_cut consistent") {
     val rows = Multimodal.mmSceneDetect(spark, sf0001)
       .select(col("n_scenes"), col("first_cut"), col("max_delta")).collect()
