@@ -96,6 +96,8 @@ object SparkEntry {
     "embed_matryoshka" -> LlmPipeline.embedMatryoshka,
     "sample_split"     -> LlmPipeline.sampleSplit,
     "text_oov_rate"    -> LlmPipeline.textOovRate,
+    "sim_recall_audit" -> LlmPipeline.simRecallAudit,
+    "dedup_report"     -> LlmPipeline.dedupReport,
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,

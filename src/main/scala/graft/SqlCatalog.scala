@@ -40,10 +40,11 @@ import graft.ops.{Composite, RelationalOracles}
   * closest possible mirror of the reference's actual interface: a REPL
   * consuming a sequence of statements (`db.cpp:549-598`).
   *
-  * The TWO DataFrame-only keys are `dedup_cluster` and `dedup_semantic`:
-  * connected components needs either an iterative fixpoint or a recursive
-  * closure with cross-iteration dedup, and Spark 4.1's recursive CTEs
-  * reject UNION (distinct) inside the recursion
+  * The THREE DataFrame-only keys are `dedup_cluster`, `dedup_semantic`
+  * and `dedup_report` (which composes `dedup_cluster`): connected
+  * components needs either an iterative fixpoint or a recursive closure
+  * with cross-iteration dedup, and Spark 4.1's recursive CTEs reject
+  * UNION (distinct) inside the recursion
   * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — UNION ALL alone cannot
   * terminate on the cyclic symmetrized pair graph). The DataFrame API's
   * pointer-doubling loop is the right tool, and the DuckDB oracles'
@@ -1752,6 +1753,59 @@ object SqlCatalog {
          |  greatest(${ds.mkString(", ")}) AS max_delta
          |FROM px ORDER BY doc_id""".stripMargin
     },
+
+    // recall audit: the sim_topk + sim_topk_ivf statement chains composed
+    "sim_recall_audit" ->
+      s"""WITH en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(float_dot(embedding, embedding)) AS norm
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(float_dot(p.embedding, c.embedding) / (p.norm * c.norm), 6) AS cos
+         |  FROM en p JOIN en c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |brute AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM bscored) WHERE rnk <= 5),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosFd("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |icells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.cent")}, 6) DESC, c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |iscored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cosFd("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN icells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ivf AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM iscored) WHERE rnk <= 5)
+         |SELECT b.probe_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
 
     "events_features" ->
       s"""WITH f AS (

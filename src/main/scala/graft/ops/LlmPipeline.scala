@@ -476,6 +476,55 @@ object LlmPipeline {
       .orderBy(col("probe_id"))
   }
 
+  /** ANN RECALL AUDIT — the quality gate that justifies the IVF
+    * approximation (`sim_topk_ivf`) against ground truth (`sim_topk`):
+    * per probe, how many of the exact top-5 the cell-routed search
+    * recovered (recall@5). Composes the two existing declared paths and
+    * joins them — the measurement EVERY approximate index needs before
+    * production traffic moves to it; nprobe is tuned by re-running this
+    * audit, not by faith. The probe set is bounded, so both sides and
+    * the audit join are probe-keyed small frames; at 100 TB the exact
+    * side runs on a SAMPLED probe set (the standard recall-estimation
+    * protocol) while the IVF side is the production path. */
+  val simRecallAudit: Q = (s, d) => {
+    val exact = simTopk(s, d).select(col("probe_id"), col("cand_id"))
+    val approx = simTopkIvf(s, d)
+      .select(col("probe_id").as("p2"), col("cand_id").as("c2"))
+    exact.join(approx,
+        col("probe_id") === col("p2") && col("cand_id") === col("c2"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** DEDUP SAVINGS REPORT — the accounting every dedup run publishes
+    * (what did the pipeline actually reclaim?): [[dedupCluster]]'s
+    * components joined back to corpus byte sizes, rolled up per cluster
+    * into kept/dropped doc counts, bytes reclaimed and the savings
+    * share. The report is one model-sized aggregate on the component
+    * table (dedup output is clustered docs only, never corpus-scale). */
+  val dedupReport: Q = (s, d) => {
+    val sizes = corpus(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    dedupCluster(s, d)
+      .join(sizes, "doc_id")
+      .groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - 1L).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("cluster_root"), col("n_chars"))
+          .otherwise(0L)).as("bytes_dropped"),
+        sum(col("n_chars")).as("bytes_total"))
+      .select(col("cluster_root"), col("n_docs"), col("n_dropped"),
+        col("bytes_dropped"), col("bytes_total"),
+        round(col("bytes_dropped").cast("double")
+          / col("bytes_total").cast("double"), 6).as("savings_pct"))
+      .orderBy(col("cluster_root"))
+  }
+
   /** Scalar INT8 quantization of the embedding corpus — the memory lever
     * behind every large ANN deployment (4× smaller vectors than float32 →
     * 4× more candidates per executor, and SIMD-friendly integer distance).
@@ -2022,6 +2071,83 @@ object LlmPipeline {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
         |FROM tokr t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // recall audit: brute + IVF chains composed, left-join hit counting
+    "sim_recall_audit" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.embedding", "c.cent")}, 6) DESC, c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |icells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosineSql("p.embedding", "c.cent")}, 6) DESC, c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |iscored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cosineSql("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN icells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ivf AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM iscored) WHERE rnk <= 5),
+         |bscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(${cosineSql("p.embedding", "c.embedding")}, 6) AS cos
+         |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |brute AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM bscored) WHERE rnk <= 5)
+         |SELECT b.probe_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
+
+    // savings report: the dedup_cluster closure + corpus byte sizes
+    "dedup_report" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b
+         |  FROM ssets sa JOIN ssets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= $JaccThreshold),
+         |edges AS (SELECT a AS x, b AS y FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.x AS id, reach.r FROM edges e JOIN reach ON e.y = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_root
+         |  FROM reach GROUP BY id),
+         |csized AS (SELECT c.doc_id, c.cluster_root, length(co.text) AS n_chars
+         |  FROM comp c JOIN corpus co ON c.doc_id = co.doc_id)
+         |SELECT cluster_root, COUNT(*) AS n_docs,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN doc_id <> cluster_root THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS bytes_dropped,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |  round(CAST(SUM(CASE WHEN doc_id <> cluster_root THEN n_chars ELSE 0 END)
+         |      AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE), 6) AS savings_pct
+         |FROM csized GROUP BY cluster_root ORDER BY cluster_root""".stripMargin,
 
     // bloom-gated dedup: the oracle is the PLAIN hash join — the bloom
     // prefilter is a superset + exact verify, so it must change nothing

@@ -107,6 +107,33 @@ class Round7OpsSpec extends SparkSpecBase {
       "offset-0 column must equal the cohort sizes")
   }
 
+  test("sim_recall_audit: recall bounded, n_hit <= n_exact, 10 probes") {
+    val rows = LlmPipeline.simRecallAudit(spark, sf0001)
+      .select(col("n_exact"), col("n_hit"), col("recall")).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(0) == 5L, "exact top-5 must yield 5 rows per probe")
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // the IVF routing must be USEFUL on the harness corpus, not inert
+    // (mean recall at sf0.001: 10 cells, nprobe 3 → exactly 0.5)
+    assert(rows.map(_.getLong(1)).sum >= 25L,
+      "IVF recall collapsed below 0.5 — cell routing is broken")
+  }
+
+  test("dedup_report: every cluster keeps exactly one representative") {
+    val rows = LlmPipeline.dedupReport(spark, sf0001)
+      .select(col("n_docs"), col("n_dropped"), col("bytes_dropped"),
+        col("bytes_total"), col("savings_pct")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) - r.getLong(1) == 1L, "kept != 1 per cluster")
+      assert(r.getLong(2) < r.getLong(3), "cannot drop every byte")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
   test("mm_audio_feats: rms^2 == energy/4 and zcr bounded by frame size") {
     val rows = Multimodal.mmAudioFeats(spark, sf0001)
       .select(col("energy"), col("rms"), col("zcr"), col("active")).collect()

@@ -53,7 +53,7 @@ class SqlEntrySpec extends SparkSpecBase {
     // pair (Spark 4.1 recursive CTEs reject UNION-distinct recursion)
     val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
     val uncovered = SparkEntry.queries.keySet -- covered
-    assert(uncovered == Set("dedup_cluster", "dedup_semantic"),
+    assert(uncovered == Set("dedup_cluster", "dedup_semantic", "dedup_report"),
       s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
   }
 }
