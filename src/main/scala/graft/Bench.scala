@@ -44,7 +44,8 @@ object Bench {
     "graph_jaccard", "dedup_incremental", "sim_index_persist",
     "join_spatial", "merge_mor", "text_perplexity",
     // round-7 flagships
-    "dedup_semantic", "mm_shard_read")
+    "dedup_semantic", "mm_shard_read",
+    "graph_kcore", "sample_balanced", "sim_radius")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

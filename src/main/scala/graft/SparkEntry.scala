@@ -133,7 +133,7 @@ object SparkEntry {
     "pipeline_e2e"     -> LlmPipeline.pipelineE2e,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
-    Composite.queries
+    Composite.queries ++ Insights.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -163,5 +163,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
-      Advanced.oracles ++ Composite.oracles
+      Advanced.oracles ++ Composite.oracles ++ Insights.oracles
 }

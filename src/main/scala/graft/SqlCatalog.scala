@@ -88,12 +88,15 @@ object SqlCatalog {
     // scalar function packs that parse identically
     "fn_string", "fn_math", "fn_map", "fn_unpivot",
     // storage-maintenance keys whose oracle SQL is already ANSI
-    "table_diff", "scan_dpp")
+    "table_diff", "scan_dpp",
+    // round-7b insight keys whose oracle SQL is already ANSI
+    "meta_skew_report", "agg_corr_matrix", "graph_degree_dist",
+    "graph_kcore")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
-      graft.ops.Sources.oracles)(k)
+      graft.ops.Sources.oracles ++ graft.ops.Insights.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -2251,6 +2254,62 @@ object SqlCatalog {
         |       WHERE rn = 1)
         |SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS rep_vec_id
         |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // ------------------------------------------------- round-7b insights
+    // portable rank order via the native md5_48 (the DuckDB oracle spells
+    // the same 48-bit value as a hex-prefix cast)
+    "sample_balanced" ->
+      """SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5_48('bal:' || CAST(doc_id AS STRING)), doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 40 ORDER BY lang, rk""".stripMargin,
+
+    // descending cumulative via the grid triangle join — the catalog text
+    // obeys the same no-global-window rule as the DataFrame plan
+    "events_ccdf" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT COUNT(*) AS nu FROM u),
+        |g AS (SELECT n - n % 5 AS min_events, COUNT(*) AS c FROM u GROUP BY 1),
+        |cum AS (SELECT g.min_events, SUM(h.c) AS n_users_ge
+        |  FROM g JOIN g h ON h.min_events >= g.min_events
+        |  GROUP BY g.min_events)
+        |SELECT CAST(cum.min_events AS BIGINT) AS min_events,
+        |  CAST(cum.n_users_ge AS BIGINT) AS n_users_ge,
+        |  CAST(round(CAST(cum.n_users_ge AS DOUBLE)
+        |    / CAST(tot.nu AS DOUBLE), 6) AS DOUBLE) AS share
+        |FROM cum CROSS JOIN tot ORDER BY min_events""".stripMargin,
+
+    "text_blocklist" ->
+      """WITH f AS (SELECT source,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> array_contains(array('slow','dup','big'), x))) AS DOUBLE)
+        |    / CAST(size(split(text, ' ')) AS DOUBLE) AS dens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dens >= 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(round(CAST(SUM(CASE WHEN dens >= 0.12 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS flag_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_contrastive_pairs" ->
+      """WITH p AS (SELECT doc_id, split(text, ' ') AS parts FROM documents),
+        |g AS (SELECT doc_id, parts, CAST(size(parts) / 16 AS INT) AS n_chunks
+        |      FROM p WHERE size(parts) >= 32)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx,
+        |  concat_ws(' ', slice(parts, i * 16 + 1, 16)) AS anchor,
+        |  concat_ws(' ', slice(parts, i * 16 + 17, 16)) AS positive
+        |FROM g LATERAL VIEW explode(sequence(0, n_chunks - 2)) t AS i
+        |ORDER BY doc_id, pair_idx""".stripMargin,
+
+    "sim_radius" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(float_dot(embedding, embedding)) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(float_dot(p.embedding, c.embedding) / (p.norm * c.norm), 6) AS cos
+        |  FROM e p JOIN e c ON p.vec_id % 50 = 7 AND c.vec_id <> p.vec_id)
+        |SELECT probe_id, cand_id, cos FROM s WHERE cos >= 0.2
+        |ORDER BY probe_id, cos DESC, cand_id""".stripMargin,
   )
 
   /** SQL text per declared query key, runnable via [[sql]]. */
