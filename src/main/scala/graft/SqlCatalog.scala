@@ -91,7 +91,7 @@ object SqlCatalog {
     "table_diff", "scan_dpp",
     // round-7b insight keys whose oracle SQL is already ANSI
     "meta_skew_report", "agg_corr_matrix", "graph_degree_dist",
-    "graph_kcore")
+    "graph_kcore", "agg_moments")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -2300,6 +2300,83 @@ object SqlCatalog {
         |  concat_ws(' ', slice(parts, i * 16 + 17, 16)) AS positive
         |FROM g LATERAL VIEW explode(sequence(0, n_chunks - 2)) t AS i
         |ORDER BY doc_id, pair_idx""".stripMargin,
+
+    "agg_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1.event_type, l.lag, d1.n AS x, d2.n AS y
+        |  FROM daily d1
+        |  CROSS JOIN (SELECT 1 AS lag UNION ALL SELECT 7) l
+        |  JOIN daily d2 ON d2.event_type = d1.event_type
+        |    AND d2.day = date_add(d1.day, l.lag)),
+        |m AS (SELECT event_type, lag, COUNT(*) AS np,
+        |  SUM(CAST(x AS DECIMAL(19,0))) AS sx, SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |  SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+        |  SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE) AS autocorr
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    "events_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  unix_timestamp(ts) - lag(unix_timestamp(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(gap) AS n_gaps, CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+        |  CAST(round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE), 6) AS DOUBLE) AS avg_gap_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS l FROM documents
+        |           WHERE size(split(text, ' ')) >= 2),
+        |g AS (SELECT DISTINCT doc_id,
+        |  md5_48(concat_ws(' ', slice(l, i, 2))) AS gh
+        |  FROM t LATERAL VIEW explode(sequence(1, size(l) - 1)) s AS i),
+        |fo AS (SELECT gh, MIN(doc_id) AS fd FROM g GROUP BY gh)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN fo.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(round(CAST(SUM(CASE WHEN fo.fd = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+        |FROM g JOIN fo USING (gh) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(float_dot(embedding, embedding)) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(float_dot(p.embedding, c.embedding) / (p.norm * c.norm), 6) AS cos
+        |  FROM e p JOIN e c ON p.vec_id % 50 = 23 AND c.vec_id <> p.vec_id),
+        |b AS (SELECT probe_id, cand_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+        |  FROM s WHERE cos >= 0.05 AND cos < 0.2)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+        |FROM b WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "text_domain_drift" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+        |  text FROM documents),
+        |tot AS (SELECT
+        |  SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb FROM d),
+        |td AS (SELECT DISTINCT doc_id, grp, term
+        |  FROM d LATERAL VIEW explode(split(text, ' ')) s AS term),
+        |dfs AS (SELECT term,
+        |  SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS dfa,
+        |  SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS dfb
+        |  FROM td GROUP BY term),
+        |rates AS (SELECT term,
+        |  CAST(round(CAST(dfa AS DOUBLE) / CAST(tot.na AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+        |  CAST(round(CAST(dfb AS DOUBLE) / CAST(tot.nb AS DOUBLE), 6) AS DOUBLE) AS rate_b
+        |  FROM dfs CROSS JOIN tot)
+        |SELECT term, rate_a, rate_b,
+        |  CAST(round(abs(rate_a - rate_b), 6) AS DOUBLE) AS drift
+        |FROM rates ORDER BY drift DESC, term LIMIT 20""".stripMargin,
 
     "sim_radius" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -296,6 +296,194 @@ object Insights {
       .orderBy(col("probe_id"), col("cos").desc, col("cand_id"))
   }
 
+  /** Lag-k AUTOCORRELATION of the daily event-count series per type —
+    * the seasonality detector feeding `events_forecast`'s lag-7 naive
+    * model (a strong lag-7 autocorrelation is what justifies it) and
+    * `agg_seasonality`'s weekday profile. The series is the tiny daily
+    * GRID (one count per (type, day)); lag pairing is a self-equi-join
+    * on (type, day+lag) — at 100 TB the grid is still days × types
+    * rows, so everything after the first aggregate is model-sized.
+    * Counts are integers → DECIMAL(19,0) moments are exact; the Pearson
+    * closed form runs once per (type, lag) row. */
+  val aggAutocorr: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.select(col("event_type"),
+      col("day"), col("n").as("x"),
+      explode(array(lit(1), lit(7))).as("lag"))
+    val d2 = daily.select(col("event_type"), col("day").as("day2"),
+      col("n").as("y"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val pairs = lagged.join(d2, Seq("event_type"))
+      .filter(col("day2") === date_add(col("day"), col("lag")))
+    val mom = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    def dbl(c: String): Column = col(c).cast("double")
+    mom.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("np").as("n_pairs"),
+        round((dbl("np") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          / (sqrt(dbl("np") * dbl("sxx") - dbl("sx") * dbl("sx"))
+            * sqrt(dbl("np") * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+          .as("autocorr"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Per-user INTER-EVENT GAP profile — the engagement-cadence /
+    * churn-risk signal next to `events_sessionize` (whose 30-minute gap
+    * threshold this query is how you calibrate): per user, the count,
+    * max and mean of second-granularity gaps between consecutive
+    * events. The lag window is user-partitioned (the scalable window
+    * shape — state is one row per task), gaps are exact integers
+    * (truncate-to-second diffs, identical in both engines), and the
+    * result is one row per user. */
+  val eventsGaps: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(col("gap")).as("n_gaps"), max(col("gap")).as("max_gap_s"),
+        round(sum(col("gap")).cast("double") / count(col("gap")).cast("double"), 6)
+          .as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Bigram NOVELTY scoring — per-doc share of bigrams whose global
+    * FIRST occurrence (min doc_id) is this doc: the marginal-contribution
+    * measure behind dedup-aware data valuation (a doc full of
+    * already-seen n-grams adds little; the SSI/D4 family of curation
+    * methods ranks on exactly this signal). Grams travel as portable
+    * 48-bit hashes, never strings — the shuffle carries (doc, hash)
+    * pairs; first-occurrence is one gram-keyed aggregate (map-side
+    * combined), credit assignment one hash join back. Tokenize-once:
+    * the gram stream is an index-sequence Generate over the scan. */
+  val textNovelty: Q = (s, d) => {
+    val g = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("parts")) - 1)).as("i"),
+        col("parts"))
+      .select(col("doc_id"),
+        h48(concat_ws(" ", slice(col("parts"), col("i"), lit(2)))).as("gh"))
+      .distinct()
+    val fo = g.groupBy(col("gh")).agg(min(col("doc_id")).as("fd"))
+    g.join(fo, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training — the similarity
+    * band BELOW the duplicate threshold: per probe, the top-5 corpus
+    * vectors with cosine in [0.05, 0.2) — similar enough to be
+    * informative negatives, far enough to not be positives (the
+    * `text_contrastive_pairs` anchor/positive generator's counterpart).
+    * Same plan family as `sim_radius`/`sim_topk`: broadcast probes with
+    * precomputed norms, one fused dot per pair, band filter on the
+    * ROUNDED score, then a per-probe window top-5 (bounded state). */
+  val simHardNegatives: Q = (s, d) => {
+    def dotp(x: Column, y: Column): Column =
+      graft.expr.FloatDotProduct.fdot(x, y)
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotp(col("embedding"), col("embedding"))).as("norm"))
+    val p = e.filter(col("vec_id") % 50 === 23)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("norm").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(p).crossJoin(e)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(dotp(col("pe"), col("embedding")) / (col("pn") * col("norm")), 6))
+      .filter(col("cos") >= 0.05 && col("cos") < 0.2)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("cand_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Higher-moment distribution profile (mean / sample stddev /
+    * SKEWNESS) per order status — `agg_stats` extended to the third
+    * moment, the long-tail detector a pricing or fraud pipeline reports
+    * before choosing transforms. All three raw moments are exact
+    * decimals in ONE aggregate: S3 multiplies through a staged
+    * (19,2)→(19,4) cast chain so BOTH engines stay on their 128-bit
+    * decimal path with zero scale adjustment (a (12,2)³ spelling
+    * overflows DuckDB's int64 fast path; a (19,4)² spelling trips
+    * Spark's precision-loss scale trim — the staged chain does
+    * neither). The closed forms run on the 3-row stats grid; the
+    * skewness denominator is m2·√m2, NOT pow(m2, 1.5) — pow is not
+    * correctly rounded and may differ by an ulp across libm
+    * implementations, multiply and sqrt are exact/correctly-rounded
+    * everywhere. */
+  val aggMoments: Q = (s, d) => {
+    val p = col("o_totalprice").cast("decimal(19,2)")
+    val m = T.orders(s, d).groupBy(col("o_orderstatus")).agg(
+      count(lit(1)).as("n"),
+      sum(p).as("s1"),
+      sum(p * p).as("s2"),
+      sum((p * p).cast("decimal(19,4)") * p).as("s3"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val mu = dbl("s1") / dbl("n")
+    val m2 = dbl("s2") / dbl("n") - mu * mu
+    val m3 = dbl("s3") / dbl("n") - lit(3) * mu * (dbl("s2") / dbl("n")) +
+      lit(2) * mu * mu * mu
+    m.select(col("o_orderstatus"), col("n"),
+        round(mu, 6).as("mean_price"),
+        round(sqrt((dbl("n") * dbl("s2") - dbl("s1") * dbl("s1"))
+          / (dbl("n") * (col("n") - 1).cast("double"))), 6).as("stddev_price"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DOMAIN-DRIFT screen — document-frequency rates compared between
+    * two source cohorts (sources 0–9 vs 10–19), top-20 most-drifted
+    * terms: the distribution-shift check run before mixing a new crawl
+    * snapshot into the training corpus (`text_mixture` decides
+    * proportions; this query is why you'd change them). One distinct
+    * (doc, term) pass, one term-keyed aggregate with conditional
+    * per-cohort counts (no pivot join), cohort totals as a broadcast
+    * scalar row, bounded top-20 output. Rates round to 6 BEFORE the
+    * drift subtraction so the ranking is engine-invariant. */
+  val textDomainDrift: Q = (s, d) => {
+    val grp = when(substring(col("source"), 4, 10).cast("int") < 10, "a")
+      .otherwise("b")
+    val docs = T.documents(s, d).select(col("doc_id"), grp.as("grp"), col("text"))
+    val tot = docs.agg(
+      sum(when(col("grp") === "a", 1L).otherwise(0L)).as("na"),
+      sum(when(col("grp") === "b", 1L).otherwise(0L)).as("nb"))
+    val td = docs
+      .select(col("doc_id"), col("grp"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val dfs = td.groupBy(col("term")).agg(
+      sum(when(col("grp") === "a", 1L).otherwise(0L)).as("dfa"),
+      sum(when(col("grp") === "b", 1L).otherwise(0L)).as("dfb"))
+    dfs.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(col("dfa").cast("double") / col("na").cast("double"), 6)
+          .as("rate_a"),
+        round(col("dfb").cast("double") / col("nb").cast("double"), 6)
+          .as("rate_b"))
+      .withColumn("drift", round(abs(col("rate_a") - col("rate_b")), 6))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_balanced" -> sampleBalanced,
     "meta_skew_report" -> metaSkewReport,
@@ -306,6 +494,12 @@ object Insights {
     "graph_degree_dist" -> graphDegreeDist,
     "graph_kcore" -> graphKcore(),
     "sim_radius" -> simRadius,
+    "agg_autocorr" -> aggAutocorr,
+    "events_gaps" -> eventsGaps,
+    "text_novelty" -> textNovelty,
+    "sim_hard_negatives" -> simHardNegatives,
+    "agg_moments" -> aggMoments,
+    "text_domain_drift" -> textDomainDrift,
   )
 
   /** DuckDB positional dot product over the 64-dim float lists (the
@@ -427,6 +621,109 @@ object Insights {
         |    SELECT pa AS p FROM e1 UNION ALL SELECT pb FROM e1) u GROUP BY p)
         |SELECT CAST(p AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg
         |FROM d1 WHERE deg >= 32 ORDER BY node""".stripMargin,
+
+    // exact integer moments on the (type, day) grid; lag pairing by date
+    // arithmetic; Pearson closed form in fixed IEEE order
+    "agg_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1.event_type, l.lag, d1.n AS x, d2.n AS y
+        |  FROM daily d1
+        |  CROSS JOIN (SELECT 1 AS lag UNION ALL SELECT 7) l
+        |  JOIN daily d2 ON d2.event_type = d1.event_type
+        |    AND d2.day = d1.day + CAST(l.lag AS INT)),
+        |m AS (SELECT event_type, lag, COUNT(*) AS np,
+        |  SUM(CAST(x AS DECIMAL(19,0))) AS sx, SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+        |  SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |  SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+        |  SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE) AS autocorr
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    // truncate-to-second gaps are exact integers in both engines
+    "events_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(gap) AS n_gaps, CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+        |  CAST(round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE), 6) AS DOUBLE) AS avg_gap_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // 2-token grams as portable 48-bit hashes; 1-based inclusive slices
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CAST('0x' || substr(md5(array_to_string(l[i:i+1], ' ')), 1, 12) AS BIGINT) AS gh
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(1, 120)) AS i) s
+        |  WHERE i <= len(l) - 1),
+        |fo AS (SELECT gh, MIN(doc_id) AS fd FROM g GROUP BY gh)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN fo.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(round(CAST(SUM(CASE WHEN fo.fd = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+        |FROM g JOIN fo USING (gh) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // the sim_topk window discipline restricted to the negative band
+    "sim_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id % 50 = 23),
+         |s AS (SELECT probe_id, c.vec_id AS cand_id,
+         |  round(${dotSql("pe", "c.embedding")}
+         |    / (sqrt(${dotSql("pe", "pe")}) * sqrt(${dotSql("c.embedding", "c.embedding")})), 6) AS cos
+         |  FROM p JOIN embeddings c ON c.vec_id <> p.probe_id),
+         |b AS (SELECT probe_id, cand_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM s WHERE cos >= 0.05 AND cos < 0.2)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+         |FROM b WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // staged (19,2)->(19,4) cast chain keeps both engines exact-int128;
+    // skew denominator spelled m2*sqrt(m2) (pow is not correctly rounded)
+    "agg_moments" ->
+      """WITH m AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS s1,
+        |  SUM(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2))) AS s2,
+        |  SUM(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2)) AS DECIMAL(19,4))
+        |    * CAST(o_totalprice AS DECIMAL(19,2))) AS s3
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS mean_price,
+        |  CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS DOUBLE) AS stddev_price,
+        |  CAST(round(
+        |    (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+        |  AS DOUBLE) AS skewness
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+
+    // rates round to 6 BEFORE the drift subtraction (ranking invariance)
+    "text_domain_drift" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+        |  text FROM documents),
+        |tot AS (SELECT
+        |  SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb FROM d),
+        |td AS (SELECT DISTINCT doc_id, grp, unnest(string_split(text, ' ')) AS term FROM d),
+        |dfs AS (SELECT term,
+        |  SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS dfa,
+        |  SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS dfb
+        |  FROM td GROUP BY term),
+        |rates AS (SELECT term,
+        |  CAST(round(CAST(dfa AS DOUBLE) / CAST(tot.na AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+        |  CAST(round(CAST(dfb AS DOUBLE) / CAST(tot.nb AS DOUBLE), 6) AS DOUBLE) AS rate_b
+        |  FROM dfs CROSS JOIN tot)
+        |SELECT term, rate_a, rate_b,
+        |  CAST(round(abs(rate_a - rate_b), 6) AS DOUBLE) AS drift
+        |FROM rates ORDER BY drift DESC, term LIMIT 20""".stripMargin,
 
     // round-6-then-threshold: the keep decision tests identical values
     "sim_radius" ->

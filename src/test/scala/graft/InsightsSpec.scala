@@ -120,6 +120,98 @@ class InsightsSpec extends SparkSpecBase {
       "a round-2 survivor was not a round-1 keep")
   }
 
+  test("agg_autocorr: values bounded in [-1,1]; pair counts below series length") {
+    val rows = Insights.aggAutocorr(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, lag, np, r) =>
+      assert(lag == 1L || lag == 7L)
+      assert(np >= 2, "degenerate pair count")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("events_gaps: max >= mean, every user with >=2 events reports") {
+    val rows = Insights.eventsGaps(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, mx, avg) =>
+      assert(n >= 1 && mx >= 0 && avg >= 0.0 && mx.toDouble >= avg - 1e-9)
+    }
+    val multi = graft.core.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().filter(col("count") >= 2).count()
+    assert(rows.length == multi, "a multi-event user is missing a gap profile")
+  }
+
+  test("text_novelty: first doc is fully novel; credits tie out globally") {
+    val rows = Insights.textNovelty(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, "the earliest doc must be 100% novel")
+    rows.foreach { case (_, ng, nn, nov) =>
+      assert(nn <= ng && nov >= 0.0 && nov <= 1.0)
+    }
+    // sum of novel credits == number of distinct grams in the corpus
+    val totalNovel = rows.map(_._3).sum
+    val distinctGrams = graft.core.Tables.documents(spark, sf0001)
+      .select(split(col("text"), " ").as("l")).filter(size(col("l")) >= 2)
+      .select(explode(sequence(lit(1), size(col("l")) - 1)).as("i"), col("l"))
+      .select(concat_ws(" ", slice(col("l"), col("i"), lit(2))).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams,
+      "every distinct gram must be credited to exactly one doc")
+  }
+
+  test("sim_hard_negatives: scores stay inside the declared band, <=5 per probe") {
+    val rows = Insights.simHardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, rnk, c, cos) =>
+      assert(p % 50 == 23 && p != c)
+      assert(cos >= 0.05 && cos < 0.2, s"cos $cos escaped the negative band")
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val cs = g.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "rank order must follow descending cosine")
+    }
+  }
+
+  test("agg_moments: matches built-in mean/stddev/skewness within 1e-6") {
+    val rows = Insights.aggMoments(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val builtin = graft.core.Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus")
+      .agg(avg(col("o_totalprice")).as("m"), stddev(col("o_totalprice")).as("s"),
+        skewness(col("o_totalprice")).as("g"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == builtin.keySet)
+    rows.foreach { case (k, (m, s, g)) =>
+      val (bm, bs, bg) = builtin(k)
+      assert(math.abs(m - bm) < 1e-6, s"$k mean: $m vs $bm")
+      assert(math.abs(s - bs) < 1e-6, s"$k stddev: $s vs $bs")
+      // built-in skewness uses the population m2^1.5 normalization too
+      assert(math.abs(g - bg) < 1e-5, s"$k skewness: $g vs $bg")
+    }
+  }
+
+  test("text_domain_drift: drift is |rate_a - rate_b| and sorted descending") {
+    val rows = Insights.textDomainDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, a, b, drift) =>
+      assert(math.abs(drift - math.abs(a - b)) < 1e-9)
+      assert(a >= 0 && a <= 1 && b >= 0 && b <= 1)
+    }
+    val ds = rows.map(_._4)
+    assert(ds.zip(ds.tail).forall { case (x, y) => x >= y })
+  }
+
   test("sim_radius: every hit clears the rounded threshold; probes bounded") {
     val rows = Insights.simRadius(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
