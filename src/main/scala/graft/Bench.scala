@@ -45,7 +45,9 @@ object Bench {
     "join_spatial", "merge_mor", "text_perplexity",
     // round-7 flagships
     "dedup_semantic", "mm_shard_read",
-    "graph_kcore", "sample_balanced", "sim_radius")
+    "graph_kcore", "sample_balanced", "sim_radius",
+    // round-7c flagships
+    "dedup_substring", "dedup_containment", "sample_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

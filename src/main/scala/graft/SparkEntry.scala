@@ -79,6 +79,7 @@ object SparkEntry {
     "stream_stateful"  -> Streaming.streamStateful,
     "stream_join"      -> Streaming.streamJoin,
     "stream_late_audit" -> Streaming.streamLateAudit,
+    "stream_topk"      -> Streaming.streamTopk,
     // LLM-data-pipeline: dedup / similarity / text analysis / multimodal
     "dedup_exact"      -> LlmPipeline.dedupExact,
     "dedup_near"       -> LlmPipeline.dedupNear,
@@ -133,7 +134,7 @@ object SparkEntry {
     "pipeline_e2e"     -> LlmPipeline.pipelineE2e,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
-    Composite.queries ++ Insights.queries
+    Composite.queries ++ Insights.queries ++ Curation.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -163,5 +164,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
-      Advanced.oracles ++ Composite.oracles ++ Insights.oracles
+      Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
+      Curation.oracles
 }

@@ -91,12 +91,15 @@ object SqlCatalog {
     "table_diff", "scan_dpp",
     // round-7b insight keys whose oracle SQL is already ANSI
     "meta_skew_report", "agg_corr_matrix", "graph_degree_dist",
-    "graph_kcore", "agg_moments")
+    "graph_kcore", "agg_moments",
+    // round-7c curation keys whose oracle SQL is already ANSI
+    "agg_winsorize", "stream_topk")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
-      graft.ops.Sources.oracles ++ graft.ops.Insights.oracles)(k)
+      graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
+      graft.ops.Curation.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -2387,6 +2390,122 @@ object SqlCatalog {
         |  FROM e p JOIN e c ON p.vec_id % 50 = 7 AND c.vec_id <> p.vec_id)
         |SELECT probe_id, cand_id, cos FROM s WHERE cos >= 0.2
         |ORDER BY probe_id, cos DESC, cand_id""".stripMargin,
+
+    // ------------------------------------------------- round-7c curation
+    // repeated 8-gram spans: df over distinct docs, island-merge per doc
+    "dedup_substring" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, split(text, ' ') AS l FROM corpus
+         |        WHERE size(split(text, ' ')) >= 8),
+         |g AS (SELECT doc_id, size(l) AS n_toks, i,
+         |    md5_48(concat_ws(' ', slice(l, i, 8))) AS gh
+         |  FROM tok LATERAL VIEW explode(sequence(1, size(l) - 7)) s AS i),
+         |rep AS (SELECT g.doc_id, g.n_toks, g.i, g.i + 7 AS e
+         |  FROM g JOIN (SELECT gh FROM g GROUP BY gh
+         |               HAVING COUNT(DISTINCT doc_id) >= 2) r USING (gh)),
+         |isl AS (SELECT doc_id, n_toks, i, e,
+         |    MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM rep),
+         |brk AS (SELECT doc_id, n_toks, i, e,
+         |    CASE WHEN pmax IS NULL OR i > pmax + 1 THEN 1 ELSE 0 END AS b
+         |  FROM isl),
+         |grp AS (SELECT doc_id, n_toks, i, e,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS UNBOUNDED PRECEDING) AS isl_id
+         |  FROM brk),
+         |spans AS (SELECT doc_id, n_toks, isl_id, MIN(i) AS st, MAX(e) AS en
+         |  FROM grp GROUP BY doc_id, n_toks, isl_id)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(en - st + 1) AS BIGINT) AS covered_tokens,
+         |  CAST(round(CAST(SUM(en - st + 1) AS DOUBLE)
+         |    / CAST(n_toks AS DOUBLE), 6) AS DOUBLE) AS covered_frac
+         |FROM spans GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
+
+    // containment in its semantic (quadratic) form — identical rows to the
+    // prefix-filtered containmentJoin plan (the dedup_near discipline)
+    "dedup_containment" ->
+      s"""WITH $corpusSql,
+         |$shingleSetsSql
+         |SELECT var_id, base_id, round(cont, 6) AS cont FROM (
+         |  SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,
+         |    CAST(size(array_intersect(sa.sset, sb.sset)) AS DOUBLE)
+         |      / CAST(size(sa.sset) AS DOUBLE) AS cont
+         |  FROM ssets sa JOIN ssets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |WHERE cont >= 0.9
+         |ORDER BY var_id, base_id""".stripMargin,
+
+    // non-overlapping 8-token segments over the planted-header corpus
+    "text_boilerplate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, source,
+         |    concat('${graft.ops.Curation.BoilerHeader} ', text)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tok AS (SELECT doc_id, source, split(text, ' ') AS l FROM corpus
+         |        WHERE size(split(text, ' ')) >= 8),
+         |segs AS (SELECT doc_id, source,
+         |    md5_48(concat_ws(' ', slice(l, k * 8 + 1, 8))) AS sh
+         |  FROM tok LATERAL VIEW explode(sequence(0,
+         |    CAST(floor(CAST(size(l) AS DOUBLE) / 8) AS INT) - 1)) s AS k),
+         |dfc AS (SELECT sh, COUNT(DISTINCT doc_id) AS dfd FROM segs GROUP BY sh)
+         |SELECT source, COUNT(*) AS n_segs,
+         |  CAST(SUM(CASE WHEN dfd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(round(CAST(SUM(CASE WHEN dfd >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS boiler_rate
+         |FROM segs JOIN dfc USING (sh) GROUP BY source ORDER BY source""".stripMargin,
+
+    // top-50 per language; ln-moments as exact decimals (agg_entropy rule)
+    "text_zipf" ->
+      """WITH tc AS (SELECT lang, term, COUNT(*) AS cnt
+        |  FROM (SELECT lang, explode(split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY lang, term),
+        |top AS (SELECT lang, cnt, rk FROM (
+        |    SELECT lang, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+        |    FROM tc) q WHERE rk <= 50),
+        |xy AS (SELECT lang,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 8) AS DECIMAL(18,10)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(18,10)) AS y
+        |  FROM top),
+        |m AS (SELECT lang, COUNT(*) AS n_terms,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM xy GROUP BY lang)
+        |SELECT lang, n_terms,
+        |  CAST(round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS DOUBLE) AS slope,
+        |  CAST(round((CAST(sy AS DOUBLE)
+        |      - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE), 6) AS DOUBLE)
+        |    AS intercept
+        |FROM m ORDER BY lang""".stripMargin,
+
+    // T=0.7 weights; exact decimal weight sum; md5-48 hash-gate order
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_docs) AS n_tot FROM c),
+        |w AS (SELECT lang, n_docs,
+        |    round(pow(CAST(n_docs AS DOUBLE) / CAST(tot.n_tot AS DOUBLE), 0.7), 8) AS wt
+        |  FROM c CROSS JOIN tot),
+        |ws AS (SELECT SUM(CAST(wt AS DECIMAL(18,8))) AS wsum FROM w),
+        |tgt AS (SELECT lang,
+        |    CAST(floor(CAST(200.0 AS DOUBLE) * wt / CAST(ws.wsum AS DOUBLE)) AS BIGINT) AS target
+        |  FROM w CROSS JOIN ws),
+        |ranked AS (SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5_48(concat('temp:', CAST(doc_id AS STRING))), doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, t.target
+        |FROM ranked r JOIN tgt t ON r.lang = t.lang
+        |WHERE r.rk <= t.target ORDER BY r.lang, r.rk""".stripMargin,
   )
 
   /** SQL text per declared query key, runnable via [[sql]]. */

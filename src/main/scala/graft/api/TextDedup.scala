@@ -208,6 +208,57 @@ object TextDedup {
         round(col("jacc"), roundTo).as("jacc"))
   }
 
+  /** EXACT bipartite CONTAINMENT-threshold join: pairs where
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| >= t — the asymmetric
+    * near-dup relation Jaccard misses (a truncation, excerpt, or quoted
+    * subset of a longer document scores low Jaccard but containment ~1;
+    * production pipelines use it to collapse prefix-crawls and
+    * boilerplate-wrapped copies onto their supersets).
+    *
+    * Candidate pruning is the one-sided pigeonhole: if |A∩B| >= ceil(t·|A|)
+    * then at most |A| − ceil(t·|A|) elements of A miss B, so ANY
+    * (|A| − ceil(t·|A|) + 1)-element prefix of A must hit B — only that
+    * prefix of A explodes (in canonical ascending-hash order for
+    * determinism), equi-joined against B's full inverted shingle index. A
+    * size bound (|B| >= t·|A|) prunes further; the verify join recomputes
+    * the exact intersection, so the output is byte-identical to the naive
+    * quadratic join. Unlike [[jaccardJoin]], the RIGHT side cannot be
+    * prefix-pruned (containment puts no lower bound on |A∩B|/|B|) — at
+    * scale the right index is O(total shingles) rows hash-shuffled once,
+    * the same cost class as the corpus-side shingle pass every LSH family
+    * here already pays. Output: (left_id, right_id, cont rounded). */
+  def containmentJoin(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3,
+      roundTo: Int = 6): DataFrame = {
+    val ls = cached(hashedShingleSets(left, idCol, textCol, n)
+      .select(col(idCol).as("left_id"), col("sset").as("lset")))
+    val rs = cached(hashedShingleSets(right, idCol, textCol, n)
+      .select(col(idCol).as("right_id"), col("sset").as("rset")))
+    val lp = ls
+      .withColumn("__n", size(col("lset")))
+      .withColumn("__plen",
+        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+      .select(col("left_id"), col("__n").as("ln"),
+        explode(slice(array_sort(col("lset")), lit(1), col("__plen")))
+          .as("psh"))
+    val ri = rs.select(col("right_id"), size(col("rset")).as("rn"),
+      explode(col("rset")).as("psh"))
+    val cand = lp.join(ri, "psh")
+      .filter(col("rn").cast("double") >= lit(threshold) * col("ln"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id")).distinct()
+    // shuffle-hash verify (the jaccardJoin discipline: candidate volume is
+    // data-dependent — never collected for a broadcast)
+    cand.hint("shuffle_hash")
+      .join(ls, "left_id").join(rs, "right_id")
+      .withColumn("cont",
+        size(array_intersect(col("lset"), col("rset"))).cast("double") /
+          size(col("lset")).cast("double"))
+      .filter(col("cont") >= threshold)
+      .select(col("left_id"), col("right_id"),
+        round(col("cont"), roundTo).as("cont"))
+  }
+
   /** MinHash signatures: (id, sig: array<long>) — K affine re-hashes of
     * the 48-bit shingle hashes, min-reduced per document.
     *

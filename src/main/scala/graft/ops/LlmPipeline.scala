@@ -41,7 +41,7 @@ object LlmPipeline {
     * exactly; 48 bits stays well inside a signed long for the affine
     * re-hash arithmetic below. */
   private def h48(c: Column): Column = graft.expr.Md5Prefix48.md548(c)
-  private def h48Sql(e: String): String =
+  private[ops] def h48Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 12) AS BIGINT)"
 
   /** MinHash family: K affine re-hashes of the 48-bit shingle hash modulo a
@@ -62,13 +62,13 @@ object LlmPipeline {
 
   /** DuckDB word-3-gram shingles (the Spark side shingles via
     * [[graft.api.TextDedup.shingleRows]] — a Generate-barrier shape). */
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     "list_transform(list_slice(list_zip(l, l[2:], l[3:]), 1, len(l)-2), x -> x[1] || ' ' || x[2] || ' ' || x[3])"
 
   /** Dedup corpus: documents ∪ planted exact-dup variants (doc_id%10==0 →
     * +100000, uppercased + padded: identical after lower/trim) ∪ planted
     * near-dup variants (doc_id%7==0 → +200000, last 2 tokens dropped). */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d).select(col("doc_id"), col("text"))
     val exactVars = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -80,7 +80,7 @@ object LlmPipeline {
     docs.unionByName(exactVars).unionByName(nearVars)
   }
 
-  private val corpusSql =
+  private[ops] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

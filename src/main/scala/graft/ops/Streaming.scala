@@ -165,6 +165,24 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING TOP-K — per tumbling hour, the 3 busiest event types (count
+    * desc, type asc tie-break). Batch mode ranks [[tumblingCounts]] with a
+    * per-window row_number — bounded state per window (WindowGroupLimit
+    * keeps a 3-row heap per map task). Streaming mode is [[topkStream]]:
+    * a per-window count map folded via mapGroupsWithState, top-3 emitted
+    * per update — the leaderboard every live dashboard keeps, with state
+    * sharded on the window key exactly like the batch shuffle. */
+  val streamTopk: Q = (s, d) => {
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    tumblingCounts(T.events(s, d))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("ws"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("ws"), col("rnk"))
+  }
+
   // --------------------------------------------------- streaming builders
 
   /** Streaming flavor of [[tumblingCounts]] with a watermark for state
@@ -228,7 +246,49 @@ object Streaming {
       .toDF("user_id", "event_id", "running_n", "running_value")
   }
 
+  /** Streaming execution of [[streamTopk]]: state = (event_type → count)
+    * map per tumbling-hour key, folded with mapGroupsWithState; each
+    * update emits the window's current top-3 as (ws, rnk, event_type,
+    * n_events) rows. Update-mode semantics — the LAST emission per window
+    * is the leaderboard (StreamingSpec takes the final snapshot and
+    * asserts equality with the batch ranking). State is one small map per
+    * open window, sharded on the window key — the same hash shuffle the
+    * batch plan uses, evictable by watermark in production. */
+  def topkStream(events: org.apache.spark.sql.Dataset[
+      (java.sql.Timestamp, String)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val hourMs = 3600L * 1000L
+    events.groupByKey(e => e._1.getTime / hourMs * hourMs)
+      .flatMapGroupsWithState[Map[String, Long],
+        (java.sql.Timestamp, Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (wsMs, evs, state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          evs.foreach { e => m = m.updated(e._2, m.getOrElse(e._2, 0L) + 1L) }
+          state.update(m)
+          val top = m.toSeq.sortBy { case (t, n) => (-n, t) }.take(3)
+          top.zipWithIndex.iterator.map { case ((t, n), i) =>
+            (new java.sql.Timestamp(wsMs), (i + 1).toLong, t, n)
+          }
+      }
+      .toDF("ws", "rnk", "event_type", "n_events")
+  }
+
   val oracles: Map[String, String] = Map(
+    // hourly leaderboard: rank the tumbling counts, keep 3 per window
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, event_type, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY ws
+        |      ORDER BY n_events DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT ws, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
+        |FROM r WHERE rnk <= 3 ORDER BY ws, rnk""".stripMargin,
     // watermark audit: planted 1-7h backshifts on every 17th event; the
     // running max per type stream is the watermark; lateness is summed
     // in exact microseconds, divided once in double, then rounded

@@ -300,4 +300,26 @@ class StreamingSpec extends SparkSpecBase {
     val batch = Streaming.tumblingCounts(events)
     assert(sortedRows(streamed) == sortedRows(batch))
   }
+
+  test("stateful top-k leaderboard: mapGroupsWithState == batch ranking") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = T.events(spark, sf0001)
+    val rows = events.select(col("ts"), col("event_type"))
+      .as[(Timestamp, String)].collect().toSeq
+    val ms = MemoryStream[(Timestamp, String)]
+    ms.addData(rows)
+    val query = Streaming.topkStream(ms.toDS()).writeStream
+      .format("memory").queryName("topk_t").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    // update mode re-emits a window's leaderboard on every state change;
+    // a single AvailableNow batch emits each window exactly once, so the
+    // sink content IS the final snapshot
+    val streamed = spark.table("topk_t")
+    val batch = Streaming.streamTopk(spark, sf0001)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(batch.groupBy("ws").count().collect().forall(_.getLong(1) <= 3))
+  }
 }
