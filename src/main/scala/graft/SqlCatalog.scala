@@ -93,7 +93,7 @@ object SqlCatalog {
     "meta_skew_report", "agg_corr_matrix", "graph_degree_dist",
     "graph_kcore", "agg_moments",
     // round-7c curation keys whose oracle SQL is already ANSI
-    "agg_winsorize", "stream_topk")
+    "agg_winsorize", "stream_topk", "agg_bucketize", "events_changepoint")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -1542,6 +1542,24 @@ object SqlCatalog {
          |  CAST(size(filter(p, x -> x >= 192 AND x < 256)) AS BIGINT) AS h3
          |FROM px ORDER BY doc_id""".stripMargin,
 
+    "mm_sharpness" -> {
+      val lap = (for { r <- Seq(1, 2); c <- Seq(1, 2) } yield
+        s"CAST(4*element_at(p, ${r * 4 + c + 1}) - element_at(p, ${(r - 1) * 4 + c + 1})" +
+          s" - element_at(p, ${(r + 1) * 4 + c + 1}) - element_at(p, ${r * 4 + c})" +
+          s" - element_at(p, ${r * 4 + c + 2}) AS BIGINT)").mkString(", ")
+      s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents),
+         |l AS (SELECT doc_id, array($lap) AS ls FROM px),
+         |v AS (SELECT doc_id,
+         |    4 * aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + x * x)
+         |      - aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + x)
+         |        * aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + x) AS v16
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(round(CAST(v16 AS DOUBLE) / 16.0, 6) AS DOUBLE) AS lap_var,
+         |  v16 < 320000 AS is_blurry
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
     "mm_resize" ->
       s"""WITH px AS (SELECT doc_id, $mediaPx AS p FROM documents)
          |SELECT doc_id, 4 AS n_bytes, 2 AS width, 2 AS height,
@@ -2487,6 +2505,47 @@ object SqlCatalog {
         |    AS intercept
         |FROM m ORDER BY lang""".stripMargin,
 
+    // micro-unit cohort sums; cleared-denominator decimal distance
+    "embed_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, vec_id % 2 = 0 AS cohort_a, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        |  FROM (SELECT vec_id, label, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |sums AS (SELECT label, dim,
+        |    SUM(CASE WHEN cohort_a THEN qd ELSE 0L END) AS sa,
+        |    SUM(CASE WHEN NOT cohort_a THEN qd ELSE 0L END) AS sb,
+        |    SUM(CASE WHEN cohort_a THEN 1L ELSE 0L END) AS na,
+        |    SUM(CASE WHEN NOT cohort_a THEN 1L ELSE 0L END) AS nb
+        |  FROM q GROUP BY label, dim),
+        |agg AS (SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    SUM(CAST(sa * nb - sb * na AS DECIMAL(18,0))
+        |      * CAST(sa * nb - sb * na AS DECIMAL(18,0))) AS d2
+        |  FROM sums GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  CAST(round(sqrt(CAST(d2 AS DOUBLE))
+        |    / CAST(n_a * n_b * 1000000 AS DOUBLE), 6) AS DOUBLE) AS centroid_dist
+        |FROM agg ORDER BY label""".stripMargin,
+
+    // symbol density + keyword hits (Spark regexp: replace-all is default)
+    "text_code_detect" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    concat('def fn_', doc_id, '(x): y = x * ', doc_id % 7,
+        |      ' ; return y # auto import os ; print(y)')
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |scored AS (SELECT doc_id,
+        |    CAST(round(CAST(length(text)
+        |        - length(regexp_replace(text, '[(){}\\[\\]=;:#*]', '')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS DOUBLE) AS sym_density,
+        |    CAST(size(regexp_extract_all(text,
+        |      '\\b(def|import|return|print)\\b', 0)) AS BIGINT) AS kw_hits
+        |  FROM corpus)
+        |SELECT doc_id, sym_density, kw_hits FROM scored
+        |WHERE sym_density >= 0.04 OR kw_hits >= 2 ORDER BY doc_id""".stripMargin,
+
     // T=0.7 weights; exact decimal weight sum; md5-48 hash-gate order
     "sample_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
@@ -2576,6 +2635,20 @@ object SqlCatalog {
         |  round(o_totalprice, 2) AS o_totalprice,
         |  to_timestamp(o_odate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate
         |FROM graft_source_csv_back ORDER BY o_orderkey""".stripMargin),
+
+    "source_text" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_text_sql")}' USING text
+         |SELECT concat_ws(chr(1), doc_id, source, text) AS value
+         |FROM documents""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_source_text_back (value STRING)
+         |USING text OPTIONS (path '${ioDir("source_text_sql")}')""".stripMargin,
+      """SELECT element_at(split(value, chr(1)), 2) AS source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(element_at(split(value, chr(1)), 3))) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(SUM(md5_48(element_at(split(value, chr(1)), 3))) AS BIGINT)
+        |    AS checksum
+        |FROM graft_source_text_back GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "source_json" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_json")}' USING json

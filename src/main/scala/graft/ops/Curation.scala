@@ -261,6 +261,162 @@ object Curation {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** QUANTILE-BUCKET features per order status — the feature-engineering
+    * binning stage (equal-population buckets, not `agg_hist`'s fixed-width
+    * bands): quartile bounds via the `agg_percentile` rank-interpolation
+    * machinery (rounded to 2 so bucket edges are engine-invariant), then
+    * a map-side CASE bin against the broadcast 3-bound table and one
+    * (status, bucket) aggregate with an exact decimal mean. The shuffle
+    * after ranking carries only the 4-row-per-group picks; binning adds
+    * zero shuffles. */
+  val aggBucketize: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val n = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val ranked = o.withColumn("r", row_number().over(w).cast("long") - 1)
+    def h(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val kept = ranked.join(n, "o_orderstatus").filter(
+      qs.map(q => col("r") === floor(h(q)) || col("r") === ceil(h(q)))
+        .reduce(_ || _))
+    val picked = kept.groupBy(col("o_orderstatus"), col("n")).agg(
+      max(when(col("r") === floor(h(0.25)), col("o_totalprice"))).as("lo25"),
+      max(when(col("r") === ceil(h(0.25)), col("o_totalprice"))).as("hi25"),
+      max(when(col("r") === floor(h(0.5)), col("o_totalprice"))).as("lo50"),
+      max(when(col("r") === ceil(h(0.5)), col("o_totalprice"))).as("hi50"),
+      max(when(col("r") === floor(h(0.75)), col("o_totalprice"))).as("lo75"),
+      max(when(col("r") === ceil(h(0.75)), col("o_totalprice"))).as("hi75"))
+    def interp(lo: Column, hi: Column, q: Double) = {
+      val hq = h(q)
+      round(lo + (hq - floor(hq)) * (hi - lo), 2)
+    }
+    val bounds = picked.select(col("o_orderstatus"),
+      interp(col("lo25"), col("hi25"), 0.25).as("q25"),
+      interp(col("lo50"), col("hi50"), 0.5).as("q50"),
+      interp(col("lo75"), col("hi75"), 0.75).as("q75"))
+    o.join(broadcast(bounds), "o_orderstatus")
+      .withColumn("bucket",
+        when(col("o_totalprice") < col("q25"), 0L)
+          .when(col("o_totalprice") < col("q50"), 1L)
+          .when(col("o_totalprice") < col("q75"), 2L)
+          .otherwise(3L))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(20,8)")).as("sp"))
+      .select(col("o_orderstatus"), col("bucket"), col("n"),
+        round(col("sp").cast("double") / col("n").cast("double"), 6)
+          .as("mean_price"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+  }
+
+  /** CUSUM CHANGEPOINT locator per event type — the level-shift detector
+    * that complements `events_anomaly`'s rolling z-score (point outliers):
+    * on the daily count series, the day k maximizing |Σ_{i≤k} x_i − k·μ|
+    * is the classic cumulative-sum changepoint. Scaling the statistic by
+    * n_days keeps EVERYTHING integer — score_k = |n·prefix_k − k·total| —
+    * so the argmax is exact and engine-invariant; only the two reported
+    * magnitudes divide once in double. One shuffle to the (type, day)
+    * grain; the series windows are per-type partitions over ≤ n_days
+    * rows. */
+  val eventsChangepoint: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("score",
+        abs(col("nd") * col("prefix") - col("k") * col("tot")))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("day"))
+    scored.withColumn("rnk", row_number().over(wPick))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("nd").as("n_days"),
+        round(col("tot").cast("double") / col("nd").cast("double"), 6)
+          .as("mean_daily"),
+        round(col("score").cast("double") / col("nd").cast("double"), 6)
+          .as("cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** EMBEDDING-SPACE DRIFT monitor — per label, the distance between the
+    * centroids of two cohorts (even vs odd vec_id — standing in for two
+    * snapshot dates): the number an embedding pipeline alerts on when a
+    * re-embed or data shift moves a class. The `embed_centroid` exact
+    * micro-unit discipline: floats quantize to integer micro-units,
+    * per-(label, dim, cohort) sums are exact BIGINTs, and the squared
+    * centroid difference clears denominators — Σ_d (SA_d·nB − SB_d·nA)²
+    * in DECIMAL(38,0) — so the comparison never touches a float; the one
+    * reported distance divides and roots in double, then rounds. The sum
+    * grid is model-sized (labels × 64 × 2 rows); the corpus shuffles
+    * once. */
+  val embedDrift: Q = (s, d) => {
+    val q = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % 2 === 0).as("cohort_a"),
+        posexplode(expr("transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+          .as(Seq("dim", "qd")))
+    val sums = q.groupBy(col("label"), col("dim")).agg(
+      sum(when(col("cohort_a"), col("qd")).otherwise(0L)).as("sa"),
+      sum(when(!col("cohort_a"), col("qd")).otherwise(0L)).as("sb"),
+      sum(when(col("cohort_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("nb"))
+    val diff = col("sa") * col("nb") - col("sb") * col("na")
+    sums
+      .select(col("label"), col("na"), col("nb"),
+        (diff.cast("decimal(18,0)") * diff.cast("decimal(18,0)")).as("dd"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("dd")).as("d2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("d2").cast("double"))
+          / (col("n_a") * col("n_b") * 1000000L).cast("double"), 6)
+          .as("centroid_dist"))
+      .orderBy(col("label"))
+  }
+
+  /** Planted code corpus for [[textCodeDetect]]: every 6th document
+    * re-crawled as a code snippet — the code/prose separation every LLM
+    * corpus runs before choosing a mixture. */
+  private[graft] def codeCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val snippet = concat(
+      lit("def fn_"), col("doc_id"), lit("(x): y = x * "),
+      col("doc_id") % 7, lit(" ; return y # auto "),
+      lit("import os ; print(y)"))
+    docs.unionByName(docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"), snippet.as("text")))
+  }
+
+  /** CODE-vs-PROSE detection — the mixture-separation filter (code is
+    * trained at a declared proportion, not at whatever the crawl
+    * carries): symbol density (share of (){}[]=;:#* characters) plus
+    * keyword hits (def/import/return/print as whole words), flagging
+    * docs crossing either bar. Pure per-row scalar projections over the
+    * scan — the only shuffle is the declared output sort; at 100 TB this
+    * is a free rider on any existing pass. */
+  val textCodeDetect: Q = (s, d) => {
+    val t = codeCorpus(s, d)
+    val nChars = length(col("text"))
+    val symbols = nChars -
+      length(regexp_replace(col("text"), "[(){}\\[\\]=;:#*]", ""))
+    val kw = size(regexp_extract_all(col("text"),
+      lit("\\b(def|import|return|print)\\b"), lit(0)))
+    t.select(col("doc_id"),
+        round(symbols.cast("double") / nChars.cast("double"), 6)
+          .as("sym_density"),
+        kw.cast("long").as("kw_hits"))
+      .filter(col("sym_density") >= 0.04 || col("kw_hits") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "dedup_containment" -> dedupContainment,
@@ -268,6 +424,10 @@ object Curation {
     "text_zipf" -> textZipf,
     "agg_winsorize" -> aggWinsorize,
     "sample_temperature" -> sampleTemperature,
+    "agg_bucketize" -> aggBucketize,
+    "events_changepoint" -> eventsChangepoint,
+    "embed_drift" -> embedDrift,
+    "text_code_detect" -> textCodeDetect,
   )
 
   private def corpusSql: String = LlmPipeline.corpusSql
@@ -402,6 +562,108 @@ object Curation {
         |FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
         |GROUP BY o.o_orderstatus, b.n, b.p05, b.p95
         |ORDER BY o.o_orderstatus""".stripMargin,
+
+    // quartile bounds by rank interpolation (double-cast literals), CASE
+    // binning, exact decimal bucket means
+    "agg_bucketize" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) - 1 AS r,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |picked AS (
+        |  SELECT o_orderstatus, n,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS lo25,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS hi25,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS lo50,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS hi50,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.75 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS lo75,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.75 AS DOUBLE) * (n - 1)) AS BIGINT) THEN o_totalprice END) AS hi75
+        |  FROM r
+        |  WHERE r = CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.25 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |     OR r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |     OR r = CAST(floor(CAST(0.75 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.75 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |  GROUP BY o_orderstatus, n),
+        |bounds AS (
+        |  SELECT o_orderstatus,
+        |    round(lo25 + (CAST(0.25 AS DOUBLE) * (n - 1) - floor(CAST(0.25 AS DOUBLE) * (n - 1))) * (hi25 - lo25), 2) AS q25,
+        |    round(lo50 + (CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1))) * (hi50 - lo50), 2) AS q50,
+        |    round(lo75 + (CAST(0.75 AS DOUBLE) * (n - 1) - floor(CAST(0.75 AS DOUBLE) * (n - 1))) * (hi75 - lo75), 2) AS q75
+        |  FROM picked)
+        |SELECT o.o_orderstatus,
+        |  CAST(CASE WHEN o.o_totalprice < b.q25 THEN 0
+        |            WHEN o.o_totalprice < b.q50 THEN 1
+        |            WHEN o.o_totalprice < b.q75 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,8))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_price
+        |FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer CUSUM: score_k = |n*prefix_k - k*total| stays exact; the
+    // argmax day is engine-invariant, only reported magnitudes divide
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, day,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS prefix,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily),
+        |best AS (
+        |  SELECT event_type, day, nd, tot,
+        |    abs(nd * prefix - k * tot) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(nd * prefix - k * tot) DESC, day) AS rnk
+        |  FROM scored)
+        |SELECT event_type, day AS cp_day, CAST(nd AS BIGINT) AS n_days,
+        |  CAST(round(CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS DOUBLE) AS mean_daily,
+        |  CAST(round(CAST(score AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS DOUBLE) AS cusum
+        |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin,
+
+    // micro-unit cohort sums; squared centroid diff with cleared
+    // denominators in DECIMAL(38,0); one double sqrt at the end
+    "embed_drift" ->
+      """WITH q AS (SELECT vec_id, label, vec_id % 2 = 0 AS cohort_a, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |sums AS (SELECT label, dim,
+        |    CAST(SUM(CASE WHEN cohort_a THEN qd ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN NOT cohort_a THEN qd ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN cohort_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM q GROUP BY label, dim),
+        |agg AS (SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    SUM(CAST(sa * nb - sb * na AS DECIMAL(18,0))
+        |      * CAST(sa * nb - sb * na AS DECIMAL(18,0))) AS d2
+        |  FROM sums GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  CAST(round(sqrt(CAST(d2 AS DOUBLE))
+        |    / CAST(n_a * n_b * 1000000 AS DOUBLE), 6) AS DOUBLE) AS centroid_dist
+        |FROM agg ORDER BY label""".stripMargin,
+
+    // symbol density + whole-word keyword hits over the planted-code corpus
+    "text_code_detect" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    'def fn_' || doc_id || '(x): y = x * ' || (doc_id % 7)
+        |      || ' ; return y # auto import os ; print(y)'
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |scored AS (SELECT doc_id,
+        |    CAST(round(CAST(length(text)
+        |        - length(regexp_replace(text, '[(){}\[\]=;:#*]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE), 6) AS DOUBLE) AS sym_density,
+        |    CAST(len(regexp_extract_all(text, '\b(def|import|return|print)\b')) AS BIGINT) AS kw_hits
+        |  FROM corpus)
+        |SELECT doc_id, sym_density, kw_hits FROM scored
+        |WHERE sym_density >= 0.04 OR kw_hits >= 2 ORDER BY doc_id""".stripMargin,
 
     // T=0.7 weights on rounded shares; exact decimal weight sum; floor
     // targets; md5-48 hash-gate order per language

@@ -121,6 +121,35 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** BLUR / SHARPNESS screen — variance of the 3×3 Laplacian over the
+    * raster's interior, the standard focus measure a vision data pipeline
+    * thresholds to drop out-of-focus frames before training. On the 4×4
+    * grid the interior is the 2×2 center; each response
+    * 4p(r,c) − p(r±1,c) − p(r,c±1) is an exact integer, the variance
+    * clears its denominator (16·var = 4·Σl² − (Σl)²), and the blur flag
+    * compares INTEGERS — bit-portable, no float anywhere in the
+    * decision. Entirely inside whole-stage codegen over the scan, like
+    * [[mmPixels]]; at 100 TB it rides the decode stage for free. */
+  val mmSharpness: Q = (s, d) => {
+    // Generate barrier (the mmPhash rule): the Laplacian reads 20 pixel
+    // positions; evaluate the decode array once per row
+    def p(r: Int, c: Int): Column = element_at(col("px"), r * 4 + c + 1)
+    val laps = for { r <- Seq(1, 2); c <- Seq(1, 2) } yield
+      (p(r, c) * 4 - p(r - 1, c) - p(r + 1, c) - p(r, c - 1) - p(r, c + 1))
+        .cast("long")
+    val sl = laps.reduce(_ + _)
+    val ssl = laps.map(l => l * l).reduce(_ + _)
+    val scaled = ssl * 4 - sl * sl // 16 * variance, exact
+    media(s, d)
+      .select(col("doc_id"),
+        explode(array(pixels(col("payload"), 16))).as("px"))
+      .select(col("doc_id"), scaled.as("v16"))
+      .select(col("doc_id"),
+        round(col("v16").cast("double") / 16.0, 6).as("lap_var"),
+        (col("v16") < 320000L).as("is_blurry")) // var < 20000, integer form
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL image codec round trip via typed partition batches — the JVM
     * analogue of `mapInPandas`. Stage 1 encodes each 4×4 gray8 raster as
     * an actual PNG (`javax.imageio`, in the JDK — no external deps),
@@ -216,9 +245,15 @@ object Multimodal {
   }
 
   val mmPhash: Q = (s, d) => {
-    val px = pixels(col("payload"), 16)
+    // Generate barrier: dhash/ahash reference ~40 pixel positions, and a
+    // projected HOF array would be re-inlined into every reference by
+    // CollapseProject (16 hex/conv evals per reference). explode(array(..))
+    // pins ONE evaluation per row; the hashes then read the attribute.
     media(s, d)
-      .withColumn("dhash", dhashOf(px)).withColumn("ahash", ahashOf(px))
+      .select(col("doc_id"),
+        explode(array(pixels(col("payload"), 16))).as("px"))
+      .withColumn("dhash", dhashOf(col("px")))
+      .withColumn("ahash", ahashOf(col("px")))
       .groupBy(col("dhash"))
       .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("rep_doc_id"),
         countDistinct(col("ahash")).as("n_ahash"))
@@ -382,8 +417,11 @@ object Multimodal {
     * pHash uses 4×16-bit blocks — block width grows with hash width,
     * holding bucket sizes flat. */
   val mmDedup: Q = (s, d) => {
+    // Generate barrier (the mmPhash rule): evaluate the pixel array once
+    // per row so dhashOf's 24 element references don't re-inline it
     val basePx = media(s, d)
-      .select(col("doc_id"), pixels(col("payload"), 16).as("p"))
+      .select(col("doc_id"),
+        explode(array(pixels(col("payload"), 16))).as("p"))
     val varPx = basePx.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 500000L).as("doc_id"),
         expr("transform(p, (x, i) -> IF(i = 15, 255 - x, x))").as("p"))
@@ -419,6 +457,7 @@ object Multimodal {
     "mm_frames" -> mmFrames,
     "mm_batch_stats" -> mmBatchStats,
     "mm_phash" -> mmPhash,
+    "mm_sharpness" -> mmSharpness,
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,6 +563,24 @@ object Multimodal {
       """SELECT doc_id, CAST(len(md5(text)) / 2 AS INT) AS n_bytes,
         |  4 AS width, 4 AS height, 'gray8' AS fmt, 16 AS n_px
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 2x2-interior Laplacian variance with cleared denominator; the blur
+    // flag compares exact integers (var < 20000 <=> 16var < 320000)
+    "mm_sharpness" -> {
+      val lap = (for { r <- Seq(1, 2); c <- Seq(1, 2) } yield
+        s"(4*p[${r * 4 + c + 1}] - p[${(r - 1) * 4 + c + 1}] - p[${(r + 1) * 4 + c + 1}]" +
+          s" - p[${r * 4 + c}] - p[${r * 4 + c + 2}])").mkString(", ")
+      s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents),
+         |l AS (SELECT doc_id, [$lap] AS ls FROM px),
+         |v AS (SELECT doc_id,
+         |    4 * CAST(list_sum(list_transform(ls, x -> x * x)) AS BIGINT)
+         |      - CAST(list_sum(ls) AS BIGINT) * CAST(list_sum(ls) AS BIGINT) AS v16
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(round(CAST(v16 AS DOUBLE) / 16.0, 6) AS DOUBLE) AS lap_var,
+         |  v16 < 320000 AS is_blurry
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "mm_pixels" ->
       s"""WITH px AS (SELECT doc_id, ${pixelsSql("text")} AS p FROM documents)

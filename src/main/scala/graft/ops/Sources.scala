@@ -67,6 +67,34 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** LINE-DELIMITED TEXT roundtrip — the log/raw-crawl ingestion format
+    * (one record per line, field-delimited): documents serialize to
+    * ctrl-A (u0001)-delimited lines via the text sink, read back with
+    * `spark.read.text`, and the declared result is a per-source audit of
+    * the PARSED readback (docs, characters, and a 48-bit content
+    * checksum) — the oracle computes the same from the original table,
+    * proving the roundtrip lossless. ctrl-A (Hive's default field
+    * delimiter) cannot collide with the alnum+space corpus. At 100 TB
+    * text sources split by line across partitions like any other
+    * splittable format — the parse is a map-side projection. */
+  val sourceText: Q = (s, d) => {
+    val dir = ioDir("source_text")
+    T.documents(s, d)
+      .select(concat_ws("\u0001", col("doc_id"), col("source"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val parts = split(col("value"), "\u0001")
+    s.read.text(dir)
+      .select(element_at(parts, 1).cast("long").as("doc_id"),
+        element_at(parts, 2).as("source"),
+        element_at(parts, 3).as("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(graft.expr.Md5Prefix48.md548(col("text"))).as("checksum"))
+      .orderBy(col("source"))
+  }
+
   /** JSON interchange roundtrip: events slice (incl. the nested-JSON
     * `props` string) → JSON lines → schema-directed read → per-type
     * aggregate + a props extraction, proving nested text survives. */
@@ -677,6 +705,7 @@ object Sources {
     "sink_compaction" -> sinkCompaction,
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
+    "source_text" -> sourceText,
     "source_json" -> sourceJson,
     "sink_partitioned" -> sinkPartitioned,
     "source_evolution" -> sourceEvolution,
@@ -799,6 +828,14 @@ object Sources {
         |  CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS o_orderdate
         |FROM orders WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // losslessness proof: audit the ORIGINAL table with the same md5-48
+    // content checksum the engine computes on the text-file readback
+    "source_text" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "source_json" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -106,6 +106,89 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_bucketize: equal-population quartile buckets; means ordered") {
+    val rows = Curation.aggBucketize(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byStatus = rows.groupBy(_._1)
+    byStatus.foreach { case (st, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+        s"$st: missing buckets ${bs.map(_._2).toSeq}")
+      // equal-population: quartile buckets differ by at most ~2 rows
+      // (interpolated boundaries sit between ranks)
+      val counts = bs.sortBy(_._2).map(_._3)
+      assert(counts.max - counts.min <= math.max(2L, counts.max / 4),
+        s"$st: skewed quartiles $counts")
+      // bucket means strictly increase with the bucket index
+      val means = bs.sortBy(_._2).map(_._4)
+      assert(means.zip(means.tail).forall { case (a, b) => a < b },
+        s"$st: non-monotone bucket means $means")
+    }
+  }
+
+  test("events_changepoint: the flagged day maximizes the integer CUSUM") {
+    val rows = Curation.eventsChangepoint(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2, "degenerate series")
+      assert(r.getDouble(4) >= 0.0, "negative |CUSUM|")
+    }
+    // brute-force one type's series and confirm the argmax day
+    val daily = graft.core.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("event_type") === rows.head.getString(0))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(1), r.getLong(2)))
+    val nd = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    var prefix = 0L
+    val scores = daily.zipWithIndex.map { case ((day, n), i) =>
+      prefix += n
+      (day, math.abs(nd * prefix - (i + 1).toLong * tot))
+    }
+    val best = scores.maxBy(s => (s._2, -s._1.getTime))
+    assert(rows.head.getDate(1).toString == best._1.toString,
+      s"changepoint ${rows.head.getDate(1)} != brute-force ${best._1}")
+  }
+
+  test("embed_drift: cohort split is total; distances are small nonnegatives") {
+    val rows = Curation.embedDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totals = graft.core.Tables.embeddings(spark, sf0001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (label, na, nb, dist) =>
+      assert(na + nb == totals(label), s"label $label cohorts do not partition")
+      assert(dist >= 0.0, s"label $label negative distance")
+      // random halves of the same cluster: centroids stay near each other
+      assert(dist < 1.0, s"label $label implausible drift $dist")
+    }
+  }
+
+  test("text_code_detect: exactly the planted snippets flag; prose is silent") {
+    val rows = Curation.textCodeDetect(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val planted = graft.core.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 6 === 0).collect().map(_.getLong(0) + 400000L).toSet
+    assert(rows.map(_._1).toSet == planted,
+      "flagged set != planted code docs (prose false-positive or a miss)")
+    rows.foreach { case (_, dens, kw) =>
+      assert(dens > 0.04 && kw >= 4, s"weak code signal dens=$dens kw=$kw")
+    }
+  }
+
+  test("source_text: the text-sink roundtrip is lossless per source") {
+    val audit = graft.ops.Sources.queries("source_text")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = graft.core.Tables.documents(spark, sf0001)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq,
+      "text readback audit differs from the original table")
+  }
+
   test("sample_temperature: T<1 upweights low-resource langs; caps honored") {
     val kept = Curation.sampleTemperature(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -50,6 +50,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_sharpness: Laplacian variance matches a JVM recompute; flag exact") {
+    val rows = Multimodal.mmSharpness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val texts = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, lapVar, blurry) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(id).getBytes("UTF-8")).map(_ & 0xff)
+      def p(r: Int, c: Int) = md(r * 4 + c).toLong
+      val ls = for { r <- Seq(1, 2); c <- Seq(1, 2) } yield
+        4 * p(r, c) - p(r - 1, c) - p(r + 1, c) - p(r, c - 1) - p(r, c + 1)
+      val v16 = 4 * ls.map(l => l * l).sum - ls.sum * ls.sum
+      assert(math.abs(lapVar - v16 / 16.0) < 1e-6, s"doc $id variance mismatch")
+      assert(blurry == (v16 < 320000L), s"doc $id flag mismatch")
+    }
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "blur threshold is inert (all or none flagged)")
+  }
+
   test("dHash is brightness-shift invariant; aHash flips with the mean") {
     // the perceptual-hash CONTRACT: dHash compares neighboring pixels, so
     // adding a constant to every pixel must not change it; aHash compares
