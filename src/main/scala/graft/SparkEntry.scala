@@ -102,6 +102,7 @@ object SparkEntry {
     "sim_topk"         -> LlmPipeline.simTopk,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,
+    "sim_index_delta"  -> LlmPipeline.simIndexDelta,
     "sim_knn_join"     -> LlmPipeline.simKnnJoin,
     "sim_maxsim"       -> LlmPipeline.simMaxsim,
     "embed_quantize"   -> LlmPipeline.embedQuantize,

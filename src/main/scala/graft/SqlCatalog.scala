@@ -93,7 +93,8 @@ object SqlCatalog {
     "meta_skew_report", "agg_corr_matrix", "graph_degree_dist",
     "graph_kcore", "agg_moments",
     // round-7c curation keys whose oracle SQL is already ANSI
-    "agg_winsorize", "stream_topk", "agg_bucketize", "events_changepoint")
+    "agg_winsorize", "stream_topk", "agg_bucketize", "events_changepoint",
+    "agg_hist2d", "sink_replace_where")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -2505,6 +2506,52 @@ object SqlCatalog {
         |    AS intercept
         |FROM m ORDER BY lang""".stripMargin,
 
+    // exact-microsecond lag vs the corpus watermark (unix_micros dialect)
+    "meta_freshness" ->
+      """WITH pt AS (SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT MAX(last_ts) AS wm_ts FROM pt)
+        |SELECT event_type, n_events, last_ts,
+        |  CAST(round(CAST(unix_micros(wm_ts) - unix_micros(last_ts) AS DOUBLE)
+        |    / 60000000.0, 6) AS DOUBLE) AS lag_minutes,
+        |  (unix_micros(wm_ts) - unix_micros(last_ts)) > 3600000000 AS stale
+        |FROM pt CROSS JOIN wm ORDER BY event_type""".stripMargin,
+
+    // interval lookback + rank-interpolated per-hour latency percentiles
+    "events_time_to_convert" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |lat0 AS (SELECT p.purchase_id, p.purchase_ts, MAX(v.view_ts) AS last_view_ts
+        |  FROM p JOIN v ON p.user_id = v.v_user_id
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR
+        |    AND v.view_ts <= p.purchase_ts
+        |  GROUP BY 1, 2),
+        |lat AS (SELECT CAST(hour(purchase_ts) AS BIGINT) AS hod,
+        |    unix_micros(purchase_ts) - unix_micros(last_view_ts) AS lat_us
+        |  FROM lat0),
+        |r AS (SELECT hod, lat_us,
+        |    ROW_NUMBER() OVER (PARTITION BY hod ORDER BY lat_us) - 1 AS r,
+        |    COUNT(*) OVER (PARTITION BY hod) AS n
+        |  FROM lat),
+        |picked AS (
+        |  SELECT hod, n,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS lo50,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS hi50,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS lo95,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS hi95
+        |  FROM r
+        |  WHERE r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |     OR r = CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |  GROUP BY hod, n)
+        |SELECT hod, n,
+        |  CAST(round((lo50 + (CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1))) * (hi50 - lo50))
+        |    / 60000000.0, 6) AS DOUBLE) AS p50_minutes,
+        |  CAST(round((lo95 + (CAST(0.95 AS DOUBLE) * (n - 1) - floor(CAST(0.95 AS DOUBLE) * (n - 1))) * (hi95 - lo95))
+        |    / 60000000.0, 6) AS DOUBLE) AS p95_minutes
+        |FROM picked ORDER BY hod""".stripMargin,
+
     // micro-unit cohort sums; cleared-denominator decimal distance
     "embed_drift" ->
       """WITH q AS (
@@ -2571,10 +2618,11 @@ object SqlCatalog {
   val queriesSql: Map[String, String] =
     sharedWithOracle.map(k => k -> oracleOf(k)).toMap ++
       Composite.oracles ++ sparkDialect +
-      // the persisted-index probe's statement-level contract IS the
+      // the persisted-index probes' statement-level contract IS the
       // in-flight IVF routing (results pinned identical); the index
-      // write itself is the DataFrame path's storage concern
-      ("sim_index_persist" -> sparkDialect("sim_topk_ivf"))
+      // write/append itself is the DataFrame path's storage concern
+      ("sim_index_persist" -> sparkDialect("sim_topk_ivf")) +
+      ("sim_index_delta" -> sparkDialect("sim_topk_ivf"))
 
   /** Run a declared query from SQL text against the catalog views. */
   def sql(name: String)(spark: SparkSession, sfDir: String): DataFrame = {

@@ -417,6 +417,91 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** 2-D HISTOGRAM grid — the joint-distribution profile (quantity ×
+    * discount) a pricing dashboard heat-maps and an optimizer consults
+    * for correlated-column selectivity: fixed-width buckets on both axes
+    * (quantity / 10, discount / 0.02), count + revenue per cell. Pure
+    * map-side double bucketing (both engines floor the SAME IEEE
+    * products from the same stored doubles) and ONE grid-keyed aggregate
+    * — at 100 TB the shuffle carries |cells| rows. Revenue sums via the
+    * exact-decimal [[graft.core.Numeric.dsum]] discipline. */
+  val aggHist2d: Q = (s, d) => {
+    import graft.core.Numeric.dsum
+    T.lineitem(s, d)
+      .select(floor(col("l_quantity") / 10.0).cast("long").as("qty_bucket"),
+        floor(col("l_discount") * 100.0 / 2.0).cast("long").as("disc_bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("qty_bucket"), col("disc_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("qty_bucket"), col("disc_bucket"))
+  }
+
+  /** FRESHNESS / staleness audit — the observability query every
+    * scheduled pipeline runs before trusting a table: per event stream
+    * (type), the last event time, its lag behind the corpus watermark
+    * (the global max), and a staleness flag. Lag accumulates in exact
+    * MICROSECONDS (the `stream_late_audit` rule — second-truncation
+    * diverges between engines) and the flag compares integers. One
+    * aggregate to the per-type grain; the watermark is a broadcast
+    * scalar. */
+  val metaFreshness: Q = (s, d) => {
+    val e = T.events(s, d)
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    val wm = perType.agg(max(col("last_ts")).as("wm_ts"))
+    perType.crossJoin(broadcast(wm))
+      .withColumn("lag_us", unix_micros(col("wm_ts")) - unix_micros(col("last_ts")))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        round(col("lag_us").cast("double") / 60000000.0, 6).as("lag_minutes"),
+        (col("lag_us") > 3600000000L).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TIME-TO-CONVERT latency — the funnel's companion metric (how LONG
+    * from the last view to the purchase, not just how many convert): per
+    * purchase, the latest same-user view in the 2-hour lookback (the
+    * `stream_join` interval shape); latencies accumulate in exact
+    * MICROSECONDS, and the per-hour-of-day p50/p95 use the
+    * `agg_percentile` rank-interpolation machinery. The interval join
+    * hash-shuffles on the user key; ranks shuffle the (hour, latency)
+    * grid only. */
+  val eventsTimeToConvert: Q = (s, d) => {
+    val e = T.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    val lat = p.join(v, col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .groupBy(col("purchase_id"), col("purchase_ts"))
+      .agg(max(col("view_ts")).as("last_view_ts"))
+      .select(hour(col("purchase_ts")).cast("long").as("hod"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("last_view_ts")))
+          .as("lat_us"))
+    val n = lat.groupBy(col("hod")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("hod")).orderBy(col("lat_us"))
+    val ranked = lat.withColumn("r", row_number().over(w).cast("long") - 1)
+    def h(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    val kept = ranked.join(n, "hod").filter(
+      col("r") === floor(h(0.5)) || col("r") === ceil(h(0.5)) ||
+      col("r") === floor(h(0.95)) || col("r") === ceil(h(0.95)))
+    val picked = kept.groupBy(col("hod"), col("n")).agg(
+      max(when(col("r") === floor(h(0.5)), col("lat_us"))).as("lo50"),
+      max(when(col("r") === ceil(h(0.5)), col("lat_us"))).as("hi50"),
+      max(when(col("r") === floor(h(0.95)), col("lat_us"))).as("lo95"),
+      max(when(col("r") === ceil(h(0.95)), col("lat_us"))).as("hi95"))
+    def interpMin(lo: Column, hi: Column, q: Double) = {
+      val hq = h(q)
+      round((lo + (hq - floor(hq)) * (hi - lo)) / 60000000.0, 6)
+    }
+    picked.select(col("hod"), col("n"),
+        interpMin(col("lo50"), col("hi50"), 0.5).as("p50_minutes"),
+        interpMin(col("lo95"), col("hi95"), 0.95).as("p95_minutes"))
+      .orderBy(col("hod"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
     "dedup_containment" -> dedupContainment,
@@ -428,6 +513,9 @@ object Curation {
     "events_changepoint" -> eventsChangepoint,
     "embed_drift" -> embedDrift,
     "text_code_detect" -> textCodeDetect,
+    "agg_hist2d" -> aggHist2d,
+    "meta_freshness" -> metaFreshness,
+    "events_time_to_convert" -> eventsTimeToConvert,
   )
 
   private def corpusSql: String = LlmPipeline.corpusSql
@@ -646,6 +734,62 @@ object Curation {
         |  CAST(round(sqrt(CAST(d2 AS DOUBLE))
         |    / CAST(n_a * n_b * 1000000 AS DOUBLE), 6) AS DOUBLE) AS centroid_dist
         |FROM agg ORDER BY label""".stripMargin,
+
+    // fixed-width joint buckets; both engines floor identical IEEE
+    // products; exact decimal revenue
+    "agg_hist2d" ->
+      s"""SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+         |  CAST(floor(l_discount * 100.0 / 2.0) AS BIGINT) AS disc_bucket,
+         |  COUNT(*) AS n,
+         |  ${graft.core.Numeric.dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact-microsecond lag vs the corpus watermark; integer stale flag
+    "meta_freshness" ->
+      """WITH pt AS (SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT MAX(last_ts) AS wm_ts FROM pt)
+        |SELECT event_type, n_events, last_ts,
+        |  CAST(round(CAST(epoch_us(wm_ts) - epoch_us(last_ts) AS DOUBLE)
+        |    / 60000000.0, 6) AS DOUBLE) AS lag_minutes,
+        |  (epoch_us(wm_ts) - epoch_us(last_ts)) > 3600000000 AS stale
+        |FROM pt CROSS JOIN wm ORDER BY event_type""".stripMargin,
+
+    // interval-join lookback, exact-us latencies, rank-interpolated
+    // per-hour p50/p95 (the agg_percentile spelling)
+    "events_time_to_convert" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |lat0 AS (SELECT p.purchase_id, p.purchase_ts, MAX(v.view_ts) AS last_view_ts
+        |  FROM p JOIN v ON p.user_id = v.v_user_id
+        |    AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR
+        |    AND v.view_ts <= p.purchase_ts
+        |  GROUP BY 1, 2),
+        |lat AS (SELECT CAST(extract(hour FROM purchase_ts) AS BIGINT) AS hod,
+        |    epoch_us(purchase_ts) - epoch_us(last_view_ts) AS lat_us
+        |  FROM lat0),
+        |r AS (SELECT hod, lat_us,
+        |    ROW_NUMBER() OVER (PARTITION BY hod ORDER BY lat_us) - 1 AS r,
+        |    COUNT(*) OVER (PARTITION BY hod) AS n
+        |  FROM lat),
+        |picked AS (
+        |  SELECT hod, n,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS lo50,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS hi50,
+        |    MAX(CASE WHEN r = CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS lo95,
+        |    MAX(CASE WHEN r = CAST(ceil(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) THEN lat_us END) AS hi95
+        |  FROM r
+        |  WHERE r = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |     OR r = CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT) OR r = CAST(ceil(CAST(0.95 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |  GROUP BY hod, n)
+        |SELECT hod, n,
+        |  CAST(round((lo50 + (CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1))) * (hi50 - lo50))
+        |    / 60000000.0, 6) AS DOUBLE) AS p50_minutes,
+        |  CAST(round((lo95 + (CAST(0.95 AS DOUBLE) * (n - 1) - floor(CAST(0.95 AS DOUBLE) * (n - 1))) * (hi95 - lo95))
+        |    / 60000000.0, 6) AS DOUBLE) AS p95_minutes
+        |FROM picked ORDER BY hod""".stripMargin,
 
     // symbol density + whole-word keyword hits over the planted-code corpus
     "text_code_detect" ->

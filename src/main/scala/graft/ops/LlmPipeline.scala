@@ -1441,6 +1441,34 @@ object LlmPipeline {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** INCREMENTAL INDEX REFRESH — [[simIndexPersist]]'s maintenance story
+    * (the vector twin of [[dedupIncremental]]'s delta probe): the index
+    * builds once on the BASE corpus, and a later ingest batch appends
+    * ONLY its own cell assignments to the cell-partitioned layout —
+    * refresh cost O(|delta|), never a rebuild. Because IVF assignment is
+    * a pure per-row property of (vector, centroid model), base+delta
+    * appends are byte-identical to a full rebuild, which is exactly what
+    * the shared oracle (brute-force routing over the whole corpus)
+    * proves. When the CENTROID MODEL revs, a rebuild is required — that
+    * boundary is the documented contract. */
+  val simIndexDelta: Q = (s, d) => {
+    val idxDir =
+      s"${sys.props("java.io.tmpdir")}/graft_io/sim_ivf_index_delta"
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+    val base = e.filter(col("vec_id") % 4 =!= 3)
+    val delta = e.filter(col("vec_id") % 4 === 3)
+    graft.api.VectorSearch.ivfIndex(base, cents, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    graft.api.VectorSearch.ivfIndex(delta, cents, "vec_id", "embedding")
+      .write.mode("append").partitionBy("cell").parquet(idxDir)
+    graft.api.VectorSearch.ivfProbeIndex(
+        probes = e.filter(col("vec_id") < 10),
+        index = s.read.parquet(idxDir), cents = cents,
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------- late interaction
 
   /** MAXSIM late-interaction scoring (the ColBERT retrieval shape,
@@ -1986,6 +2014,7 @@ object LlmPipeline {
     // the persisted-index probe must return exactly the in-flight IVF
     // routing's answer — one oracle text pins both
     "sim_index_persist" -> simTopkIvfSql,
+    "sim_index_delta" -> simTopkIvfSql,
     "sim_topk_ivf" -> simTopkIvfSql,
   ) ++ oraclesRest
 

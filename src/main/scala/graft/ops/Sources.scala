@@ -67,6 +67,33 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (replace-where) — the lakehouse
+    * partition-repair primitive: a status-partitioned orders table is
+    * written once, then ONE partition ('F') is replaced by a corrected
+    * batch (prices +10) with `partitionOverwriteMode=dynamic`, which
+    * rewrites exactly the partitions present in the incoming batch and
+    * leaves every other partition's files untouched — the surgical fix
+    * for one bad ingest day that never rewrites the table. The declared
+    * result audits the post-state per partition; the oracle derives the
+    * same from the original table with a CASE. At 100 TB the cost is
+    * the replaced partition's bytes, not the table's. */
+  val sinkReplaceWhere: Q = (s, d) => {
+    val dir = ioDir("sink_replace_where")
+    val o = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), (col("o_totalprice") + 10.0).as("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** LINE-DELIMITED TEXT roundtrip — the log/raw-crawl ingestion format
     * (one record per line, field-delimited): documents serialize to
     * ctrl-A (u0001)-delimited lines via the text sink, read back with
@@ -706,6 +733,7 @@ object Sources {
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
     "source_text" -> sourceText,
+    "sink_replace_where" -> sinkReplaceWhere,
     "source_json" -> sourceJson,
     "sink_partitioned" -> sinkPartitioned,
     "source_evolution" -> sourceEvolution,
@@ -828,6 +856,13 @@ object Sources {
         |  CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS o_orderdate
         |FROM orders WHERE o_orderkey % 50 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // post-state derived from the original with a CASE: the 'F' partition
+    // carries the +10 correction, every other partition is untouched
+    "sink_replace_where" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0 ELSE o_totalprice END")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // losslessness proof: audit the ORIGINAL table with the same md5-48
     // content checksum the engine computes on the text-file readback
