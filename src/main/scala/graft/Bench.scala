@@ -101,18 +101,26 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => ok = false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release per-query persisted subtrees so later queries don't pay
-        // storage-memory pressure for earlier ones
+        // UNTIMED cleanup (dt is already taken): release every persisted
+        // block before the next sample. clearCache() frees .cache()/.persist()
+        // subtrees; localCheckpoint RDDs are NOT in the cache manager — they
+        // sit in getPersistentRDDs until the ContextCleaner notices the RDD
+        // object is garbage, which needs a driver GC. The r7 bench only
+        // GC'd once per KEY, so a checkpoint-heavy key polluted its OWN
+        // samples 2-3: graph_jaccard measured 19.2 s at median-of-3 in the
+        // full 257-key run vs 2.9 s at median-of-5 in a fresh JVM on
+        // IDENTICAL code (r8 isolation audit) — the delta is storage-memory
+        // pressure from the previous samples' checkpoint blocks, not the
+        // query plan. Explicit unpersist makes the release deterministic
+        // instead of GC-timing-dependent.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         dt
       }
-      // start each key from a clean slate: localCheckpoint blocks from
-      // EARLIER keys are freed by the ContextCleaner only after a GC
-      // (clearCache() never touches them), so without this a checkpoint-
-      // heavy key leaks storage-memory pressure into every later key's
-      // timing — the round-6 "unexplained" 2-3x inflations on unchanged
-      // code (pipeline_e2e 6.64 s full-process vs 2.98 s isolated,
-      // graph_pagerank 2.89 vs 1.02) reproduce exactly this way.
+      // and a GC per key: broadcast blocks + shuffle state from earlier
+      // keys are still ContextCleaner-gated (see r6 pipeline_e2e /
+      // graph_pagerank 2-3x inflations, resolved by exactly this hook)
       System.gc()
       val first = sample()
       // adaptive tail (VERDICT r6 #3): a single-run reading above 2 s is

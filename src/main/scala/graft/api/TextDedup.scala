@@ -135,8 +135,9 @@ object TextDedup {
 
   /** EXACT bipartite Jaccard-threshold join with AllPairs prefix filtering
     * (Bayardo et al., WWW'07): each set is sorted in a canonical order
-    * (ascending shingle hash) and only its first |S|-ceil(t*|S|)+1 elements
-    * are exploded; any pair with J >= t must share a prefix element
+    * (ascending shingle hash) and only its first |S|-⌈t·|S|⌉+1 elements
+    * are exploded (computed as |S|-floor(t·|S|)+1 — see the ulp note in
+    * [[containmentJoin]]); any pair with J >= t must share a prefix element
     * (pigeonhole), so the equi-join is a lossless candidate generator. A
     * size-ratio bound (t*|B| <= |A| <= |B|/t) prunes further; exact
     * Jaccard verifies. Output: (left_id, right_id, jacc rounded).
@@ -162,8 +163,11 @@ object TextDedup {
     def prefixed(sets: DataFrame, id: String, set: String) =
       sets
         .withColumn("__n", size(col(set)))
+        // floor, not ceil: same 1-ulp guard as containmentJoin — a t·n
+        // product landing just above an integer must not shorten the
+        // prefix; floor costs at most one extra prefix element
         .withColumn("__plen",
-          (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+          (col("__n") - floor(lit(threshold) * col("__n")) + 1).cast("int"))
         .select(col(id), col("__n"),
           explode(slice(array_sort(col(set)), lit(1), col("__plen"))).as("psh"))
     val lp = prefixed(ls, "left_id", "lset")
@@ -219,7 +223,13 @@ object TextDedup {
     * then at most |A| − ceil(t·|A|) elements of A miss B, so ANY
     * (|A| − ceil(t·|A|) + 1)-element prefix of A must hit B — only that
     * prefix of A explodes (in canonical ascending-hash order for
-    * determinism), equi-joined against B's full inverted shingle index. A
+    * determinism), equi-joined against B's full inverted shingle index.
+    * The prefix length computes with floor(t·|A|), not ceil: when t·|A|
+    * sits within 1 ulp ABOVE an integer in IEEE arithmetic, ceil of the
+    * inflated product would shorten the prefix by one and silently drop a
+    * pair exactly at the threshold — floor over-approximates by at most
+    * one extra prefix element (a few % more candidates, zero recall risk),
+    * keeping the byte-identical-to-naive contract for every t. A
     * size bound (|B| >= t·|A|) prunes further; the verify join recomputes
     * the exact intersection, so the output is byte-identical to the naive
     * quadratic join. Unlike [[jaccardJoin]], the RIGHT side cannot be
@@ -237,7 +247,7 @@ object TextDedup {
     val lp = ls
       .withColumn("__n", size(col("lset")))
       .withColumn("__plen",
-        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
+        (col("__n") - floor(lit(threshold) * col("__n")) + 1).cast("int"))
       .select(col("left_id"), col("__n").as("ln"),
         explode(slice(array_sort(col("lset")), lit(1), col("__plen")))
           .as("psh"))

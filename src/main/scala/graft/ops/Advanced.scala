@@ -1589,10 +1589,16 @@ object Advanced {
     // closing-edge probe, final score join) reads, so that is the single
     // reuse point. The basket self-join appears three times in withDeg's
     // own plan (edges + the two degree scans), but those are IDENTICAL
-    // subtrees — ReuseExchange collapses them to one physical computation
-    // within the single materializing job. Checkpointing `edges` AND
-    // `withDeg` (the round-6 shape) paid the self-join barrier twice
-    // back-to-back for nothing.
+    // subtrees sharing one Exchange — ReuseExchange collapses them within
+    // the single materializing job. Empirically settled by the r8
+    // isolation audit: this shape runs 2.9 s (median-of-5, fresh JVM,
+    // sf0.1) vs 7.7 s for the round-6 double-barrier (edges AND withDeg
+    // both checkpointed). The 19.2 s reading in BENCH_r07 was NOT this
+    // query: the bench reused one JVM across samples and localCheckpoint
+    // blocks from a key's own earlier samples pile up in storage memory
+    // until a driver GC — Bench.scala now unpersists all persistent RDDs
+    // after every sample, which returned the full-257-key reading to
+    // ~3.6 s on identical query code.
     val edges = a.join(b, Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()

@@ -368,10 +368,15 @@ object Curation {
       sum(when(!col("cohort_a"), col("qd")).otherwise(0L)).as("sb"),
       sum(when(col("cohort_a"), 1L).otherwise(0L)).as("na"),
       sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("nb"))
-    val diff = col("sa") * col("nb") - col("sb") * col("na")
+    // the cleared-denominator cross terms must leave 64-bit BEFORE the
+    // multiply: sa·nb reaches n²·1e6 ≈ 1e19 at ~3M vectors per label —
+    // past Long.MaxValue, where Spark wraps silently (non-ANSI) while
+    // DuckDB errors. DECIMAL(38,0) operands keep the arithmetic exact to
+    // ~1e38 (ADVICE r7).
+    val diff = col("sa").cast("decimal(38,0)") * col("nb") -
+      col("sb").cast("decimal(38,0)") * col("na")
     sums
-      .select(col("label"), col("na"), col("nb"),
-        (diff.cast("decimal(18,0)") * diff.cast("decimal(18,0)")).as("dd"))
+      .select(col("label"), col("na"), col("nb"), (diff * diff).as("dd"))
       .groupBy(col("label"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         sum(col("dd")).as("d2"))
@@ -529,7 +534,8 @@ object Curation {
          |        WHERE len(string_split(text, ' ')) >= 8),
          |g AS (SELECT doc_id, len(l) AS n_toks, i,
          |    CAST('0x' || substr(md5(array_to_string(l[i:i+7], ' ')), 1, 12) AS BIGINT) AS gh
-         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 130)) AS i) s
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,
+         |      (SELECT max(len(l)) FROM tok))) AS i) s
          |  WHERE i <= len(l) - 7),
          |rep AS (SELECT g.doc_id, g.n_toks, g.i, g.i + 7 AS e
          |  FROM g JOIN (SELECT gh FROM g GROUP BY gh
@@ -581,7 +587,8 @@ object Curation {
          |        WHERE len(string_split(text, ' ')) >= 8),
          |segs AS (SELECT doc_id, source,
          |    CAST('0x' || substr(md5(array_to_string(l[(k*8+1):(k*8+8)], ' ')), 1, 12) AS BIGINT) AS sh
-         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS k) s
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,
+         |      (SELECT max(len(l)) FROM tok) // 8)) AS k) s
          |  WHERE k <= CAST(floor(CAST(len(l) AS DOUBLE) / 8) AS INT) - 1),
          |dfc AS (SELECT sh, COUNT(DISTINCT doc_id) AS dfd FROM segs GROUP BY sh)
          |SELECT source, COUNT(*) AS n_segs,

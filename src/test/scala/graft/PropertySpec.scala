@@ -220,6 +220,58 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("sketch bounds hold at 1/4/32 shuffle partitions (merge-order sweep)") {
+    // VERDICT r7 #6: the three oracle-less keys' error bounds were pinned
+    // at one partitioning only — vary the merge fan-in (the one axis the
+    // bound tests didn't) to pin merge-order invariance. HLL-family
+    // sketches (registers merged by max — commutative, associative,
+    // idempotent) must be BIT-IDENTICAL across partitionings; the
+    // quantile summary's merge is order-sensitive by construction, so it
+    // pins the error bound at every partitioning instead.
+    val li = T.lineitem(spark, sf0001)
+    val ev = T.events(spark, sf0001)
+    val exactUsers = ev.select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    val exactParts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPcts = graft.ops.Advanced.aggPercentile(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val perP = Seq(1, 4, 32).map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val approxUsers = ev.repartition(p)
+          .select(approx_count_distinct(col("user_id"), 0.05))
+          .collect()(0).getLong(0)
+        assert(math.abs(approxUsers - exactUsers).toDouble / exactUsers <= 0.25,
+          s"p=$p: approx_count_distinct $approxUsers vs exact $exactUsers")
+        val hll = graft.ops.Advanced.aggHllSketch(spark, sf0001)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        exactParts.foreach { case (flag, nd) =>
+          assert(math.abs(hll(flag) - nd).toDouble / nd <= 0.10,
+            s"p=$p flag $flag: HLL ${hll(flag)} vs exact $nd")
+        }
+        val q = graft.ops.Advanced.aggApproxQuantile(spark, sf0001)
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        exactPcts.foreach { case (k, (p50, p95)) =>
+          val (a50, a95) = q(k)
+          assert(math.abs(a50 - p50) / (math.abs(p50) + 1) <= 0.05,
+            s"p=$p $k p50: approx=$a50 exact=$p50")
+          assert(math.abs(a95 - p95) / (math.abs(p95) + 1) <= 0.05,
+            s"p=$p $k p95: approx=$a95 exact=$p95")
+        }
+        (approxUsers, hll)
+      }
+      // register-max merges are partition-invariant: all three sweeps must
+      // agree bit-for-bit on the HLL-family estimates
+      assert(perP.map(_._1).distinct.size == 1,
+        s"approx_count_distinct drifted across partitionings: ${perP.map(_._1)}")
+      assert(perP.map(_._2).distinct.size == 1,
+        "agg_hll_sketch estimates drifted across partitionings")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("dsum is partition-order independent") {
     val s = spark
     import s.implicits._
