@@ -47,7 +47,10 @@ object Bench {
     "dedup_semantic", "mm_shard_read",
     "graph_kcore", "sample_balanced", "sim_radius",
     // round-7c flagships
-    "dedup_substring", "dedup_containment", "sample_temperature")
+    "dedup_substring", "dedup_containment", "sample_temperature",
+    // round-8 flagships
+    "events_survival", "agg_mannwhitney", "text_ks_drift",
+    "text_kneser_ney", "merge_idempotent")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -134,6 +134,21 @@ object SparkEntry {
     "cluster_kmeans"   -> LlmPipeline.clusterKmeans,
     "pipeline_e2e"     -> LlmPipeline.pipelineE2e,
     "multimodal_join"  -> LlmPipeline.multimodalJoin,
+    // round-8: statistical testing / drift / LM smoothing / ingest
+    "events_survival"   -> Stats.eventsSurvival,
+    "agg_mannwhitney"   -> Stats.aggMannWhitney,
+    "agg_chi2"          -> Stats.aggChi2,
+    "text_ks_drift"     -> Stats.textKsDrift,
+    "embed_covariance"  -> Stats.embedCovariance,
+    "sample_systematic" -> Stats.sampleSystematic,
+    "text_kneser_ney"   -> LlmPipeline.textKneserNey,
+    "fn_geo"            -> Functions.fnGeo,
+    "merge_idempotent"  -> Sources.mergeIdempotent,
+    "text_rouge_overlap" -> LlmPipeline.textRougeOverlap,
+    "embed_pca_power"   -> Stats.embedPcaPower,
+    "graph_label_prop"  -> Insights.graphLabelProp(),
+    "meta_vacuum"       -> Sources.metaVacuum,
+    "stream_changelog"  -> Streaming.streamChangelog,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries
 
@@ -166,5 +181,5 @@ object SparkEntry {
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
-      Curation.oracles
+      Curation.oracles ++ Stats.oracles
 }

@@ -94,13 +94,16 @@ object SqlCatalog {
     "graph_kcore", "agg_moments",
     // round-7c curation keys whose oracle SQL is already ANSI
     "agg_winsorize", "stream_topk", "agg_bucketize", "events_changepoint",
-    "agg_hist2d", "sink_replace_where")
+    "agg_hist2d", "sink_replace_where",
+    // round-8 statistical keys whose oracle SQL is already ANSI
+    "agg_mannwhitney", "agg_chi2", "text_ks_drift", "sample_systematic",
+    "graph_label_prop", "stream_changelog")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
-      graft.ops.Curation.oracles)(k)
+      graft.ops.Curation.oracles ++ graft.ops.Stats.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -260,7 +263,213 @@ object SqlCatalog {
     "transform(sequence(1, 16), i -> CAST(conv(substr(md5(text), (i - 1) * 2 + 1, 2), 16, 10) AS INT))"
 
   /** Spark-dialect SQL for keys whose oracle text is DuckDB-specific. */
+  /** Spark-dialect statement for `embed_pca_power` — HOF pair expansion
+    * plus the same 4 unrolled ANSI iteration CTEs the oracle uses
+    * ([[graft.ops.Stats.pcaIterSql]]). */
+  private lazy val pcaPowerSparkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    transform(slice(embedding, 1, 8),
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qd
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT label, p.i AS i, p.j AS j, p.xi AS xi, p.xj AS xj,
+       |    p.xij AS xij
+       |  FROM q LATERAL VIEW explode(flatten(transform(sequence(0, 7), i ->
+       |    transform(sequence(0, 7), j ->
+       |      named_struct('i', i, 'j', j, 'xi', qd[i], 'xj', qd[j],
+       |        'xij', qd[i] * qd[j]))))) t AS p),
+       |covf AS (
+       |  SELECT label, i, j,
+       |    CAST(round(CAST(COUNT(*) * SUM(CAST(xij AS DECIMAL(38,0)))
+       |        - CAST(SUM(xi) AS DECIMAL(38,0)) * SUM(xj) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) * 1e12),
+       |      6) AS DOUBLE) AS cov
+       |  FROM pairs GROUP BY label, i, j),
+       |v0 AS (
+       |  SELECT DISTINCT label, d AS dim,
+       |    CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END AS v
+       |  FROM covf LATERAL VIEW explode(sequence(0, 7)) t AS d),
+       |${(1 to 4).map(graft.ops.Stats.pcaIterSql).mkString(",\n")}
+       |SELECT v4.label, CAST(dim AS BIGINT) AS dim,
+       |  CAST(round(v4.v, 6) AS DOUBLE) AS component,
+       |  CAST(round(n4.nrm, 6) AS DOUBLE) AS eigenvalue
+       |FROM v4 JOIN n4 ON v4.label = n4.label
+       |ORDER BY v4.label, dim""".stripMargin
+
   private val sparkDialect: Map[String, String] = Map(
+    // ROUGE-2 over aligned pairs (split/transform HOF dialect)
+    "text_rouge_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_join(slice(split(text, ' '), 1,
+        |      size(split(text, ' ')) - 2), ' ') AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id, split(text, ' ') AS l FROM corpus),
+        |g AS (SELECT doc_id, explode(transform(sequence(1, size(l) - 1),
+        |    i -> concat(l[i-1], ' ', l[i]))) AS g FROM tok),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        |v AS (SELECT doc_id - 200000 AS base_id, doc_id AS var_id, g, c AS cv
+        |  FROM gc WHERE doc_id >= 200000),
+        |b AS (SELECT doc_id AS base_id, g, c AS cb FROM gc WHERE doc_id < 100000),
+        |ov AS (SELECT var_id, base_id, SUM(LEAST(cv, cb)) AS overlap
+        |  FROM v JOIN b USING (base_id, g) GROUP BY var_id, base_id),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM gc GROUP BY doc_id)
+        |SELECT ov.var_id, ov.base_id,
+        |  CAST(tb.n AS BIGINT) AS n_base, CAST(tv.n AS BIGINT) AS n_var,
+        |  CAST(ov.overlap AS BIGINT) AS overlap,
+        |  CAST(round(CAST(ov.overlap AS DOUBLE) / CAST(tb.n AS DOUBLE), 6)
+        |    AS DOUBLE) AS rouge2_recall,
+        |  CAST(round(CAST(ov.overlap AS DOUBLE) / CAST(tv.n AS DOUBLE), 6)
+        |    AS DOUBLE) AS rouge2_precision,
+        |  CAST(round(CAST(2 * ov.overlap AS DOUBLE)
+        |    / CAST(tb.n + tv.n AS DOUBLE), 6) AS DOUBLE) AS rouge2_f1
+        |FROM ov JOIN tot tb ON ov.base_id = tb.doc_id
+        |JOIN tot tv ON ov.var_id = tv.doc_id
+        |ORDER BY ov.var_id""".stripMargin,
+
+    // power-iteration PCA (transform/slice HOF dialect; 4 unrolled steps)
+    "embed_pca_power" -> pcaPowerSparkSql,
+
+    // Kaplan-Meier (datediff argument order is the Spark dialect delta)
+    "events_survival" ->
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS cohort
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, cohort, MIN(ts) AS birth,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        |  FROM fe GROUP BY user_id, cohort),
+        |wm AS (SELECT MAX(ts) AS wm FROM events),
+        |durs AS (
+        |  SELECT cohort,
+        |    CAST(datediff(CAST(COALESCE(death, wm) AS DATE),
+        |      CAST(birth AS DATE)) AS BIGINT) AS dur,
+        |    death IS NOT NULL AS died
+        |  FROM pu CROSS JOIN wm),
+        |grid AS (
+        |  SELECT cohort, dur,
+        |    SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN died THEN 0 ELSE 1 END) AS c
+        |  FROM durs GROUP BY cohort, dur),
+        |curve AS (
+        |  SELECT cohort, dur, d,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM grid),
+        |lp AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 8) ELSE 0.0 END
+        |      AS DECIMAL(20,8)) AS lp
+        |  FROM curve),
+        |ls AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY dur) AS zeroed,
+        |    SUM(lp) OVER (PARTITION BY cohort ORDER BY dur) AS ls
+        |  FROM lp)
+        |SELECT cohort, dur, n_risk, d AS d_events,
+        |  CAST(CASE WHEN zeroed = 1 THEN 0.0
+        |    ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS DOUBLE) AS survival
+        |FROM ls WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
+
+    // covariance triangle (transform/slice/named_struct HOF dialect)
+    "embed_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    transform(slice(embedding, 1, 8),
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qd
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT label, p.i AS i, p.j AS j, p.xi AS xi, p.xj AS xj,
+        |    p.xij AS xij
+        |  FROM q LATERAL VIEW explode(flatten(transform(sequence(0, 7), i ->
+        |    transform(sequence(i, 7), j ->
+        |      named_struct('i', i, 'j', j, 'xi', qd[i], 'xj', qd[j],
+        |        'xij', qd[i] * qd[j]))))) t AS p)
+        |SELECT label, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  COUNT(*) AS n,
+        |  CAST(round(CAST(COUNT(*) * SUM(CAST(xij AS DECIMAL(38,0)))
+        |      - CAST(SUM(xi) AS DECIMAL(38,0)) * SUM(xj) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) * 1e12),
+        |    6) AS DOUBLE) AS cov
+        |FROM pairs GROUP BY label, i, j ORDER BY label, i, j""".stripMargin,
+
+    // Kneser-Ney bigram scoring (posexplode + DIV dialect)
+    "text_kneser_ney" ->
+      """WITH raw AS (
+        |  SELECT doc_id, pos, tok
+        |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+        |        FROM documents)),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
+        |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
+        |m AS (SELECT r.doc_id, r.pos,
+        |    CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+        |  FROM raw r LEFT JOIN vocab v ON r.tok = v.tok),
+        |big AS (SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, mtok AS w1,
+        |      lead(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM m)
+        |  WHERE w2 IS NOT NULL),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+        |n1pt AS (SELECT w1, COUNT(*) AS n1p FROM bg GROUP BY w1),
+        |pcont AS (SELECT w2, COUNT(*) AS cw FROM bg GROUP BY w2),
+        |bt AS (SELECT COUNT(*) AS b FROM bg),
+        |scored AS (SELECT big.doc_id,
+        |    round(ln((CAST(g.c12 AS DOUBLE) - 0.75) / CAST(c.c1 AS DOUBLE)
+        |      + ((0.75 * CAST(f.n1p AS DOUBLE)) / CAST(c.c1 AS DOUBLE))
+        |        * (CAST(p.cw AS DOUBLE) / CAST(bt.b AS DOUBLE))), 8) AS lp
+        |  FROM big JOIN bg g ON big.w1 = g.w1 AND big.w2 = g.w2
+        |  JOIN c1t c ON big.w1 = c.w1
+        |  JOIN n1pt f ON big.w1 = f.w1
+        |  JOIN pcont p ON big.w2 = p.w2
+        |  CROSS JOIN bt),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id),
+        |mm AS (SELECT doc_id, n_bigrams,
+        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)
+        |         ELSE -((-s8 * 2 + n_bigrams * 100) DIV (n_bigrams * 200)) END AS micro
+        |  FROM agg)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+        |    AS kn_ppl
+        |FROM mm ORDER BY doc_id""".stripMargin,
+
+    // haversine pack (md5_48 native fn is the Spark dialect delta)
+    "fn_geo" ->
+      """WITH n AS (SELECT n_nationkey,
+        |    CAST(md5_48(concat(n_name, 'lat')) AS DOUBLE)
+        |      / 281474976710656.0 * 180.0 - 90.0 AS lat,
+        |    CAST(md5_48(concat(n_name, 'lon')) AS DOUBLE)
+        |      / 281474976710656.0 * 360.0 - 180.0 AS lon
+        |  FROM nation),
+        |pairs AS (
+        |  SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        |    a.lat AS lat_a, a.lon AS lon_a, b.lat AS lat_b, b.lon AS lon_b
+        |  FROM n a CROSS JOIN n b WHERE a.n_nationkey < b.n_nationkey),
+        |scored AS (
+        |  SELECT ka, kb,
+        |    CAST(round(2.0 * 6371.0 * asin(sqrt(
+        |      sin(radians(lat_b - lat_a) / 2.0)
+        |        * sin(radians(lat_b - lat_a) / 2.0)
+        |      + cos(radians(lat_a)) * cos(radians(lat_b))
+        |        * sin(radians(lon_b - lon_a) / 2.0)
+        |        * sin(radians(lon_b - lon_a) / 2.0))), 2) AS DOUBLE)
+        |      AS dist_km
+        |  FROM pairs)
+        |SELECT ka, kb, dist_km, dist_km <= 5000.0 AS near
+        |FROM scored ORDER BY ka, kb""".stripMargin,
+
     // ------------------------------------------------- parser / sampling
     "insert_parse" ->
       """WITH lines AS (
@@ -607,25 +816,32 @@ object SqlCatalog {
     // interpolated-LM perplexity gate (posexplode + DIV dialect of the
     // DuckDB oracle; same IEEE expression shapes)
     "text_perplexity" ->
-      """WITH t AS (
-        |  SELECT doc_id, pos, tok,
-        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      """WITH raw AS (
+        |  SELECT doc_id, pos, tok
         |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
         |        FROM documents)),
-        |uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
-        |nt AS (SELECT COUNT(*) AS nt FROM t),
-        |bg AS (SELECT w1, tok, COUNT(*) AS c12 FROM t
-        |       WHERE w1 IS NOT NULL GROUP BY w1, tok),
-        |c1t AS (SELECT w1, COUNT(*) AS c1 FROM t
-        |        WHERE w1 IS NOT NULL GROUP BY w1),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
+        |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
+        |t AS (SELECT doc_id, pos, mtok,
+        |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM (SELECT r.doc_id, r.pos,
+        |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+        |    FROM raw r LEFT JOIN vocab v ON r.tok = v.tok)),
+        |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
+        |    SUM(c.c) AS c
+        |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
+        |nt AS (SELECT SUM(c) AS nt FROM counts),
+        |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM t
+        |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
+        |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
         |scored AS (SELECT t.doc_id,
         |    round(ln(CASE WHEN t.w1 IS NULL
         |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
         |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
         |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
         |      AS lp
-        |  FROM t JOIN uni u ON t.tok = u.tok CROSS JOIN nt
-        |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.tok = b.tok
+        |  FROM t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
+        |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
         |  LEFT JOIN c1t c ON t.w1 = c.w1),
         |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
@@ -638,7 +854,7 @@ object SqlCatalog {
         |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
         |      AS ppl
         |  FROM mm)
-        |SELECT doc_id, n_tok, ppl, ppl <= 29.6 AS keep
+        |SELECT doc_id, n_tok, ppl, ppl <= 21.1 AS keep
         |FROM ppl ORDER BY doc_id""".stripMargin,
 
     // 10-token segment dedup (transform/slice dialect; md5_48 native)
@@ -2652,6 +2868,40 @@ object SqlCatalog {
     * declared result. Runnable via [[runScript]]; SqlEntrySpec asserts
     * script ≡ DataFrame row-for-row. */
   val queriesScript: Map[String, Seq[String]] = Map(
+    "merge_idempotent" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_idempotent_base")}'
+         |USING parquet
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM orders WHERE o_orderkey % 3 != 0""".stripMargin,
+      // one-statement apply: dedup the at-least-once batch on its key,
+      // anti-join away keys the base already holds, append to the base
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_idempotent")}'
+         |USING parquet
+         |SELECT * FROM parquet.`${ioDir("merge_idempotent_base")}`
+         |UNION ALL
+         |SELECT d.o_orderkey, d.r.o_custkey AS o_custkey,
+         |  d.r.o_orderstatus AS o_orderstatus, d.r.o_totalprice AS o_totalprice
+         |FROM (
+         |  SELECT o_orderkey,
+         |    min(struct(o_custkey, o_orderstatus, o_totalprice)) AS r
+         |  FROM (
+         |    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |    FROM orders WHERE o_orderkey % 3 = 0
+         |    UNION ALL
+         |    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |    FROM orders WHERE o_orderkey % 3 = 0
+         |    UNION ALL
+         |    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |    FROM orders WHERE o_orderkey % 3 != 0 AND o_orderkey % 5 = 1)
+         |  GROUP BY o_orderkey) d
+         |LEFT ANTI JOIN parquet.`${ioDir("merge_idempotent_base")}` b
+         |  ON d.o_orderkey = b.o_orderkey""".stripMargin,
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys
+         |FROM parquet.`${ioDir("merge_idempotent")}`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "sink_roundtrip" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("sink_roundtrip")}' USING parquet
          |SELECT * FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,

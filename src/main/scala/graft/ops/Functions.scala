@@ -222,7 +222,66 @@ object Functions {
         expr("try_cast(amount_str AS INT) IS NULL").as("quarantined"))
       .orderBy(col("c_custkey"))
 
+  /** Geo pack: HAVERSINE great-circle distance + proximity flag over
+    * synthetic nation coordinates (the engine's portable md5-48 hash
+    * scaled into lat/lon — division by 2⁴⁸ and the affine rescale are
+    * exact in IEEE, so both engines hold bit-identical doubles; the
+    * `join_spatial` recipe). All 25×24/2 nation pairs score
+    * 2·R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))), R = 6371 km,
+    * written as ONE fixed expression shape (x·x, not pow) in both
+    * engines and rounded to 2 — the sub-ulp libm spread of sin/cos/asin
+    * is ~9 orders below the rounding grain. The pair triangle is an
+    * enumeration-sized broadcast cross join (the sanctioned shape);
+    * per-row trig fuses into codegen — at 100 TB this pack runs at scan
+    * speed on point-pair streams. */
+  val fnGeo: Q = (s, d) => {
+    val h = graft.expr.Md5Prefix48.md548 _
+    val two48 = math.pow(2.0, 48)
+    val n = T.nation(s, d).select(col("n_nationkey"),
+      ((h(concat(col("n_name"), lit("lat"))).cast("double") / two48)
+        * 180.0 - 90.0).as("lat"),
+      ((h(concat(col("n_name"), lit("lon"))).cast("double") / two48)
+        * 360.0 - 180.0).as("lon"))
+    val a = n.select(col("n_nationkey").as("ka"), col("lat").as("lat_a"),
+      col("lon").as("lon_a"))
+    val b = n.select(col("n_nationkey").as("kb"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"))
+    val sdlat = sin(radians(col("lat_b") - col("lat_a")) / 2.0)
+    val sdlon = sin(radians(col("lon_b") - col("lon_a")) / 2.0)
+    val hav = sdlat * sdlat +
+      cos(radians(col("lat_a"))) * cos(radians(col("lat_b"))) * sdlon * sdlon
+    a.crossJoin(broadcast(b)).filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        round(lit(2.0) * lit(6371.0) * asin(sqrt(hav)), 2).as("dist_km"))
+      .withColumn("near", col("dist_km") <= 5000.0)
+      .orderBy(col("ka"), col("kb"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "fn_geo" ->
+      """WITH n AS (SELECT n_nationkey,
+        |    CAST(CAST('0x' || substr(md5(n_name || 'lat'), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 * 180.0 - 90.0 AS lat,
+        |    CAST(CAST('0x' || substr(md5(n_name || 'lon'), 1, 12) AS BIGINT)
+        |      AS DOUBLE) / 281474976710656.0 * 360.0 - 180.0 AS lon
+        |  FROM nation),
+        |pairs AS (
+        |  SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        |    a.lat AS lat_a, a.lon AS lon_a, b.lat AS lat_b, b.lon AS lon_b
+        |  FROM n a CROSS JOIN n b WHERE a.n_nationkey < b.n_nationkey),
+        |scored AS (
+        |  SELECT ka, kb,
+        |    CAST(round(2.0 * 6371.0 * asin(sqrt(
+        |      sin(radians(lat_b - lat_a) / 2.0)
+        |        * sin(radians(lat_b - lat_a) / 2.0)
+        |      + cos(radians(lat_a)) * cos(radians(lat_b))
+        |        * sin(radians(lon_b - lon_a) / 2.0)
+        |        * sin(radians(lon_b - lon_a) / 2.0))), 2) AS DOUBLE)
+        |      AS dist_km
+        |  FROM pairs)
+        |SELECT ka, kb, dist_km, dist_km <= 5000.0 AS near
+        |FROM scored ORDER BY ka, kb""".stripMargin,
+
     // try-family: DuckDB TRY_CAST + guarded division mirror Spark's
     // null-on-error semantics (both trim on numeric casts, both null
     // out-of-range and out-of-bounds)

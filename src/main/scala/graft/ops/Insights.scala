@@ -507,7 +507,82 @@ object Insights {
   private def dotSql(a: String, b: String): String =
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM range(1, 65) r(i))"
 
+  /** BOUNDED LABEL PROPAGATION — community seeding on the basket
+    * co-occurrence graph in a FIXED number of supersteps (3 rounds of
+    * synchronous min-label: each node takes the minimum of its own and
+    * its neighbors' labels). The bounded-depth sibling of
+    * `dedup_cluster`'s loop-to-fixpoint connected components: when the
+    * interesting structure has small diameter (near-dup clusters,
+    * co-purchase pockets), a fixed superstep budget makes the op fully
+    * DECLARATIVE — the oracle unrolls the same 3 joins — and the cost
+    * exactly 3 node-keyed shuffles. Declared result: per surviving label,
+    * member count + node range (singleton communities dropped).
+    *
+    * 100 TB shape: each round is one (edges ⋈ labels) hash join + a
+    * node-keyed min — the Pregel superstep reduced to relational form;
+    * rounds materialize via localCheckpoint so round k+1 reads a O(V)
+    * table, not a doubling lineage (the `dedup_cluster` barrier rule). */
+  def graphLabelProp(cp: CheckpointStrategy = CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = cp.materialize(a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct())
+    val msgs = edges.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionAll(edges.select(col("pb").as("node"), col("pa").as("nbr")))
+    var lab = li.select(col("l_partkey").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to 3) {
+      val incoming = msgs
+        .join(lab.select(col("node").as("nbr"), col("lab")), "nbr")
+        .select(col("node"), col("lab"))
+      lab = cp.materialize(lab.select(col("node"), col("lab"))
+        .unionAll(incoming)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")))
+    }
+    lab.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("lab"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // 3 unrolled min-label supersteps — integer-exact in any engine
+    "graph_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |msgs AS (
+        |  SELECT pa AS node, pb AS nbr FROM edges
+        |  UNION ALL
+        |  SELECT pb AS node, pa AS nbr FROM edges),
+        |l0 AS (SELECT DISTINCT l_partkey AS node, l_partkey AS lab FROM li),
+        |l1 AS (SELECT node, MIN(lab) AS lab FROM (
+        |    SELECT node, lab FROM l0
+        |    UNION ALL
+        |    SELECT m.node, l.lab FROM msgs m JOIN l0 l ON m.nbr = l.node)
+        |  GROUP BY node),
+        |l2 AS (SELECT node, MIN(lab) AS lab FROM (
+        |    SELECT node, lab FROM l1
+        |    UNION ALL
+        |    SELECT m.node, l.lab FROM msgs m JOIN l1 l ON m.nbr = l.node)
+        |  GROUP BY node),
+        |l3 AS (SELECT node, MIN(lab) AS lab FROM (
+        |    SELECT node, lab FROM l2
+        |    UNION ALL
+        |    SELECT m.node, l.lab FROM msgs m JOIN l2 l ON m.nbr = l.node)
+        |  GROUP BY node)
+        |SELECT lab, COUNT(*) AS n_members, MIN(node) AS min_node,
+        |  MAX(node) AS max_node
+        |FROM l3 GROUP BY lab HAVING COUNT(*) >= 2 ORDER BY lab""".stripMargin,
+
     // portable md5-48 order, rank cap per class
     "sample_balanced" ->
       """SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (

@@ -271,6 +271,103 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** IDEMPOTENT INGEST — the at-least-once delivery contract every
+    * production feed needs (a Kafka replay, a retried batch job, an
+    * overlapping backfill all re-deliver rows already applied):
+    * the incoming batch contains (a) each new row TWICE (the duplicate
+    * delivery) and (b) a replay overlap of rows already in the base
+    * snapshot. Apply = dedup the batch on its key (min-struct argmin —
+    * deterministic under any arrival order), anti-join away keys the
+    * base already holds, append. Applying the batch once or N times
+    * yields the identical table — the property the declared audit pins
+    * (the oracle computes the one-apply result declaratively from the
+    * source table).
+    *
+    * 100 TB shape: batch dedup shuffles the BATCH on its key (delta-
+    * sized); the already-present gate is an anti join on the key —
+    * broadcast when the batch is small, else one co-shuffle with the
+    * base keys (or the `dedup_bloom` broadcast gate when even the key
+    * column is too wide); the base parquet itself is never rewritten —
+    * this is an APPEND, the cheapest merge there is. */
+  val mergeIdempotent: Q = (s, d) => {
+    val baseDir = ioDir("merge_idempotent_base")
+    val outDir = ioDir("merge_idempotent")
+    val o = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    // base snapshot: keys not divisible by 3
+    o.filter(col("o_orderkey") % 3 =!= 0)
+      .write.mode("overwrite").parquet(baseDir)
+    // batch: the %3==0 rows delivered twice + a replay overlap of already-
+    // present %5==1 rows — exactly what an at-least-once feed emits
+    val fresh = o.filter(col("o_orderkey") % 3 === 0)
+    val batch = fresh.unionByName(fresh)
+      .unionByName(o.filter(col("o_orderkey") % 3 =!= 0 &&
+        col("o_orderkey") % 5 === 1))
+    val base = s.read.parquet(baseDir)
+    val deduped = batch
+      .groupBy(col("o_orderkey"))
+      .agg(min(struct(col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))).as("r"))
+      .select(col("o_orderkey"), col("r.o_custkey"), col("r.o_orderstatus"),
+        col("r.o_totalprice"))
+    deduped.join(base.select(col("o_orderkey")), Seq("o_orderkey"),
+        "left_anti")
+      .write.mode("append").parquet(baseDir)
+    s.read.parquet(baseDir).write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** VACUUM / retention cleanup — the storage-maintenance dual of
+    * `sink_compaction` (compaction writes the better layout; vacuum
+    * RECLAIMS the superseded one): a 4-file v0 layout is compacted into a
+    * single-file v1, both readable side by side (the time-travel window),
+    * then v0's files are physically deleted and the declared audit proves
+    * (a) before: both versions' files and rows visible, (b) after:
+    * exactly the compacted file remains and the ROWS ARE UNCHANGED —
+    * vacuum reclaims bytes, never data. File counts are part of the
+    * declared semantics (repartition(4) / repartition(1)).
+    *
+    * 100 TB shape: vacuum is a pure METADATA + delete pass — nothing is
+    * read or shuffled; the cost is proportional to the file listing, which
+    * is why production tables vacuum from a manifest rather than an
+    * object-store LIST. The audit's readback prunes to the surviving
+    * version directory. */
+  val metaVacuum: Q = (s, d) => {
+    val root = ioDir("meta_vacuum")
+    val o = T.orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.repartition(4).write.mode("overwrite").parquet(s"$root/v=0")
+    s.read.parquet(s"$root/v=0").repartition(1)
+      .write.mode("overwrite").parquet(s"$root/v=1")
+    def nFiles(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    def audit(phase: String, dirs: Seq[String], files: Long): DataFrame =
+      dirs.map(dir => s.read.parquet(s"$root/$dir"))
+        .reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(phase).as("phase"), lit(files).as("n_files"),
+          col("n_rows"), col("sum_price"))
+    val before = audit("0_before", Seq("v=0", "v=1"), nFiles("v=0") + nFiles("v=1"))
+      .collect()
+    // VACUUM: physically drop the superseded v0 files
+    val v0 = new org.apache.hadoop.fs.Path(s"$root/v=0")
+    v0.getFileSystem(s.sparkContext.hadoopConfiguration).delete(v0, true)
+    val after = audit("1_after", Seq("v=1"), nFiles("v=1"))
+    s.createDataFrame(
+        s.sparkContext.parallelize(before.toSeq),
+        after.schema)
+      .unionByName(after)
+      .orderBy(col("phase"))
+  }
+
   /** Readback used by PlanSpec to audit partition pruning (split out so the
     * audit sees the scan without the eager write in the same fn). */
   def partitionedReadback(s: SparkSession): DataFrame =
@@ -751,6 +848,33 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // idempotent ingest: duplicate deliveries and replay overlap collapse,
+    // so the one-apply (= N-apply) result is exactly the source table
+    "merge_idempotent" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(DISTINCT o_orderkey) AS n_keys
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // vacuum audit re-derived declaratively: before = both versions (2n
+    // rows, 4+1 files), after = the compacted survivor (n rows, 1 file);
+    // file counts are declared semantics (repartition(4)/(1))
+    "meta_vacuum" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,8))), 2) AS DOUBLE)
+        |      AS sp,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 2, 2)
+        |      AS DOUBLE) AS sp2
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT '0_before' AS phase, CAST(5 AS BIGINT) AS n_files,
+        |  CAST(2 * n AS BIGINT) AS n_rows, sp2 AS sum_price FROM base
+        |UNION ALL
+        |SELECT '1_after' AS phase, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(n AS BIGINT) AS n_rows, sp AS sum_price FROM base
+        |ORDER BY phase""".stripMargin,
+
     // CDC replay re-derived declaratively: last-seq-wins with D removal;
     // the %186 overlap (D@2 then I@3) pins the resurrection precedence
     "merge_cdc" ->

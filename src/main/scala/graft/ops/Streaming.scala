@@ -123,6 +123,61 @@ object Streaming {
   val streamJoin: Q = (s, d) =>
     intervalJoin(T.events(s, d)).orderBy(col("purchase_id"), col("view_id"))
 
+  /** Versioned change-log source for [[streamChangelog]]: each order key
+    * emits seq 0..(key % 3) price revisions — the Debezium-style keyed
+    * update stream. */
+  def changeLog(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        explode(expr("sequence(0, CAST(o_orderkey % 3 AS INT))")).as("seq"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("seq").cast("long").as("seq"),
+        (col("o_totalprice") + col("seq")).as("price"))
+
+  /** Latest row per key from a change log — the shared batch/stream
+    * definition (batch: seq-desc row_number; stream: [[changelogStream]]
+    * folds the same max-seq state). */
+  def changelogLatestRows(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+    changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** STREAMING CHANGELOG materialization — `merge_upsert`'s maintenance
+    * loop made continuous (the Kafka-connect → table path): a keyed
+    * update stream folds to latest-seq-wins state per key
+    * ([[changelogStream]] is the running flatMapGroupsWithState twin,
+    * asserted equal to this batch definition in StreamingSpec); the
+    * declared observable audits the materialized table per status. State
+    * is one row per key sharded on the key — the same shuffle a batch
+    * MERGE pays, amortized over the stream. */
+  val streamChangelog: Q = (s, d) =>
+    changelogLatestRows(changeLog(s, d))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_keys"), dsum(col("price")).as("sum_latest"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Streaming execution of [[streamChangelog]]'s fold: per-key max-seq
+    * state, each batch emits the key's current winner (update mode).
+    * Production note: state eviction would hook `EventTimeTimeout` after
+    * a watermark exactly as documented at [[topkStream]]. */
+  def changelogStream(changes: org.apache.spark.sql.Dataset[
+      (Long, String, Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Double),
+        (Long, String, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, evs, state: GroupState[(Long, String, Double)]) =>
+          var cur = state.getOption.getOrElse((-1L, "", 0.0))
+          evs.foreach { e => if (e._3 > cur._1) cur = (e._3, e._2, e._4) }
+          state.update(cur)
+          Iterator((key, cur._2, cur._1, cur._3))
+      }
+      .toDF("o_orderkey", "o_orderstatus", "seq", "price")
+  }
+
   /** LATE-DATA audit — the watermark accounting every production stream
     * needs (what share of events would a 2-hour watermark DROP, and how
     * late do they arrive?): arrival order is event_id, the watermark is
@@ -253,7 +308,13 @@ object Streaming {
     * is the leaderboard (StreamingSpec takes the final snapshot and
     * asserts equality with the batch ranking). State is one small map per
     * open window, sharded on the window key — the same hash shuffle the
-    * batch plan uses, evictable by watermark in production. */
+    * batch plan uses. PRODUCTION NOTE (ADVICE r7): `NoTimeout` here means
+    * per-window state is never evicted — a deployment over an unbounded
+    * stream must either switch to `EventTimeTimeout` with
+    * `state.setTimeoutTimestamp(windowEnd + allowedLateness)` after a
+    * `withWatermark` on the source, or close windows on
+    * `state.hasTimedOut`; the fold logic is unchanged by either. The
+    * harness keeps NoTimeout because MemoryStream carries no watermark. */
   def topkStream(events: org.apache.spark.sql.Dataset[
       (java.sql.Timestamp, String)]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -276,6 +337,14 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    // changelog materialization: latest seq per key is key % 3 by
+    // construction, so the audit derives declaratively from orders
+    "stream_changelog" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_keys,
+        |  CAST(round(SUM(CAST(o_totalprice + o_orderkey % 3 AS DECIMAL(20,8))),
+        |    2) AS DOUBLE) AS sum_latest
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // hourly leaderboard: rank the tumbling counts, keep 3 per window
     "stream_topk" ->
       """WITH c AS (

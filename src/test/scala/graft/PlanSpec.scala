@@ -821,4 +821,43 @@ class PlanSpec extends SparkSpecBase {
       assert(!p.contains("HashAggregate"), s"$k: per-row media math grew an aggregate")
     }
   }
+
+  // ------------------------------------------------- round-8 plan pins
+
+  test("text_kneser_ney probes every LM model table as a broadcast") {
+    val p = planString(graft.ops.LlmPipeline.textKneserNey(spark, sf0001))
+    // vocab + bigram + context + successor + continuation + B scalar:
+    // all bounded O(V^2) tables must reach the token stream map-side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "KN model joins are not broadcast probes")
+    assert(!p.contains("CartesianProduct"), "KN scoring went cartesian")
+  }
+
+  test("embed_covariance expands the pair grid with NO join at all") {
+    val p = planString(graft.ops.Stats.embedCovariance(spark, sf0001))
+    // the (i,j) products are a per-row HOF transform: scan -> generate ->
+    // aggregate -> sort; any Join here means a self-join crept back in
+    assert(!p.contains("Join"), "covariance pair expansion joined:\n" + p.take(1500))
+  }
+
+  test("fn_geo's pair triangle is a broadcast, trig is scan-fused") {
+    val p = planString(graft.ops.Functions.fnGeo(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair triangle did not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pair triangle shuffled or went cartesian")
+  }
+
+  test("agg_mannwhitney ranks with windows, never a self-join") {
+    val p = planString(graft.ops.Stats.aggMannWhitney(spark, sf0001))
+    assert(!p.contains("Join"), "rank-sum test introduced a join")
+    assert(p.contains("Window"), "expected the ranking window")
+  }
+
+  test("text_rouge_overlap joins on the pairing key, never cartesian") {
+    val p = planString(graft.ops.LlmPipeline.textRougeOverlap(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "overlap join degenerated to a product")
+  }
 }

@@ -25,7 +25,7 @@ class Round6OpsSpec extends SparkSpecBase {
       .select(col("ppl"), col("keep")).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(1) == (r.getDouble(0) <= 29.6),
+      assert(r.getBoolean(1) == (r.getDouble(0) <= 21.1),
         s"keep flag diverges from the cutoff at ppl=${r.getDouble(0)}")
     }
   }

@@ -50,10 +50,12 @@ class SqlEntrySpec extends SparkSpecBase {
     }
     // statement-text coverage: single SELECTs + scripts must reach every
     // declared key except the documented iterative connected-components
-    // pair (Spark 4.1 recursive CTEs reject UNION-distinct recursion)
+    // keys (Spark 4.1 recursive CTEs reject UNION-distinct recursion) and
+    // meta_vacuum (a physical file DELETE — SQL has no statement for it)
     val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
     val uncovered = SparkEntry.queries.keySet -- covered
-    assert(uncovered == Set("dedup_cluster", "dedup_semantic", "dedup_report"),
+    assert(uncovered == Set("dedup_cluster", "dedup_semantic", "dedup_report",
+        "meta_vacuum"),
       s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
   }
 }

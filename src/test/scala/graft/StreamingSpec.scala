@@ -301,6 +301,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("changelog fold: flatMapGroupsWithState latest == batch last-wins") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val changes = Streaming.changeLog(spark, sf0001)
+    val rows = changes.select(col("o_orderkey"), col("o_orderstatus"),
+        col("seq"), col("price"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, String, Long, Double)]
+    ms.addData(rows)
+    val query = Streaming.changelogStream(ms.toDS()).writeStream
+      .format("memory").queryName("changelog_t").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 1,
+      "single-batch assumption (see topk test) — dedup the sink if split")
+    val streamed = spark.table("changelog_t")
+    val batch = Streaming.changelogLatestRows(changes)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("seq"),
+        col("price"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("stateful top-k leaderboard: mapGroupsWithState == batch ranking") {
     val s = spark
     import s.implicits._
@@ -316,7 +340,16 @@ class StreamingSpec extends SparkSpecBase {
     query.awaitTermination()
     // update mode re-emits a window's leaderboard on every state change;
     // a single AvailableNow batch emits each window exactly once, so the
-    // sink content IS the final snapshot
+    // sink content IS the final snapshot. That assumption is load-bearing
+    // (ADVICE r7): a multi-batch run would append superseded leaderboards
+    // into the memory sink and the equality below would fail SPURIOUSLY —
+    // so pin the assumption explicitly and fail with a diagnosis instead.
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 1,
+      s"MemoryStream processed in $dataBatches batches; this assert " +
+        "compares the raw update-mode sink, which is only the final " +
+        "snapshot under exactly one batch — dedup the sink to the last " +
+        "emission per (ws, rnk) if the trigger ever splits the input")
     val streamed = spark.table("topk_t")
     val batch = Streaming.streamTopk(spark, sf0001)
     assert(sortedRows(streamed) == sortedRows(batch))
