@@ -145,10 +145,14 @@ object SparkEntry {
     "fn_geo"            -> Functions.fnGeo,
     "merge_idempotent"  -> Sources.mergeIdempotent,
     "text_rouge_overlap" -> LlmPipeline.textRougeOverlap,
-    "embed_pca_power"   -> Stats.embedPcaPower,
+    "embed_pca_power"   -> Stats.embedPcaPower(),
     "graph_label_prop"  -> Insights.graphLabelProp(),
     "meta_vacuum"       -> Sources.metaVacuum,
     "stream_changelog"  -> Streaming.streamChangelog,
+    "events_markov_stationary" -> Stats.eventsMarkovStationary(),
+    "embed_isotropy"    -> Stats.embedIsotropy,
+    "agg_hhi"           -> Stats.aggHhi,
+    "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries
 

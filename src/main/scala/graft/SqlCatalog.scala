@@ -97,7 +97,8 @@ object SqlCatalog {
     "agg_hist2d", "sink_replace_where",
     // round-8 statistical keys whose oracle SQL is already ANSI
     "agg_mannwhitney", "agg_chi2", "text_ks_drift", "sample_systematic",
-    "graph_label_prop", "stream_changelog")
+    "graph_label_prop", "stream_changelog", "events_markov_stationary",
+    "agg_hhi")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -219,6 +220,47 @@ object SqlCatalog {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** MinHash estimator audit — [[minhashSql]] plus the signature-agreement
+    * estimate column per candidate pair. */
+  private def minhashAuditSql: String = {
+    val (p, k, a, b) = graft.expr.MinHashAgg.params
+    val nBands = 8
+    val r = k / nBands
+    val mins = (0 until k).map(i =>
+      s"min((${a(i)} * hv + ${b(i)}) % $p) AS mh_$i").mkString(",\n    ")
+    val bands = (0 until nBands).map { bnd =>
+      val key = (0 until r).map(j => s"CAST(mh_${bnd * r + j} AS STRING)")
+        .mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until k).map(i =>
+      s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $corpusSql,
+       |$shingleSetsSql,
+       |sh AS (SELECT doc_id, explode($shingles) s FROM tok WHERE size(l) >= 3),
+       |hv AS (SELECT doc_id, md5_48(s) % $p AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hv GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT ia AS a, ib AS b,
+       |    round(CAST($est AS DOUBLE) / 32.0, 6) AS est_jacc,
+       |    round($jaccSql, 6) AS exact_jacc
+       |  FROM cand
+       |    JOIN sig x ON x.doc_id = ia
+       |    JOIN sig y ON y.doc_id = ib
+       |    JOIN ssets sa ON sa.doc_id = ia
+       |    JOIN ssets sb ON sb.doc_id = ib)
+       |SELECT a, b, est_jacc, exact_jacc,
+       |  round(abs(est_jacc - exact_jacc), 6) AS abs_err
+       |FROM scored ORDER BY a, b""".stripMargin
+  }
+
   /** SimHash pairs in semantic (all-pairs) SQL form — same rows as the
     * bit-block-LSH DataFrame plan. */
   private def simhashSql: String = {
@@ -298,6 +340,33 @@ object SqlCatalog {
        |ORDER BY v4.label, dim""".stripMargin
 
   private val sparkDialect: Map[String, String] = Map(
+    // MinHash estimator audit (md5_48 + HOF shingle dialect)
+    "dedup_minhash_audit" -> minhashAuditSql,
+
+    // isotropy audit (posexplode/transform HOF dialect)
+    "embed_isotropy" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, dim, qd
+        |  FROM (SELECT vec_id, label, posexplode(transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS (dim, qd)
+        |    FROM embeddings)),
+        |perdim AS (
+        |  SELECT label, dim, SUM(qd) AS sd,
+        |    SUM(CAST(qd * qd AS DECIMAL(38,0))) AS sq,
+        |    COUNT(DISTINCT vec_id) AS nv
+        |  FROM q GROUP BY label, dim)
+        |SELECT label, MAX(nv) AS n_vecs,
+        |  CAST(round(CAST(SUM(sq) AS DOUBLE)
+        |    / (CAST(MAX(nv) AS DOUBLE) * 1e12), 6) AS DOUBLE) AS mean_sq_norm,
+        |  CAST(round(CAST(SUM(CAST(sd AS DECIMAL(19,0))
+        |      * CAST(sd AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (CAST(MAX(nv) AS DOUBLE) * CAST(MAX(nv) AS DOUBLE) * 1e12), 6)
+        |    AS DOUBLE) AS centroid_sq_norm,
+        |  CAST(round(CAST(SUM(CAST(sd AS DECIMAL(19,0))
+        |      * CAST(sd AS DECIMAL(19,0))) AS DOUBLE)
+        |    / CAST(MAX(nv) * SUM(sq) AS DOUBLE), 6) AS DOUBLE) AS anisotropy
+        |FROM perdim GROUP BY label ORDER BY label""".stripMargin,
+
     // ROUGE-2 over aligned pairs (split/transform HOF dialect)
     "text_rouge_overlap" ->
       """WITH corpus AS (

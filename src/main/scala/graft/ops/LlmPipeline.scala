@@ -182,6 +182,48 @@ object LlmPipeline {
       .orderBy(col("delta_id"), col("base_id"))
   }
 
+  /** MINHASH ESTIMATOR AUDIT — the measurement that justifies the sketch
+    * (the `sim_recall_audit` discipline applied to [[dedupMinhash]]): for
+    * every LSH-banded candidate pair, the signature-agreement estimate of
+    * Jaccard (matching positions / K — the unbiased MinHash estimator)
+    * sits next to the EXACT shingle Jaccard and the absolute error. This
+    * is the query a pipeline owner runs before trusting a threshold: it
+    * turns "LSH found these pairs" into "and the 32-hash estimate is
+    * within ε of truth on exactly this corpus".
+    *
+    * Determinism: the estimate is an integer count over K=32 positions
+    * divided by 32 (a power of two — the division is exact in IEEE), the
+    * exact Jaccard is the usual integer-ratio, and the error subtracts
+    * the two ROUNDED values, so every column is engine-invariant.
+    *
+    * 100 TB shape: identical to `dedup_minhash` (per-row signatures, band
+    * equi-join candidates, shuffled verify) plus one zip_with over two
+    * 32-int arrays per candidate — audit cost rides the dedup plan. */
+  val dedupMinhashAudit: Q = (s, d) => {
+    val docs = corpus(s, d)
+    val sigs = graft.api.TextDedup.minhashSignatures(docs, "doc_id", "text")
+    val bands = graft.api.TextDedup.minhashIndex(docs, "doc_id", "text",
+      NBands, R)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sets = graft.api.TextDedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val est = size(filter(zip_with(col("siga"), col("sigb"),
+        (x, y) => x === y), m => m)).cast("double") / 32.0
+    val exact = graft.api.TextDedup.jaccard(col("sa"), col("sb"))
+    cand.hint("shuffle_hash")
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(est, 6).as("est_jacc"), round(exact, 6).as("exact_jacc"))
+      .withColumn("abs_err", round(abs(col("est_jacc") - col("exact_jacc")), 6))
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---------------------------------------------------------- dedup: SimHash
 
   /** 48-bit SimHash near-dup pairs at Hamming ≤ 10
@@ -2143,6 +2185,31 @@ object LlmPipeline {
          |  JOIN ssets sb ON sb.doc_id = ib
          |WHERE $jaccSql >= $JaccThreshold
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash_audit" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
+         |$minhashSigSql,
+         |bands AS (
+         |$bandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3),
+         |scored AS (
+         |  SELECT ia AS a, ib AS b,
+         |    round(CAST(${(0 until K).map(i =>
+              s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS DOUBLE) / 32.0, 6) AS est_jacc,
+         |    round($jaccSql, 6) AS exact_jacc
+         |  FROM cand
+         |    JOIN sig x ON x.doc_id = ia
+         |    JOIN sig y ON y.doc_id = ib
+         |    JOIN ssets sa ON sa.doc_id = ia
+         |    JOIN ssets sb ON sb.doc_id = ib)
+         |SELECT a, b, est_jacc, exact_jacc,
+         |  round(abs(est_jacc - exact_jacc), 6) AS abs_err
+         |FROM scored ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusSql,

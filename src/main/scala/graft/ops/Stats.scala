@@ -259,12 +259,18 @@ object Stats {
     * bit-identical inputs, so both engines iterate identically.
     *
     * 100 TB shape: ONE corpus pass builds the covariance (map-side pair
-    * expansion, labels×36-row shuffle — see `embed_covariance`); all 4
-    * iterations run on the labels×64 MODEL grid. This is exactly how a
-    * distributed PCA warm-start works: moments from the corpus, the eigen
-    * solve on the driver-sized model — except here even the solve is
+    * expansion, labels×36-row shuffle — see `embed_covariance`), then
+    * MATERIALIZES it — the matrix is read by all 4 iterations plus the
+    * final projection, and without the barrier Catalyst re-derives the
+    * corpus moments once per iteration join (4 extra corpus passes at
+    * 100 TB — the `dedup_cluster` reuse-point rule). All iterations then
+    * run on the labels×64 MODEL grid. This is exactly how a distributed
+    * PCA warm-start works: moments from the corpus, the eigen solve on
+    * the driver-sized model — except here even the solve is
     * relational. */
-  val embedPcaPower: Q = (s, d) => {
+  def embedPcaPower(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => {
     val dims = 8
     val q = T.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(slice(embedding, 1, 8)," +
@@ -277,7 +283,7 @@ object Stats {
           .stripMargin)).as("p"))
       .select(col("label"), col("p.i").as("i"), col("p.j").as("j"),
         col("p.xi").as("xi"), col("p.xj").as("xj"), col("p.xij").as("xij"))
-    val covf = pairs.groupBy(col("label"), col("i"), col("j"))
+    val covf = cp.materialize(pairs.groupBy(col("label"), col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
         sum(col("xj")).as("sy"),
         sum(col("xij").cast("decimal(38,0)")).as("sxy"))
@@ -285,7 +291,7 @@ object Stats {
         round((col("n") * col("sxy")
             - col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
           / (col("n").cast("double") * col("n").cast("double") * 1e12), 6)
-          .as("cov"))
+          .as("cov")))
     val labels = covf.select(col("label")).distinct()
     var v: DataFrame = labels
       .select(col("label"), explode(expr(s"sequence(0, ${dims - 1})")).as("dim"))
@@ -330,6 +336,125 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** STATIONARY DISTRIBUTION of the event-transition Markov chain — the
+    * long-run "where do users spend their time" readout on top of
+    * `events_transition`'s matrix: 4 fixed power steps of
+    * π ← normalize₁(πᵀP) from the uniform vector (the PageRank shape
+    * without teleport, on the model-sized state graph). Fixed iteration
+    * count keeps it declarative — the oracle unrolls the same 4 steps.
+    * Terminal states (no outgoing transitions) shed mass that the L1
+    * renormalization restores — the declared semantics.
+    *
+    * Float discipline: P entries are 6-rounded decimals, π iterates as
+    * 8-rounded decimals, every dot product and L1 total sums exactly in
+    * DECIMAL, one IEEE division per state per step.
+    *
+    * 100 TB shape: ONE user-keyed window + one (prev, next) aggregate
+    * folds the corpus; the matrix is |event_types|² — MATERIALIZED once
+    * (the `embed_pca_power` rule: unmaterialized, each unrolled step
+    * re-derives the corpus fold) — and all 4 steps run on it. */
+  def eventsMarkovStationary(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val e = T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hops = e.withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("event_type").as("prev"), col("next"))
+    val counts = hops.groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val rowTot = counts.groupBy(col("prev")).agg(sum(col("n")).as("rt"))
+    val pmat = cp.materialize(counts.join(broadcast(rowTot), "prev")
+      .select(col("prev"), col("next"),
+        round(col("n").cast("double") / col("rt").cast("double"), 6)
+          .cast("decimal(10,6)").as("p")))
+    val states = pmat.select(col("prev").as("state")).distinct()
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi: DataFrame = states.crossJoin(broadcast(k))
+      .select(col("state"), round(lit(1.0) / col("k"), 8).as("pi"))
+    for (_ <- 1 to 4) {
+      val unnorm = pmat.join(pi.select(col("state").as("prev"), col("pi")), "prev")
+        .groupBy(col("next").as("state"))
+        .agg(round(sum(col("pi").cast("decimal(12,8)") * col("p")), 8)
+          .cast("double").as("upi"))
+      val tot = unnorm.agg(
+        sum(col("upi").cast("decimal(20,8)")).cast("double").as("tot"))
+      pi = unnorm.crossJoin(broadcast(tot))
+        .select(col("state"), round(col("upi") / col("tot"), 8).as("pi"))
+    }
+    pi.select(col("state"), round(col("pi"), 6).as("stationary"))
+      .orderBy(col("state"))
+  }
+
+  /** EMBEDDING ISOTROPY audit — the anisotropy score (Ethayarajh 2019 /
+    * Mu & Viswanath 2018: contextual and static embeddings collapse into
+    * a narrow cone; downstream cosine similarity degrades): per label,
+    * anisotropy = ‖μ‖² / E‖x‖² (1 = all vectors identical, → 0 =
+    * perfectly spread), reported with both moments. The whitening
+    * decision (`embed_pca_power` supplies the components) keys off this
+    * number. All moments are exact micro-unit integer sums; the ratio
+    * reduces to Σ_d S_d² / (n · Σ x²) — scale-0 decimals cast to double
+    * with a SINGLE rounding in both engines, then one division.
+    *
+    * 100 TB shape: one posexplode + (label, dim) aggregate (model-sized
+    * output), one label aggregate — two shuffles, both bounded by the
+    * model grid. */
+  val embedIsotropy: Q = (s, d) => {
+    val q = T.embeddings(s, d).select(col("vec_id"), col("label"),
+      posexplode(expr("transform(embedding," +
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+        .as(Seq("dim", "qd")))
+    val perDim = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qd")).as("sd"),
+        sum((col("qd") * col("qd")).cast("decimal(38,0)")).as("sq"),
+        countDistinct(col("vec_id")).as("nv"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("nv")).as("n_vecs"),
+        sum(col("sd").cast("decimal(19,0)") * col("sd").cast("decimal(19,0)"))
+          .as("s2"),
+        sum(col("sq")).as("ssq"))
+      .select(col("label"), col("n_vecs"),
+        round(col("ssq").cast("double")
+          / (col("n_vecs").cast("double") * 1e12), 6).as("mean_sq_norm"),
+        round(col("s2").cast("double")
+          / (col("n_vecs").cast("double") * col("n_vecs").cast("double") * 1e12),
+          6).as("centroid_sq_norm"),
+        round(col("s2").cast("double")
+          / (col("n_vecs") * col("ssq")).cast("double"), 6).as("anisotropy"))
+      .orderBy(col("label"))
+  }
+
+  /** HERFINDAHL-HIRSCHMAN concentration INDEX — the market-concentration
+    * audit per order status (is revenue dominated by a few whale
+    * customers?), the additive companion of `agg_gini`'s rank form:
+    * HHI = Σ_c share_c² over customer revenue shares (1 = monopoly,
+    * 1/n = uniform). Revenue quantizes to exact integer CENTS, so both
+    * Σ r_c² and the total stay exact decimals; the two reported ratios
+    * divide once each in double (scale-0 casts — single rounding both
+    * engines).
+    *
+    * 100 TB shape: one (status, customer) hash aggregate folds the
+    * corpus (map-side partials), one status aggregate on the per-customer
+    * grid — the same two-level shape as `agg_active_users`. */
+  val aggHhi: Q = (s, d) => {
+    val rc = T.orders(s, d)
+      .groupBy(col("o_orderstatus").as("st"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(20,8)")) * 100)
+        .cast("decimal(18,0)").as("rc"))
+    rc.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rc").cast("decimal(19,0)") * col("rc").cast("decimal(19,0)"))
+          .as("s2"),
+        sum(col("rc")).as("tot"), max(col("rc")).as("mx"))
+      .select(col("st").as("o_orderstatus"), col("n_customers"),
+        round(col("s2").cast("double")
+          / (col("tot").cast("decimal(19,0)") * col("tot").cast("decimal(19,0)"))
+            .cast("double"), 6).as("hhi"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as("top_share"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** One unrolled power-iteration step (ANSI — valid in both DuckDB and
@@ -352,7 +477,85 @@ object Stats {
        |    CAST(round(u$k.u / n$k.nrm, 8) AS DOUBLE) AS v
        |  FROM u$k JOIN n$k ON u$k.label = n$k.label)""".stripMargin
 
+  /** One unrolled stationary-distribution step (ANSI — both dialects) for
+    * the [[eventsMarkovStationary]] oracle and statement text. */
+  private[graft] def mkvIterSql(k: Int): String =
+    s"""up$k AS (SELECT next AS state,
+       |    CAST(round(SUM(CAST(pi AS DECIMAL(12,8)) * p), 8) AS DOUBLE) AS upi
+       |  FROM pmat JOIN pi${k - 1} ON pmat.prev = pi${k - 1}.state
+       |  GROUP BY next),
+       |t$k AS (SELECT CAST(SUM(CAST(upi AS DECIMAL(20,8))) AS DOUBLE) AS tot
+       |  FROM up$k),
+       |pi$k AS (SELECT state, CAST(round(upi / tot, 8) AS DOUBLE) AS pi
+       |  FROM up$k CROSS JOIN t$k)""".stripMargin
+
+  /** Shared ANSI text for [[eventsMarkovStationary]] (oracle + Spark
+    * statement — the window/round/decimal algebra parses identically). */
+  private[graft] lazy val markovStationarySql: String =
+    s"""WITH hops AS (
+       |  SELECT prev, next FROM (
+       |    SELECT event_type AS prev,
+       |      lead(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS next
+       |    FROM events)
+       |  WHERE next IS NOT NULL),
+       |counts AS (SELECT prev, next, COUNT(*) AS n FROM hops GROUP BY prev, next),
+       |rt AS (SELECT prev, SUM(n) AS rt FROM counts GROUP BY prev),
+       |pmat AS (SELECT counts.prev, next,
+       |    CAST(round(CAST(n AS DOUBLE) / CAST(rt.rt AS DOUBLE), 6)
+       |      AS DECIMAL(10,6)) AS p
+       |  FROM counts JOIN rt ON counts.prev = rt.prev),
+       |states AS (SELECT DISTINCT prev AS state FROM pmat),
+       |kk AS (SELECT COUNT(*) AS k FROM states),
+       |pi0 AS (SELECT state, CAST(round(1.0 / k, 8) AS DOUBLE) AS pi
+       |  FROM states CROSS JOIN kk),
+       |${(1 to 4).map(mkvIterSql).mkString(",\n")}
+       |SELECT state, CAST(round(pi, 6) AS DOUBLE) AS stationary
+       |FROM pi4 ORDER BY state""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "events_markov_stationary" -> markovStationarySql,
+
+    "embed_isotropy" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, i AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |perdim AS (
+        |  SELECT label, dim, SUM(qd) AS sd,
+        |    SUM(CAST(qd * qd AS DECIMAL(38,0))) AS sq,
+        |    COUNT(DISTINCT vec_id) AS nv
+        |  FROM q GROUP BY label, dim)
+        |SELECT label, CAST(MAX(nv) AS BIGINT) AS n_vecs,
+        |  CAST(round(CAST(SUM(sq) AS DOUBLE)
+        |    / (CAST(MAX(nv) AS DOUBLE) * 1e12), 6) AS DOUBLE) AS mean_sq_norm,
+        |  CAST(round(CAST(SUM(CAST(sd AS DECIMAL(19,0))
+        |      * CAST(sd AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (CAST(MAX(nv) AS DOUBLE) * CAST(MAX(nv) AS DOUBLE) * 1e12), 6)
+        |    AS DOUBLE) AS centroid_sq_norm,
+        |  CAST(round(CAST(SUM(CAST(sd AS DECIMAL(19,0))
+        |      * CAST(sd AS DECIMAL(19,0))) AS DOUBLE)
+        |    / CAST(CAST(MAX(nv) AS DECIMAL(18,0))
+        |      * CAST(SUM(sq) AS DECIMAL(19,0)) AS DOUBLE), 6) AS DOUBLE)
+        |    AS anisotropy
+        |FROM perdim GROUP BY label ORDER BY label""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH rc AS (
+        |  SELECT o_orderstatus AS st, o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 100
+        |      AS DECIMAL(18,0)) AS rc
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n_customers,
+        |  CAST(round(CAST(SUM(CAST(rc AS DECIMAL(19,0))
+        |      * CAST(rc AS DECIMAL(19,0))) AS DOUBLE)
+        |    / CAST(CAST(SUM(rc) AS DECIMAL(19,0))
+        |      * CAST(SUM(rc) AS DECIMAL(19,0)) AS DOUBLE), 6) AS DOUBLE) AS hhi,
+        |  CAST(round(CAST(MAX(rc) AS DOUBLE) / CAST(SUM(rc) AS DOUBLE), 6)
+        |    AS DOUBLE) AS top_share
+        |FROM rc GROUP BY st ORDER BY st""".stripMargin,
+
     "embed_pca_power" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

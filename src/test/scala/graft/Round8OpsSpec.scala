@@ -164,7 +164,7 @@ class Round8OpsSpec extends SparkSpecBase {
   }
 
   test("embed_pca_power: unit component, dominant eigenvalue bound") {
-    val rows = Stats.embedPcaPower(spark, sf0001)
+    val rows = Stats.embedPcaPower()(spark, sf0001)
       .select(col("label"), col("dim"), col("component"), col("eigenvalue"))
       .collect()
     rows.groupBy(_.getInt(0)).foreach { case (label, rs) =>
@@ -199,6 +199,57 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(before._1 == "0_before" && after._1 == "1_after")
     assert(before._2 == 5 && after._2 == 1, "4+1 files -> 1 file")
     assert(before._3 == 2 * after._3, "before sees both versions")
+  }
+
+  test("events_markov_stationary: probability mass sums to 1, states valid") {
+    val types = T.events(spark, sf0001).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rows = Stats.eventsMarkovStationary()(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(types.contains(r.getString(0)))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"stationary mass $mass != 1")
+  }
+
+  test("embed_isotropy: anisotropy bounded by Cauchy-Schwarz") {
+    val rows = Stats.embedIsotropy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (meanSq, centSq, ani) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(ani >= 0.0 && ani <= 1.0 + 1e-9, s"anisotropy $ani out of [0,1]")
+      assert(centSq <= meanSq + 1e-9, "||mu||^2 cannot exceed E||x||^2")
+      assert(math.abs(ani - centSq / meanSq) < 1e-3)
+    }
+  }
+
+  test("agg_hhi: index between uniform floor and monopoly ceiling") {
+    val rows = Stats.aggHhi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"HHI $hhi outside [1/$n, 1]")
+      assert(top > 0.0 && top <= 1.0)
+      assert(hhi >= top * top - 1e-9, "HHI must dominate top share squared")
+    }
+  }
+
+  test("dedup_minhash_audit: 32-hash estimate tracks exact Jaccard") {
+    val rows = LlmPipeline.dedupMinhashAudit(spark, sf0001)
+      .select(col("est_jacc"), col("exact_jacc"), col("abs_err")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) <= 0.6, s"estimator off by ${r.getDouble(2)}")
+    }
+    // unbiased estimator: the MEAN error over candidate pairs is far
+    // tighter than any single pair's (sigma ~ sqrt(J(1-J)/32) ~ 0.09)
+    val meanErr = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanErr < 0.15, s"mean |est - exact| = $meanErr too loose")
   }
 
   test("merge_idempotent: re-applying the batch changes nothing") {
