@@ -153,6 +153,8 @@ object SparkEntry {
     "embed_isotropy"    -> Stats.embedIsotropy,
     "agg_hhi"           -> Stats.aggHhi,
     "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
+    "text_shard_manifest" -> LlmPipeline.textShardManifest,
+    "corpus_card"       -> Curation.corpusCard,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries
 

@@ -343,6 +343,53 @@ object SqlCatalog {
     // MinHash estimator audit (md5_48 + HOF shingle dialect)
     "dedup_minhash_audit" -> minhashAuditSql,
 
+    // shard manifest (md5_48 + split/size dialect)
+    "text_shard_manifest" ->
+      """WITH a AS (
+        |  SELECT md5_48(concat('shard:', doc_id)) % 8 AS shard,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS toks, n_chars,
+        |    md5_48(text) AS ch
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
+        |  SUM(n_chars) AS n_chars,
+        |  CAST(SUM(CAST(ch AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS checksum,
+        |  CAST(round(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS share
+        |FROM a CROSS JOIN tot
+        |GROUP BY shard, tot.n_total ORDER BY shard""".stripMargin,
+
+    // per-language data card (split/size dialect)
+    "corpus_card" ->
+      """WITH per AS (
+        |  SELECT lang, source, n_chars,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS toks,
+        |    md5_48(text) AS ch
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
+        |    SUM(n_chars) AS sum_chars, COUNT(DISTINCT ch) AS n_distinct
+        |  FROM per GROUP BY lang),
+        |bysrc AS (SELECT lang, source, COUNT(*) AS ns
+        |  FROM per GROUP BY lang, source),
+        |top AS (
+        |  SELECT lang, source AS top_source, ns AS top_source_docs FROM (
+        |    SELECT lang, source, ns,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY ns DESC, source) AS rk
+        |    FROM bysrc)
+        |  WHERE rk = 1)
+        |SELECT base.lang, n_docs, n_tokens,
+        |  CAST(round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 2)
+        |    AS DOUBLE) AS avg_chars,
+        |  CAST(round(CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS DOUBLE) AS distinct_frac,
+        |  top_source,
+        |  CAST(round(CAST(top_source_docs AS DOUBLE) / CAST(n_docs AS DOUBLE),
+        |    6) AS DOUBLE) AS top_source_share
+        |FROM base JOIN top ON base.lang = top.lang
+        |ORDER BY base.lang""".stripMargin,
+
     // isotropy audit (posexplode/transform HOF dialect)
     "embed_isotropy" ->
       """WITH q AS (

@@ -224,6 +224,41 @@ object LlmPipeline {
       .orderBy(col("a"), col("b"))
   }
 
+  /** SHARD MANIFEST — deterministic assignment of the corpus to N
+    * training shards (the data-loader contract: every worker must
+    * derive the SAME shard membership from the data alone, across
+    * engines and reruns): shard = md5-48('shard:'||doc_id) mod 8, and
+    * the manifest rows a loader validates against — per shard: docs,
+    * tokens, chars, an order-independent 48-bit content checksum (exact
+    * decimal sum of per-doc hashes), and the doc share. Hash assignment
+    * (not round-robin) is what keeps shards stable under corpus appends
+    * — the `sample_split` gate discipline applied to sharding.
+    *
+    * 100 TB shape: assignment and per-doc stats are map-side; ONE
+    * 8-row-out aggregate crosses an exchange. The manifest is the cheap
+    * half of `mm_shard` (which writes the actual WebDataset bytes). */
+  val textShardManifest: Q = (s, d) => {
+    val nShards = 8
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    docs
+      .select((h48(concat(lit("shard:"), col("doc_id"))) % nShards)
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        col("n_chars"), h48(col("text")).as("ch"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("ch").cast("decimal(20,0)")).as("checksum"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("checksum").cast("decimal(20,0)").as("checksum"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("shard"))
+  }
+
   // ---------------------------------------------------------- dedup: SimHash
 
   /** 48-bit SimHash near-dup pairs at Hamming ≤ 10
@@ -2185,6 +2220,23 @@ object LlmPipeline {
          |  JOIN ssets sb ON sb.doc_id = ib
          |WHERE $jaccSql >= $JaccThreshold
          |ORDER BY a, b""".stripMargin,
+
+    // shard manifest: hash assignment + order-independent checksums
+    "text_shard_manifest" ->
+      s"""WITH a AS (
+         |  SELECT ${h48Sql("'shard:' || doc_id")} % 8 AS shard,
+         |    len(string_split(text, ' ')) AS toks, n_chars,
+         |    ${h48Sql("text")} AS ch
+         |  FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CAST(ch AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS checksum,
+         |  CAST(round(CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS share
+         |FROM a CROSS JOIN tot
+         |GROUP BY shard, tot.n_total ORDER BY shard""".stripMargin,
 
     "dedup_minhash_audit" ->
       s"""WITH $corpusSql,

@@ -252,6 +252,31 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(meanErr < 0.15, s"mean |est - exact| = $meanErr too loose")
   }
 
+  test("text_shard_manifest: full coverage, hash-balanced shards") {
+    val total = T.documents(spark, sf0001).count()
+    val rows = LlmPipeline.textShardManifest(spark, sf0001)
+      .select(col("shard"), col("n_docs"), col("share")).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in a shard")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max.toDouble / counts.min < 3.0,
+      s"hash balance degenerate: ${counts.mkString(",")}")
+  }
+
+  test("corpus_card: language rows partition the corpus") {
+    val total = T.documents(spark, sf0001).count()
+    val nSources = T.documents(spark, sf0001).select(col("source"))
+      .distinct().count()
+    val rows = graft.ops.Curation.corpusCard(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, "distinct_frac")
+      assert(r.getDouble(6) >= 1.0 / nSources - 1e-9,
+        "dominant source must hold at least the uniform share")
+    }
+  }
+
   test("merge_idempotent: re-applying the batch changes nothing") {
     val once = Sources.mergeIdempotent(spark, sf0001).collect().map(_.toSeq)
     val twice = Sources.mergeIdempotent(spark, sf0001).collect().map(_.toSeq)
