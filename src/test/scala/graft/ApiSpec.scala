@@ -130,6 +130,48 @@ class ApiSpec extends SparkSpecBase {
       pairs.toSet == Set((3L, 1L), (3L, 2L))) // doc2 uppercased: no shared shingles
   }
 
+  test("containmentJoin matches the naive join at the IEEE threshold boundary") {
+    // ADVICE r7 regression pin: with t = 0.9 and |A| = 10 shingles, the
+    // product t*|A| evaluates to 9.000000000000002 in IEEE — ceil() of it
+    // is 10, which would shrink the pigeonhole prefix to ONE element and
+    // can drop a pair sitting exactly AT the threshold (containment 9/10).
+    // The floor() form keeps the byte-identical-to-naive contract. Each
+    // variant below differs from its base in exactly the final token, so
+    // exactly one 3-shingle differs: containment = 0.9 precisely.
+    val s = spark
+    import s.implicits._
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      .split(" ")
+    require(words.length == 12) // 12 tokens -> 10 3-shingles
+    val bases = (0 until 8).map { i =>
+      (i.toLong, words.map(w => s"$w$i").mkString(" "))
+    }
+    val variants = bases.map { case (id, text) =>
+      val t = text.split(" ")
+      (id + 100L, (t.dropRight(1) :+ "CHANGED").mkString(" "))
+    }
+    val left = variants.toDF("id", "body")
+    val right = bases.toDF("id", "body")
+    val got = TextDedup.containmentJoin(left, right, "id", "body",
+        threshold = 0.9)
+      .select(col("left_id"), col("right_id"), col("cont"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive quadratic reference: every (variant, base) pair scored exactly
+    val lsets = TextDedup.hashedShingleSets(left, "id", "body", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val rsets = TextDedup.hashedShingleSets(right, "id", "body", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = (for {
+      (lid, ls) <- lsets.toSeq; (rid, rs) <- rsets.toSeq
+      cont = (ls intersect rs).size.toDouble / ls.size
+      if cont >= 0.9 && lid != rid
+    } yield (lid, rid, math.rint(cont * 1e6) / 1e6)).toSet
+    assert(want.nonEmpty && want.forall(_._3 == 0.9),
+      "fixture must sit exactly at the threshold")
+    assert(got == want,
+      s"containmentJoin diverged from naive at the boundary: got=$got want=$want")
+  }
+
   test("salted jaccardJoin returns exactly the unsalted result on a hot shingle") {
     val s = spark
     import s.implicits._
