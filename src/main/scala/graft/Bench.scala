@@ -50,7 +50,13 @@ object Bench {
     "dedup_substring", "dedup_containment", "sample_temperature",
     // round-8 flagships
     "events_survival", "agg_mannwhitney", "text_ks_drift",
-    "text_kneser_ney", "merge_idempotent")
+    "text_kneser_ney", "merge_idempotent",
+    // round-8b flagships
+    "agg_bootstrap_ci", "events_lifecycle", "text_readability",
+    "graph_modularity", "agg_skyline", "graph_assortativity",
+    "events_coverage", "events_stickiness", "agg_ratio_ci",
+    "sim_topk_pq", "agg_sketch_rollup", "agg_power_mde",
+    "agg_lorenz_bands")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,6 +107,7 @@ object SparkEntry {
     "sim_maxsim"       -> LlmPipeline.simMaxsim,
     "embed_quantize"   -> LlmPipeline.embedQuantize,
     "embed_pq"         -> LlmPipeline.embedPq,
+    "sim_topk_pq"      -> LlmPipeline.simTopkPq,
     "dedup_contaminate" -> LlmPipeline.dedupContaminate,
     "text_stats"       -> LlmPipeline.textStats,
     "text_lang"        -> LlmPipeline.textLang,
@@ -137,6 +138,11 @@ object SparkEntry {
     // round-8: statistical testing / drift / LM smoothing / ingest
     "events_survival"   -> Stats.eventsSurvival,
     "agg_mannwhitney"   -> Stats.aggMannWhitney,
+    "agg_bootstrap_ci"  -> Stats.aggBootstrapCi,
+    "agg_theil_sen"     -> Stats.aggTheilSen,
+    "agg_mad"           -> Stats.aggMad,
+    "agg_ratio_ci"      -> Stats.aggRatioCi,
+    "agg_power_mde"     -> Stats.aggPowerMde,
     "agg_chi2"          -> Stats.aggChi2,
     "text_ks_drift"     -> Stats.textKsDrift,
     "embed_covariance"  -> Stats.embedCovariance,

@@ -98,7 +98,10 @@ object SqlCatalog {
     // round-8 statistical keys whose oracle SQL is already ANSI
     "agg_mannwhitney", "agg_chi2", "text_ks_drift", "sample_systematic",
     "graph_label_prop", "stream_changelog", "events_markov_stationary",
-    "agg_hhi")
+    "agg_hhi",
+    // round-8b keys whose oracle SQL is already ANSI
+    "agg_theil_sen", "agg_mad", "graph_modularity", "subq_notin_null",
+    "agg_skyline", "graph_assortativity", "agg_ratio_ci")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -342,6 +345,249 @@ object SqlCatalog {
   private val sparkDialect: Map[String, String] = Map(
     // MinHash estimator audit (md5_48 + HOF shingle dialect)
     "dedup_minhash_audit" -> minhashAuditSql,
+
+    // interval-union coverage (unix_timestamp / DIV dialect)
+    "events_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, unix_timestamp(ts) AS st,
+        |    unix_timestamp(ts) + 1800 AS en
+        |  FROM events),
+        |fl AS (
+        |  SELECT user_id, event_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |op AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS opens
+        |  FROM fl),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(opens) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM op),
+        |islands AS (
+        |  SELECT user_id, iid, MIN(st) AS i0, MAX(en) AS i1,
+        |    COUNT(*) AS nev
+        |  FROM isl GROUP BY user_id, iid),
+        |users AS (
+        |  SELECT user_id, CAST(SUM(nev) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |    CAST(SUM(i1 - i0) AS BIGINT) AS covered_s,
+        |    CAST(MAX(i1) - MIN(i0) AS BIGINT) AS span_s
+        |  FROM islands GROUP BY user_id)
+        |SELECT user_id, n_events, n_islands, covered_s, span_s,
+        |  (covered_s * 1000) DIV span_s AS coverage_pm
+        |FROM users ORDER BY user_id""".stripMargin,
+
+    // content checksum (md5_48 dialect)
+    "meta_checksum" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    md5_48(concat_ws('|', l_orderkey, l_linenumber,
+        |      CAST(l_quantity AS BIGINT), l_returnflag, l_linestatus))
+        |      AS rh
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sum_h,
+        |  bit_xor(rh) AS xor_h
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // power analysis (DIV dialect of the oracle's // arm split)
+    "agg_power_mde" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,8))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(28,8))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |md AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m),
+        |st AS (
+        |  SELECT event_type, n, sxd / nd AS mean,
+        |    (sxxd - sxd * sxd / nd) / (nd - 1.0) AS vr,
+        |    CAST(n DIV 2 AS DOUBLE) AS n_arm
+        |  FROM md),
+        |mde AS (
+        |  SELECT event_type, n, mean, vr,
+        |    2.8016 * sqrt(2.0 * vr / n_arm) AS mde_abs,
+        |    CAST(ceil(2.0 * vr * 2.8016 * 2.8016
+        |      / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) AS n_req
+        |  FROM st)
+        |SELECT event_type, n,
+        |  CAST(round(mean, 6) AS DOUBLE) AS mean,
+        |  CAST(round(sqrt(vr), 6) AS DOUBLE) AS sd,
+        |  CAST(round(mde_abs, 6) AS DOUBLE) AS mde_abs,
+        |  CAST(round(mde_abs / mean, 6) AS DOUBLE) AS mde_rel,
+        |  n_req AS n_req_per_arm
+        |FROM mde ORDER BY event_type""".stripMargin,
+
+    // Lorenz concentration bands (DIV dialect)
+    "agg_lorenz_bands" ->
+      """WITH grid AS (
+        |  SELECT o_orderpriority AS pri, o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 100
+        |      AS DECIMAL(18,0)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT pri,
+        |    CASE WHEN r < 100000 THEN 0 WHEN r < 500000 THEN 1
+        |      WHEN r < 1000000 THEN 2 WHEN r < 5000000 THEN 3
+        |      WHEN r < 10000000 THEN 4 WHEN r < 50000000 THEN 5
+        |      ELSE 6 END AS band,
+        |    r
+        |  FROM grid),
+        |bands AS (
+        |  SELECT pri, band, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(r) AS BIGINT) AS rev
+        |  FROM banded GROUP BY pri, band),
+        |tot AS (
+        |  SELECT pri, SUM(rev) AS tot,
+        |    CAST(SUM(n_cust) AS BIGINT) AS all_cust
+        |  FROM bands GROUP BY pri),
+        |cum AS (
+        |  SELECT pri, band, n_cust, rev,
+        |    SUM(rev) OVER (PARTITION BY pri ORDER BY band DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bands)
+        |SELECT cum.pri AS o_orderpriority, band, n_cust, all_cust,
+        |  (rev * 10000) DIV CAST(tot AS BIGINT) AS share_bp,
+        |  (CAST(cum AS BIGINT) * 10000) DIV CAST(tot AS BIGINT)
+        |    AS cum_share_bp
+        |FROM cum JOIN tot ON cum.pri = tot.pri
+        |ORDER BY o_orderpriority, band DESC""".stripMargin,
+
+    // DAU/MAU stickiness (date_sub / DIV dialect)
+    "events_stickiness" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM grid)
+        |SELECT d AS day,
+        |  CAST(COUNT(DISTINCT CASE WHEN grid.day = d THEN user_id END)
+        |    AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau28,
+        |  (COUNT(DISTINCT CASE WHEN grid.day = d THEN user_id END) * 1000)
+        |    DIV COUNT(DISTINCT user_id) AS stickiness_pm
+        |FROM grid JOIN days ON grid.day <= d AND grid.day >= date_sub(d, 27)
+        |GROUP BY d ORDER BY day""".stripMargin,
+
+    // bootstrap CI (md5_48 gate + LATERAL VIEW replicate fan-out dialect)
+    "agg_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderkey, o_totalprice AS v
+        |  FROM orders),
+        |full_m AS (
+        |  SELECT st,
+        |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS full_mean
+        |  FROM o GROUP BY st),
+        |reps AS (
+        |  SELECT st, b, v
+        |  FROM o LATERAL VIEW explode(sequence(0, 31)) t AS b
+        |  WHERE md5_48(concat_ws('|', 'boot', b, o_orderkey)) % 2 = 0),
+        |means AS (
+        |  SELECT st, b,
+        |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS m
+        |  FROM reps GROUP BY st, b),
+        |ranked AS (
+        |  SELECT st, b, m,
+        |    ROW_NUMBER() OVER (PARTITION BY st ORDER BY m, b) AS rk
+        |  FROM means),
+        |ci AS (
+        |  SELECT st, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |    CAST(round(CAST(SUM(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS boot_mean,
+        |    MAX(CASE WHEN rk = 4 THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rk = 29 THEN m END) AS ci_hi
+        |  FROM ranked GROUP BY st)
+        |SELECT ci.st AS o_orderstatus, n_reps, full_mean, boot_mean,
+        |  ci_lo, ci_hi
+        |FROM ci JOIN full_m ON ci.st = full_m.st
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // growth accounting (date_add / datediff dialect)
+    "events_lifecycle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |cls AS (
+        |  SELECT wk,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |      WHEN datediff(wk, prev) = 7 THEN 'retained'
+        |      ELSE 'resurrected' END AS cls
+        |  FROM flagged),
+        |active AS (
+        |  SELECT wk, COUNT(*) AS n_active,
+        |    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS n_resurrected
+        |  FROM cls GROUP BY wk),
+        |wm AS (SELECT MAX(wk) AS maxwk FROM uw),
+        |churn AS (
+        |  SELECT date_add(wk, 7) AS wk, COUNT(*) AS n_churned
+        |  FROM flagged CROSS JOIN wm
+        |  WHERE date_add(wk, 7) <= maxwk
+        |    AND (nxt IS NULL OR datediff(nxt, wk) > 7)
+        |  GROUP BY date_add(wk, 7))
+        |SELECT active.wk, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(round(CAST(n_new + n_resurrected AS DOUBLE)
+        |    / CAST(greatest(COALESCE(n_churned, 0), 1) AS DOUBLE), 6)
+        |    AS DOUBLE) AS quick_ratio
+        |FROM active LEFT JOIN churn ON active.wk = churn.wk
+        |ORDER BY active.wk""".stripMargin,
+
+    // Flesch profile (HOF aggregate + 3-arg regexp_extract_all dialect)
+    "text_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z]+', 0) AS ws,
+        |    greatest(CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0))
+        |      AS BIGINT), 1L) AS nw,
+        |    greatest(CAST(size(regexp_extract_all(text, '[.!?]+', 0))
+        |      AS BIGINT), 1L) AS ns
+        |  FROM documents),
+        |syl AS (
+        |  SELECT source, nw, ns,
+        |    aggregate(ws, 0L, (a, w) ->
+        |      a + greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1))
+        |      AS nsyl
+        |  FROM per),
+        |scored AS (
+        |  SELECT source, nw, nsyl,
+        |    CAST(round((206.835
+        |      - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE)))
+        |      * 10000.0) AS BIGINT) AS score4
+        |  FROM syl),
+        |banded AS (
+        |  SELECT source, nw, nsyl, score4,
+        |    CASE WHEN score4 >= 900000 THEN 'very_easy'
+        |      WHEN score4 >= 700000 THEN 'easy'
+        |      WHEN score4 >= 500000 THEN 'medium'
+        |      WHEN score4 >= 300000 THEN 'hard'
+        |      ELSE 'very_hard' END AS band
+        |  FROM scored)
+        |SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(round(CAST(SUM(score4) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) / CAST(10000.0 AS DOUBLE)
+        |    AS avg_score,
+        |  CAST(round(CAST(SUM(nsyl) AS DOUBLE)
+        |    / CAST(SUM(nw) AS DOUBLE), 6) AS DOUBLE) AS syll_per_word
+        |FROM banded GROUP BY source, band
+        |ORDER BY source, band""".stripMargin,
 
     // shard manifest (md5_48 + split/size dialect)
     "text_shard_manifest" ->
@@ -850,6 +1096,69 @@ object SqlCatalog {
         |  CAST(round(sqrt(CAST(SUM(d2) AS DOUBLE)) / 8000000.0, 6) AS DOUBLE)
         |    AS rmse
         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // PQ-ADC search (posexplode dialect; same micro-unit algebra)
+    "sim_topk_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    (dim DIV 16) * 16 AS sub
+        |  FROM (SELECT vec_id, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2c AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS cd2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY cd2, cid) AS rnk FROM d2c)
+        |  WHERE rnk = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, dim, qd AS pd FROM q WHERE vec_id < 10),
+        |adc AS (SELECT p.probe_id, c.cid, (p.dim DIV 16) * 16 AS sub,
+        |    SUM((p.pd - c.cv) * (p.pd - c.cv)) AS pd2
+        |  FROM probes p JOIN cents c ON p.dim = c.dim
+        |  GROUP BY p.probe_id, c.cid, (p.dim DIV 16) * 16),
+        |approx AS (
+        |  SELECT probe_id, vec_id, SUM(pd2) AS adc_d2
+        |  FROM codes JOIN adc USING (sub, cid)
+        |  WHERE vec_id <> probe_id GROUP BY probe_id, vec_id),
+        |cand AS (SELECT probe_id, vec_id, adc_d2 FROM (
+        |    SELECT probe_id, vec_id, adc_d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS crk
+        |    FROM approx) WHERE crk <= 12),
+        |ex AS (
+        |  SELECT cand.probe_id, cand.vec_id, cand.adc_d2,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS d2
+        |  FROM cand JOIN q ON cand.vec_id = q.vec_id
+        |  JOIN probes p ON p.probe_id = cand.probe_id AND p.dim = q.dim
+        |  GROUP BY cand.probe_id, cand.vec_id, cand.adc_d2)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+        |  CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(d2 AS BIGINT) AS d2
+        |FROM (SELECT probe_id, vec_id, adc_d2, d2, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM ex)
+        |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // mergeable weekly→monthly theta rollup (theta_sketch_agg dialect)
+    "agg_sketch_rollup" ->
+      """WITH cells AS (
+        |  SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    theta_sketch_agg(user_id) AS sk
+        |  FROM events GROUP BY 1, 2),
+        |est AS (
+        |  SELECT mon, wk, sk, round(theta_estimate(sk), 1) AS wk_est
+        |  FROM cells)
+        |SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+        |  CAST(SUM(CAST(wk_est AS DECIMAL(20,1))) AS DOUBLE) AS naive_sum,
+        |  round(theta_estimate(theta_sketch_agg(sk)), 1) AS merged_users,
+        |  round(CAST(SUM(CAST(wk_est AS DECIMAL(20,1))) AS DOUBLE)
+        |    - round(theta_estimate(theta_sketch_agg(sk)), 1), 1)
+        |    AS cross_week_overlap
+        |FROM est GROUP BY mon ORDER BY mon""".stripMargin,
 
     // seasonal-naive forecast (date_add dialect of the INTERVAL oracle)
     "events_forecast" ->

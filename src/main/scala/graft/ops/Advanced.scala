@@ -504,6 +504,44 @@ object Advanced {
       .orderBy(col("flag_a"), col("flag_b"))
   }
 
+  /** MERGEABLE-SKETCH ROLLUP — the time-hierarchy reuse story that
+    * justifies keeping sketches AT ALL (next to [[aggThetaSketch]]'s
+    * set algebra): weekly theta sketches of active users roll up to the
+    * month by MERGING THE SKETCHES — the raw event stream is read
+    * exactly once, yet the month-level distinct is not the
+    * double-counting sum of weekly distincts. Reports, per month, the
+    * naive Σ(weekly distinct) next to the merged true distinct and the
+    * cross-week overlap the merge removed. Estimates are exact below
+    * k=4096 retained hashes (harness regime — value-oracled as plain
+    * distinct counts, the [[aggThetaSketch]] rule) and
+    * partition-invariant always.
+    *
+    * 100 TB shape: THE materialized-aggregate pattern — persist the
+    * weekly sketch table (O(weeks·k), trivial), answer month / quarter /
+    * year / rolling-window distincts by merging sketches, never
+    * re-scanning events. Both aggregations here are map-side-partial
+    * mergeable folds; nothing after the first fold touches the corpus. */
+  val aggSketchRollup: Q = (s, d) => {
+    import graft.expr.ThetaSketch._
+    val cells = T.events(s, d)
+      .select(date_trunc("month", col("ts")).cast("date").as("mon"),
+        date_trunc("week", col("ts")).cast("date").as("wk"),
+        col("user_id"))
+      .groupBy(col("mon"), col("wk"))
+      .agg(sketchAgg(col("user_id")).as("sk"))
+      .withColumn("wk_est", round(estimate(col("sk")), 1))
+    cells.groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("wk_est").cast("decimal(20,1)")).cast("double")
+          .as("naive_sum"),
+        sketchAgg(col("sk")).as("msk"))
+      .select(col("mon"), col("n_weeks"), col("naive_sum"),
+        round(estimate(col("msk")), 1).as("merged_users"),
+        round(col("naive_sum") - round(estimate(col("msk")), 1), 1)
+          .as("cross_week_overlap"))
+      .orderBy(col("mon"))
+  }
+
   /** Per-group z-score anomaly flagging — the outlier gate of a metrics
     * pipeline: each event type's mean/σ come from EXACT decimal moment
     * sums (the [[aggStats]] recipe — order-independent where the
@@ -985,6 +1023,47 @@ object Advanced {
                WHERE s_nationkey = n.n_nationkey
                ORDER BY s_acctbal DESC, s_name LIMIT 2)
       ORDER BY n_name, s_acctbal DESC, s_name""")
+  }
+
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * every SQL engine must honor: `x NOT IN (subquery)` is UNKNOWN (not
+    * TRUE) for every x the moment the subquery yields a single NULL, so
+    * the "same" exclusion query silently returns zero rows, while
+    * NOT EXISTS ignores NULLs and keeps working. The query reports all
+    * three counts side by side per market segment — NOT EXISTS, NOT IN
+    * over the null-stripped set (equal by definition), and NOT IN over
+    * the dirty set (collapses to 0 when a NULL is present) — with the
+    * exclusion set derived from 'F' orders and NULLs injected on a
+    * deterministic key slice. The DuckDB oracle evaluates its NATIVE
+    * `NOT IN` / `NOT EXISTS`, so the hash match certifies the engine's
+    * expansion against independent three-valued-logic semantics; the
+    * SQL-text path runs Spark's own null-aware anti join.
+    *
+    * 100 TB shape: NOT EXISTS decorrelates to a hash LEFT ANTI join
+    * (broadcast here — the exclusion set is distinct keys). The
+    * null-aware variant needs only ONE extra broadcast scalar (does the
+    * set contain a NULL?) — the plan stays two equi joins + a 1-row
+    * cross, never the nested-loop NAAJ worst case. */
+  val subqNotinNull: Q = (s, d) => {
+    val c = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val sub = T.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("k"))
+    val clean = sub.filter(col("k").isNotNull).distinct()
+    val hasNull = sub.agg(
+      max(col("k").isNull.cast("long")).as("has_null"))
+    val base = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+    val ne = c.join(broadcast(clean), col("c_custkey") === col("k"),
+        "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_ne"))
+    base.join(ne, Seq("c_mktsegment"), "left")
+      .crossJoin(broadcast(hasNull))
+      .select(col("c_mktsegment"), col("n_cust"),
+        coalesce(col("n_ne"), lit(0L)).as("n_not_exists"),
+        coalesce(col("n_ne"), lit(0L)).as("n_not_in_clean"),
+        when(col("has_null") === 1L, lit(0L))
+          .otherwise(coalesce(col("n_ne"), lit(0L))).as("n_not_in_dirty"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Peak session CONCURRENCY per day — the SWEEP-LINE answer to interval
@@ -1892,6 +1971,7 @@ object Advanced {
     "agg_zscore" -> aggZscore,
     "events_funnel" -> eventsFunnel,
     "agg_theta_sketch" -> aggThetaSketch,
+    "agg_sketch_rollup" -> aggSketchRollup,
     "agg_retention" -> aggRetention,
     "events_path" -> eventsPath,
     "events_attribution" -> eventsAttribution,
@@ -1909,6 +1989,7 @@ object Advanced {
     "agg_linreg" -> aggLinreg,
     "events_concurrency" -> eventsConcurrency,
     "subq_exists" -> subqExists,
+    "subq_notin_null" -> subqNotinNull,
     "subq_lateral" -> subqLateral,
     "events_streak" -> eventsStreak,
     "agg_argmax" -> aggArgmax,
@@ -2668,6 +2749,29 @@ object Advanced {
     // counts sit below the sketch's k=4096 retained entries, where a
     // theta sketch IS the exact distinct set — so estimate and
     // intersection reduce to plain distinct / set-intersection counts
+    // EXACT-regime sketch rollup: cell/month distincts below k=4096
+    "agg_sketch_rollup" ->
+      """WITH g AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS mon,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk, user_id
+        |  FROM events),
+        |cells AS (
+        |  SELECT mon, wk,
+        |    round(CAST(COUNT(*) AS DOUBLE), 1) AS wk_est
+        |  FROM g GROUP BY mon, wk),
+        |naive AS (
+        |  SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+        |    CAST(SUM(CAST(wk_est AS DECIMAL(20,1))) AS DOUBLE) AS naive_sum
+        |  FROM cells GROUP BY mon),
+        |merged AS (
+        |  SELECT mon, round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1)
+        |    AS merged_users
+        |  FROM g GROUP BY mon)
+        |SELECT naive.mon, n_weeks, naive_sum, merged_users,
+        |  round(naive_sum - merged_users, 1) AS cross_week_overlap
+        |FROM naive JOIN merged ON naive.mon = merged.mon
+        |ORDER BY naive.mon""".stripMargin,
+
     "agg_theta_sketch" ->
       """WITH d AS (
         |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
@@ -2880,6 +2984,39 @@ object Advanced {
         |         WHERE s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
+
+    // native three-valued NOT IN / NOT EXISTS — the oracle engine's own
+    // evaluation certifies the DataFrame expansion
+    "subq_notin_null" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |    ELSE o_custkey END AS k
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |clean AS (SELECT DISTINCT k FROM sub WHERE k IS NOT NULL),
+        |base AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer
+        |  GROUP BY c_mktsegment),
+        |ne AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_ne FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM clean WHERE clean.k = c.c_custkey)
+        |  GROUP BY c_mktsegment),
+        |nic AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_nic FROM customer c
+        |  WHERE c_custkey NOT IN (SELECT k FROM clean)
+        |  GROUP BY c_mktsegment),
+        |nid AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_nid FROM customer c
+        |  WHERE c_custkey NOT IN (SELECT k FROM sub)
+        |  GROUP BY c_mktsegment)
+        |SELECT base.c_mktsegment, CAST(n_cust AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(n_ne, 0) AS BIGINT) AS n_not_exists,
+        |  CAST(COALESCE(n_nic, 0) AS BIGINT) AS n_not_in_clean,
+        |  CAST(COALESCE(n_nid, 0) AS BIGINT) AS n_not_in_dirty
+        |FROM base
+        |LEFT JOIN ne ON base.c_mktsegment = ne.c_mktsegment
+        |LEFT JOIN nic ON base.c_mktsegment = nic.c_mktsegment
+        |LEFT JOIN nid ON base.c_mktsegment = nid.c_mktsegment
+        |ORDER BY base.c_mktsegment""".stripMargin,
 
     // gaps-and-islands anchor trick; DuckDB DATE - INTEGER arithmetic
     // (the Spark front-door text spells it date_sub)

@@ -507,8 +507,61 @@ object Curation {
       .orderBy(col("hod"))
   }
 
+  /** FLESCH READABILITY profile — the curriculum / audience signal text
+    * pipelines grade corpora with (simple-wikipedia vs arxiv separates on
+    * exactly this number): per doc, words = latin-letter runs, sentences
+    * = terminal-punctuation runs (min 1), syllables = vowel-group runs
+    * per word (min 1 — the standard heuristic; no dictionary), score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), then
+    * the corpus rolls up per (source, score band). Both engines run the
+    * IDENTICAL regex alphabet ([a-z]+ / [aeiouy]+ / [.!?]+ — literal
+    * classes, no engine-specific syntax), per-doc scores round to 4 and
+    * aggregate as exact decimals.
+    *
+    * 100 TB shape: everything per-doc is MAP-SIDE expression work fused
+    * into the scan (regex + higher-order aggregate, no UDF); the only
+    * shuffle is the (source, band) rollup of partials. */
+  val textReadability: Q = (s, d) => {
+    val per = T.documents(s, d)
+      .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("nw", greatest(size(col("ws")).cast("long"), lit(1L)))
+      .withColumn("ns", greatest(
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"),
+        lit(1L)))
+      .withColumn("nsyl", expr(
+        """aggregate(ws, 0L, (a, w) ->
+          |  a + greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1))"""
+          .stripMargin))
+      // per-doc scores quantize to INTEGER 1e-4 units: a fractional
+      // round(x, 4) diverges between engines when x·10⁴ sits within an
+      // ulp of a .5 tie (BigDecimal-exact vs multiply-divide rounding),
+      // and the corpus gives it |docs| chances — the integer round of
+      // the same scaled double agrees everywhere (half-away == HALF_UP
+      // for every sign)
+      .withColumn("score4", round(
+        (lit(206.835)
+          - lit(1.015) * (col("nw").cast("double") / col("ns").cast("double"))
+          - lit(84.6) * (col("nsyl").cast("double") / col("nw").cast("double")))
+          * lit(10000.0)).cast("long"))
+      .withColumn("band",
+        when(col("score4") >= 900000L, "very_easy")
+          .when(col("score4") >= 700000L, "easy")
+          .when(col("score4") >= 500000L, "medium")
+          .when(col("score4") >= 300000L, "hard")
+          .otherwise("very_hard"))
+    per.groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        (round(sum(col("score4")).cast("double")
+          / count(lit(1)).cast("double")).cast("long") / lit(10000.0))
+          .as("avg_score"),
+        round(sum(col("nsyl")).cast("double")
+          / sum(col("nw")).cast("double"), 6).as("syll_per_word"))
+      .orderBy(col("source"), col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_substring" -> dedupSubstring,
+    "text_readability" -> textReadability,
     "dedup_containment" -> dedupContainment,
     "text_boilerplate" -> textBoilerplate,
     "text_zipf" -> textZipf,
@@ -566,6 +619,45 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // Flesch profile: identical literal regex classes in both engines
+    "text_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)
+        |      AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+        |  FROM documents),
+        |syl AS (
+        |  SELECT source, nw, ns,
+        |    COALESCE(list_sum(list_transform(ws, w ->
+        |      greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+        |      AS nsyl
+        |  FROM per),
+        |scored AS (
+        |  SELECT source, nw, nsyl,
+        |    CAST(round((206.835
+        |      - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE)))
+        |      * 10000.0) AS BIGINT) AS score4
+        |  FROM syl),
+        |banded AS (
+        |  SELECT source, nw, nsyl, score4,
+        |    CASE WHEN score4 >= 900000 THEN 'very_easy'
+        |      WHEN score4 >= 700000 THEN 'easy'
+        |      WHEN score4 >= 500000 THEN 'medium'
+        |      WHEN score4 >= 300000 THEN 'hard'
+        |      ELSE 'very_hard' END AS band
+        |  FROM scored)
+        |SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(round(CAST(SUM(score4) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) / 10000.0
+        |    AS avg_score,
+        |  CAST(round(CAST(SUM(nsyl) AS DOUBLE)
+        |    / CAST(SUM(nw) AS DOUBLE), 6) AS DOUBLE) AS syll_per_word
+        |FROM banded GROUP BY source, band
+        |ORDER BY source, band""".stripMargin,
+
     // data card: per-language profile, dominant source via per-lang rank
     "corpus_card" ->
       """WITH per AS (

@@ -484,8 +484,329 @@ object Insights {
       .limit(20)
   }
 
+  /** GRAPH MODULARITY of a given partition — the quality score community
+    * pipelines quote for their clustering (`graph_label_prop` finds
+    * communities; modularity says whether they beat chance): on the
+    * basket co-purchase graph, with communities given by the part's
+    * BRAND (a dimension attribute — the "does purchasing cluster along
+    * brand lines?" question), Q = Σ_c [e_c/m − (d_c/2m)²]. Everything
+    * up to the two divisions is integer-exact (edge counts, degree
+    * sums); each community's contribution rounds to 8 and sums as exact
+    * decimals, so Q is engine-invariant.
+    *
+    * 100 TB shape: the basket self-join is the only corpus-scale stage
+    * (same bounded-basket discipline as `graph_jaccard`); brand lookup
+    * BROADCASTS the part dimension, and every aggregate after the edge
+    * list is community-grid-sized. Scoring a different partition
+    * (label_prop output, a model's cluster ids) swaps one broadcast. */
+  def graphModularity(cp: CheckpointStrategy = CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val brand = T.part(s, d).select(col("p_partkey"), col("p_brand"))
+    // ONE materialization of the brand-annotated edge list — four
+    // consumers (m, degree sum, in-community count, node roster) read
+    // it; without the barrier each would re-run the distinct basket
+    // self-join (the graph_jaccard lesson: ReuseExchange does NOT
+    // collapse the subtree across separate actions/joins)
+    val eb = cp.materialize(edges
+      .join(broadcast(brand.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ca"))), "pa")
+      .join(broadcast(brand.select(col("p_partkey").as("pb"),
+        col("p_brand").as("cb"))), "pb"))
+    val m = eb.agg(count(lit(1)).as("m"))
+    val dTot = eb.select(col("ca").as("c"))
+      .unionAll(eb.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("d_tot"))
+    val eIn = eb.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+    val nNodes = eb.select(col("pa").as("p"), col("ca").as("c"))
+      .unionAll(eb.select(col("pb").as("p"), col("cb").as("c"))).distinct()
+      .groupBy(col("c")).agg(count(lit(1)).as("n_nodes"))
+    val per = dTot
+      .join(eIn, Seq("c"), "left")
+      .join(nNodes, "c")
+      .crossJoin(broadcast(m))
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("contrib",
+        round(col("e_in").cast("double") / col("m").cast("double")
+          - (col("d_tot").cast("double")
+              / (lit(2.0) * col("m").cast("double")))
+            * (col("d_tot").cast("double")
+              / (lit(2.0) * col("m").cast("double"))), 8))
+    val q = per.agg(
+      sum(col("contrib").cast("decimal(20,8)")).cast("double").as("q"))
+    per.crossJoin(broadcast(q))
+      .select(col("c").as("community"), col("n_nodes"), col("e_in"),
+        col("d_tot"), round(col("contrib"), 6).as("contrib"),
+        round(col("q"), 6).as("modularity"))
+      .orderBy(col("community"))
+  }
+
+  /** GROWTH ACCOUNTING — the weekly user-lifecycle ledger (new /
+    * retained / resurrected / churned) every consumer dashboard leads
+    * with, and the decomposition that explains a flat active-user curve:
+    * per (user, week) activity grid, LAG classifies each active week
+    * (no prior week → new; prior week = last week → retained; else
+    * resurrected), LEAD charges churn to the week AFTER the last active
+    * one (censored at the corpus watermark so the final week never
+    * reports fake churn). Quick ratio = (new + resurrected) / churned,
+    * the standard health summary, div-guarded.
+    *
+    * 100 TB shape: ONE user_id shuffle builds the per-user week
+    * sequence (the `events_sessionize` cost class — per-user rows are
+    * bounded); both windows ride that partitioning, and all reported
+    * rows live on the week grid. */
+  def eventsLifecycle(cp: CheckpointStrategy = CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    // ONE materialization of the lag/lead-annotated user-week grid —
+    // the distinct + user shuffle runs once; the active rollup, the
+    // churn rollup and the watermark scalar all read the barrier (both
+    // window columns ride the same sorted pass)
+    val flagged = cp.materialize(T.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("nxt", lead(col("wk"), 1).over(w)))
+    val cls = flagged.withColumn("cls",
+      when(col("prev").isNull, "new")
+        .when(datediff(col("wk"), col("prev")) === 7, "retained")
+        .otherwise("resurrected"))
+    val active = cls.groupBy(col("wk")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val wm = flagged.agg(max(col("wk")).as("maxwk"))
+    val churn = flagged
+      .crossJoin(broadcast(wm))
+      .filter(date_add(col("wk"), 7) <= col("maxwk"))
+      .filter(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+      .groupBy(date_add(col("wk"), 7).as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round((col("n_new") + col("n_resurrected")).cast("double")
+          / greatest(coalesce(col("n_churned"), lit(0L)), lit(1L))
+            .cast("double"), 6).as("quick_ratio"))
+      .orderBy(col("wk"))
+  }
+
+  /** SKYLINE (Pareto frontier) — the classic multi-criteria OLAP
+    * operator ("cheapest at any given size or better"): per brand, the
+    * parts no other part dominates on (minimize retailprice, maximize
+    * size), dominance = (price ≤, size ≥, at least one strict). The 2-D
+    * skyline reduces to ONE sorted window: collapse parts to the
+    * (brand, price) grid with the max size at each price, then a
+    * strictly-prior running max over the price order — a grid row is on
+    * the frontier iff its max size beats every strictly-cheaper price's
+    * max (same-price dominance is already folded into the grid max).
+    * No dominance self-join, no quadratic stage.
+    *
+    * 100 TB shape: the grid agg collapses the corpus per (brand, price)
+    * map-side; the window sorts only the grid WITHIN each brand
+    * partition (bounded, parallel across brands); the join back to
+    * recover the part count at each frontier point is a compound-key
+    * hash join against the same grid-sized frame. */
+  val aggSkyline: Q = (s, d) => {
+    val p = T.part(s, d).select(col("p_brand"),
+      col("p_retailprice").as("price"), col("p_size").as("sz"))
+    val grid = p.groupBy(col("p_brand"), col("price"))
+      .agg(max(col("sz")).as("mx"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grid.withColumn("prior_mx", max(col("mx")).over(w))
+      .filter(col("prior_mx").isNull || col("prior_mx") < col("mx"))
+      .select(col("p_brand"), col("price"), col("mx").as("sz"))
+    val atPoint = p.groupBy(col("p_brand"), col("price"), col("sz"))
+      .agg(count(lit(1)).as("n_parts"))
+    frontier.join(atPoint, Seq("p_brand", "price", "sz"))
+      .select(col("p_brand"), col("price"), col("sz"), col("n_parts"))
+      .orderBy(col("p_brand"), col("price"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the basket co-purchase graph — do
+    * well-connected parts co-purchase with other hubs (r > 0, social
+    * shape) or with leaves (r < 0, hub-and-spoke)? The number that says
+    * whether `join_skew_salted`-style hot-key handling will hit one
+    * mega-hub or a clique of them. Pearson correlation of endpoint
+    * degrees over both orientations of every undirected edge: all five
+    * moments (2m, Σd, Σd², Σd·d') are integer-exact (degree products in
+    * DECIMAL(38,0), the `embed_drift` rule); by symmetry the x and y
+    * margins coincide, so r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) with ONE
+    * fixed double division at the end.
+    *
+    * 100 TB shape: the bounded-basket self-join builds edges once and
+    * MATERIALIZES them (the `graph_jaccard` lesson — three consumers:
+    * degrees, the symmetric orientation union, the node count); degrees
+    * join back by node key (node-sized shuffle); the moment fold is one
+    * map-side-partial aggregate to a single row. */
+  def graphAssortativity(
+      cp: CheckpointStrategy = CheckpointStrategy.Local): Q = (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = cp.materialize(a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct())
+    val deg = edges.select(col("pa").as("p"))
+      .unionAll(edges.select(col("pb").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+    val sym = edges.select(col("pa").as("x"), col("pb").as("y"))
+      .unionAll(edges.select(col("pb").as("x"), col("pa").as("y")))
+    val ed = sym
+      .join(deg.select(col("p").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("p").as("y"), col("dg").as("dy")), "y")
+    val mo = ed.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+      sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+      sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    mo.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean_endpoint_deg"),
+        round((col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+          / (col("n").cast("decimal(38,0)") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"), 6)
+          .as("assortativity"))
+  }
+
+  /** INTERVAL-UNION COVERAGE — per user, the merged covered time of
+    * 30-minute activity intervals (one interval per event): the "how
+    * much of their active span is a user actually present" engagement
+    * profile, and the relational form of the classic interval-merge
+    * (islands) problem. Island detection is the strictly-prior
+    * running-max-end window (a new island opens when an event starts
+    * after every earlier interval has closed); island ids are a running
+    * sum of open flags; both windows ride ONE user_id shuffle
+    * (`events_sessionize`'s cost class — state per task is one row).
+    * Epoch-second integers end to end; the coverage ratio reports in
+    * exact integer per-mille (DIV), so no float crosses the engine
+    * boundary.
+    *
+    * 100 TB shape: every stage is user-partitioned (bounded window
+    * state, no global sort); output is one row per user — the same
+    * grid class as `events_gaps`. */
+  val eventsCoverage: Q = (s, d) => {
+    val span = 1800L
+    val e = T.events(s, d).select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+    val flagged = e
+      .withColumn("pmax",
+        max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("opens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = flagged.groupBy(col("user_id"), col("iid"))
+      .agg(min(col("st")).as("i0"), max(col("en")).as("i1"),
+        count(lit(1)).as("nev"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("nev")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i1") - col("i0")).as("covered_s"),
+        (max(col("i1")) - min(col("i0"))).as("span_s"))
+      .withColumn("coverage_pm", expr("(covered_s * 1000) DIV span_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DAU/MAU STICKINESS — the daily active / trailing-28-day active
+    * ratio every growth dashboard headlines: the engagement intensity
+    * companion to `events_lifecycle`'s flow ledger. The corpus first
+    * collapses to the distinct (user, day) grid — the ONLY corpus-scale
+    * stage; the trailing window is then a bounded-fanout range join of
+    * the grid against the broadcast day list (each grid row matches ≤ 28
+    * days — constant expansion, never quadratic), and one grouped
+    * distinct count per day produces DAU (conditional on day equality)
+    * and MAU-28 together. Stickiness reports in exact integer per-mille
+    * (DIV), so no float crosses the engine boundary.
+    *
+    * 100 TB shape: the day list is O(corpus age) — thousands of rows,
+    * always broadcastable; the grid shuffles once on the day key. */
+  val eventsStickiness: Q = (s, d) => {
+    val grid = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = grid.select(col("day").as("d")).distinct()
+    grid.join(broadcast(days),
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 27))
+      .groupBy(col("d"))
+      .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+          .as("dau"),
+        countDistinct(col("user_id")).as("mau28"))
+      .withColumn("stickiness_pm", expr("(dau * 1000) DIV mau28"))
+      .select(col("d").as("day"), col("dau"), col("mau28"),
+        col("stickiness_pm"))
+      .orderBy(col("day"))
+  }
+
+  /** LORENZ CONCENTRATION BANDS — the "how many whales carry the
+    * revenue" profile per order priority (the operational reading of
+    * `agg_gini`'s scalar and `agg_hhi`'s index): customers fold to
+    * exact-cent revenue, band by FIXED integer thresholds ($1k/$5k/
+    * $10k/$50k/$100k/$500k — the `events_rfm` banding discipline, NOT
+    * an ntile whose quantile spelling would need a near-global window),
+    * and each band reports its customer count, revenue share, and the
+    * top-down cumulative share in exact basis points. The top bands ARE
+    * the whale ledger; integer DIV end to end.
+    *
+    * 100 TB shape: one (priority, customer) hash fold, one map-side
+    * banding projection, one band-grid fold; the only window runs on
+    * the ≤ 7-row band grid per priority. The quantile alternative
+    * (exactly which customer crosses 80 %) would sort the customer grid
+    * inside 5 partitions — the near-global-window shape the engine
+    * bans; the band profile answers the question at grid cost. */
+  val aggLorenzBands: Q = (s, d) => {
+    val grid = T.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(20,8)")) * 100)
+        .cast("decimal(18,0)").as("r"))
+    val banded = grid.withColumn("band",
+      when(col("r") < 100000L, 0)
+        .when(col("r") < 500000L, 1)
+        .when(col("r") < 1000000L, 2)
+        .when(col("r") < 5000000L, 3)
+        .when(col("r") < 10000000L, 4)
+        .when(col("r") < 50000000L, 5)
+        .otherwise(6))
+    val bands = banded.groupBy(col("pri"), col("band"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("r")).as("rev"))
+    val tot = bands.groupBy(col("pri"))
+      .agg(sum(col("rev")).as("tot"), sum(col("n_cust")).as("all_cust"))
+    val wTop = Window.partitionBy(col("pri")).orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bands.withColumn("cum", sum(col("rev")).over(wTop))
+      .join(tot, "pri")
+      .select(col("pri").as("o_orderpriority"), col("band"),
+        col("n_cust"), col("all_cust"),
+        expr("CAST((rev * 10000) DIV tot AS BIGINT)").as("share_bp"),
+        expr("CAST((cum * 10000) DIV tot AS BIGINT)").as("cum_share_bp"))
+      .orderBy(col("o_orderpriority"), col("band").desc)
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_balanced" -> sampleBalanced,
+    "agg_skyline" -> aggSkyline,
+    "agg_lorenz_bands" -> aggLorenzBands,
+    "graph_assortativity" -> graphAssortativity(),
+    "events_coverage" -> eventsCoverage,
+    "events_stickiness" -> eventsStickiness,
+    "graph_modularity" -> graphModularity(),
+    "events_lifecycle" -> eventsLifecycle(),
     "meta_skew_report" -> metaSkewReport,
     "text_blocklist" -> textBlocklist,
     "text_contrastive_pairs" -> textContrastivePairs,
@@ -551,6 +872,224 @@ object Insights {
   }
 
   val oracles: Map[String, String] = Map(
+    "agg_lorenz_bands" ->
+      """WITH grid AS (
+        |  SELECT o_orderpriority AS pri, o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 100
+        |      AS DECIMAL(18,0)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT pri,
+        |    CASE WHEN r < 100000 THEN 0 WHEN r < 500000 THEN 1
+        |      WHEN r < 1000000 THEN 2 WHEN r < 5000000 THEN 3
+        |      WHEN r < 10000000 THEN 4 WHEN r < 50000000 THEN 5
+        |      ELSE 6 END AS band,
+        |    r
+        |  FROM grid),
+        |bands AS (
+        |  SELECT pri, band, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(r) AS BIGINT) AS rev
+        |  FROM banded GROUP BY pri, band),
+        |tot AS (
+        |  SELECT pri, SUM(rev) AS tot,
+        |    CAST(SUM(n_cust) AS BIGINT) AS all_cust
+        |  FROM bands GROUP BY pri),
+        |cum AS (
+        |  SELECT pri, band, n_cust, rev,
+        |    SUM(rev) OVER (PARTITION BY pri ORDER BY band DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bands)
+        |SELECT cum.pri AS o_orderpriority, band, n_cust, all_cust,
+        |  (rev * 10000) // CAST(tot AS BIGINT) AS share_bp,
+        |  (CAST(cum AS BIGINT) * 10000) // CAST(tot AS BIGINT)
+        |    AS cum_share_bp
+        |FROM cum JOIN tot ON cum.pri = tot.pri
+        |ORDER BY o_orderpriority, band DESC""".stripMargin,
+
+    "agg_skyline" ->
+      """WITH p AS (SELECT p_brand, p_retailprice AS price, p_size AS sz
+        |           FROM part),
+        |grid AS (SELECT p_brand, price, MAX(sz) AS mx FROM p GROUP BY 1, 2),
+        |f AS (
+        |  SELECT p_brand, price, mx,
+        |    MAX(mx) OVER (PARTITION BY p_brand ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_mx
+        |  FROM grid),
+        |fr AS (
+        |  SELECT p_brand, price, mx AS sz FROM f
+        |  WHERE prior_mx IS NULL OR prior_mx < mx),
+        |ap AS (
+        |  SELECT p_brand, price, sz, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT fr.p_brand, fr.price, fr.sz, ap.n_parts
+        |FROM fr JOIN ap ON fr.p_brand = ap.p_brand
+        |  AND fr.price = ap.price AND fr.sz = ap.sz
+        |ORDER BY fr.p_brand, fr.price""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT p, COUNT(*) AS dg FROM (
+        |    SELECT pa AS p FROM edges UNION ALL SELECT pb AS p FROM edges)
+        |  GROUP BY p),
+        |sym AS (
+        |  SELECT pa AS x, pb AS y FROM edges
+        |  UNION ALL SELECT pb AS x, pa AS y FROM edges),
+        |ed AS (
+        |  SELECT dx.dg AS dx, dy.dg AS dy
+        |  FROM sym JOIN deg dx ON sym.x = dx.p JOIN deg dy ON sym.y = dy.p),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dx) AS sx,
+        |    SUM(CAST(dx AS DECIMAL(38,0)) * dx) AS sxx,
+        |    SUM(CAST(dx AS DECIMAL(38,0)) * dy) AS sxy
+        |  FROM ed),
+        |nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, CAST(n / 2 AS BIGINT) AS n_edges,
+        |  CAST(round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        |    AS mean_endpoint_deg,
+        |  CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS DOUBLE)
+        |    AS assortativity
+        |FROM mo CROSS JOIN nodes""".stripMargin,
+
+    "events_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      AS BIGINT) AS st
+        |  FROM events),
+        |iv AS (SELECT user_id, event_id, st, st + 1800 AS en FROM e),
+        |fl AS (
+        |  SELECT user_id, event_id, st, en,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |op AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS opens
+        |  FROM fl),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(opens) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM op),
+        |islands AS (
+        |  SELECT user_id, iid, MIN(st) AS i0, MAX(en) AS i1,
+        |    COUNT(*) AS nev
+        |  FROM isl GROUP BY user_id, iid),
+        |users AS (
+        |  SELECT user_id, CAST(SUM(nev) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |    CAST(SUM(i1 - i0) AS BIGINT) AS covered_s,
+        |    CAST(MAX(i1) - MIN(i0) AS BIGINT) AS span_s
+        |  FROM islands GROUP BY user_id)
+        |SELECT user_id, n_events, n_islands, covered_s, span_s,
+        |  (covered_s * 1000) // span_s AS coverage_pm
+        |FROM users ORDER BY user_id""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM grid)
+        |SELECT d AS day,
+        |  CAST(COUNT(DISTINCT CASE WHEN grid.day = d THEN user_id END)
+        |    AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau28,
+        |  (COUNT(DISTINCT CASE WHEN grid.day = d THEN user_id END) * 1000)
+        |    // COUNT(DISTINCT user_id) AS stickiness_pm
+        |FROM grid JOIN days ON grid.day <= d AND grid.day >= d - 27
+        |GROUP BY d ORDER BY day""".stripMargin,
+
+    "graph_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |eb AS (
+        |  SELECT pa, pb, ba.p_brand AS ca, bb.p_brand AS cb
+        |  FROM edges
+        |  JOIN part ba ON edges.pa = ba.p_partkey
+        |  JOIN part bb ON edges.pb = bb.p_partkey),
+        |m AS (SELECT COUNT(*) AS m FROM eb),
+        |dt AS (
+        |  SELECT c, COUNT(*) AS d_tot FROM (
+        |    SELECT ca AS c FROM eb UNION ALL SELECT cb AS c FROM eb)
+        |  GROUP BY c),
+        |ei AS (
+        |  SELECT ca AS c, COUNT(*) AS e_in FROM eb WHERE ca = cb
+        |  GROUP BY ca),
+        |nn AS (
+        |  SELECT p_brand AS c, COUNT(*) AS n_nodes FROM (
+        |    SELECT DISTINCT p FROM (
+        |      SELECT pa AS p FROM edges UNION ALL SELECT pb AS p FROM edges))
+        |  JOIN part ON p = p_partkey GROUP BY p_brand),
+        |per AS (
+        |  SELECT dt.c, n_nodes, COALESCE(e_in, 0) AS e_in, d_tot,
+        |    round(CAST(COALESCE(e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+        |      - (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+        |        * (CAST(d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 8)
+        |      AS contrib
+        |  FROM dt LEFT JOIN ei ON dt.c = ei.c
+        |  JOIN nn ON dt.c = nn.c CROSS JOIN m),
+        |q AS (
+        |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE) AS q
+        |  FROM per)
+        |SELECT c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(e_in AS BIGINT) AS e_in, CAST(d_tot AS BIGINT) AS d_tot,
+        |  CAST(round(contrib, 6) AS DOUBLE) AS contrib,
+        |  CAST(round(q, 6) AS DOUBLE) AS modularity
+        |FROM per CROSS JOIN q ORDER BY community""".stripMargin,
+
+    "events_lifecycle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |cls AS (
+        |  SELECT wk,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |      WHEN date_diff('day', prev, wk) = 7 THEN 'retained'
+        |      ELSE 'resurrected' END AS cls
+        |  FROM flagged),
+        |active AS (
+        |  SELECT wk, COUNT(*) AS n_active,
+        |    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS n_resurrected
+        |  FROM cls GROUP BY wk),
+        |wm AS (SELECT MAX(wk) AS maxwk FROM uw),
+        |churn AS (
+        |  SELECT wk + 7 AS wk, COUNT(*) AS n_churned
+        |  FROM flagged CROSS JOIN wm
+        |  WHERE wk + 7 <= maxwk
+        |    AND (nxt IS NULL OR date_diff('day', wk, nxt) > 7)
+        |  GROUP BY wk + 7)
+        |SELECT active.wk, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(round(CAST(n_new + n_resurrected AS DOUBLE)
+        |    / CAST(greatest(COALESCE(n_churned, 0), 1) AS DOUBLE), 6)
+        |    AS DOUBLE) AS quick_ratio
+        |FROM active LEFT JOIN churn ON active.wk = churn.wk
+        |ORDER BY active.wk""".stripMargin,
+
     // 3 unrolled min-label supersteps — integer-exact in any engine
     "graph_label_prop" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -484,6 +484,68 @@ object LlmPipeline {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** PQ-ADC top-k SEARCH (Jégou et al., PAMI'11 §III) — the query half
+    * of [[embedPq]]'s encoder, and the memory-bounded ANN path: the
+    * corpus is represented ONLY by its 4 sub-space codes; a probe scans
+    * codes via an ASYMMETRIC DISTANCE lookup table (probe-to-codeword
+    * partial L2 per (sub, codeword) — 16 integers per probe), takes the
+    * top-12 candidates by table-sum, and re-ranks just those 12 against
+    * the exact vectors for the final top-3. Everything is exact integer
+    * micro-unit L2 (ties → lowest vec_id), so approximate AND exact
+    * stages are engine-reproducible; the reported adc_d2/d2 pair is the
+    * compression-error evidence next to [[simRecallAudit]]'s recall.
+    *
+    * 100 TB shape: codebook and ADC tables are O(probes·16) —
+    * BROADCAST; the corpus contributes one code-join + one
+    * (probe, vec) partial-agg pass (map-side combine, ×4 rows per
+    * vector, never the 64 raw dims); only ≤ 12 candidates per probe
+    * ever touch full vectors again. The full-vector corpus never joins
+    * itself — the [[api.VectorSearch]] discipline. */
+  val simTopkPq: Q = (s, d) => {
+    val micro = T.embeddings(s, d).select(col("vec_id"),
+      posexplode(expr("transform(embedding," +
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+        .as(Seq("dim", "qd")))
+      .withColumn("sub", col("dim") - pmod(col("dim"), lit(16)))
+    val seeds = T.embeddings(s, d).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(4)
+    val cents = micro.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("dim"), col("qd").as("cv"))
+    val d2c = micro.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("cd2"))
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("cid"))
+    val codes = d2c.withColumn("rnk", row_number().over(wMin))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("sub"), col("cid"))
+    val probes = micro.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("dim"), col("qd").as("pd"))
+    val adc = probes.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("probe_id"),
+        (col("dim") - pmod(col("dim"), lit(16))).as("sub"), col("cid"))
+      .agg(sum((col("pd") - col("cv")) * (col("pd") - col("cv"))).as("pd2"))
+    val approx = codes.join(broadcast(adc), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val wCand = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= 12).drop("crk")
+    val exact = cand
+      .join(micro.select(col("vec_id"), col("dim"), col("qd")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id", "dim"))
+      .groupBy(col("probe_id"), col("vec_id"), col("adc_d2"))
+      .agg(sum((col("qd") - col("pd")) * (col("qd") - col("pd"))).as("d2"))
+    val wFin = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    exact.withColumn("rnk", row_number().over(wFin))
+      .filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_d2"), col("d2"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the 100 TB similarity path:
     * vectors are partitioned into centroid cells (assignment = nearest of
     * 10 fixed centroids, an equi-joinable cell id), and each probe searches
@@ -2342,6 +2404,50 @@ object LlmPipeline {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // PQ-ADC search: integer micro-unit mirror of the Spark plan
+    "sim_topk_pq" ->
+      """WITH q AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    ((i - 1) // 16) * 16 AS sub
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2c AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS cd2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY cd2, cid) AS rnk FROM d2c)
+        |  WHERE rnk = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, dim, qd AS pd FROM q WHERE vec_id < 10),
+        |adc AS (SELECT p.probe_id, c.cid, ((p.dim) // 16) * 16 AS sub,
+        |    SUM((p.pd - c.cv) * (p.pd - c.cv)) AS pd2
+        |  FROM probes p JOIN cents c ON p.dim = c.dim
+        |  GROUP BY p.probe_id, c.cid, ((p.dim) // 16) * 16),
+        |approx AS (
+        |  SELECT probe_id, vec_id, SUM(pd2) AS adc_d2
+        |  FROM codes JOIN adc USING (sub, cid)
+        |  WHERE vec_id <> probe_id GROUP BY probe_id, vec_id),
+        |cand AS (SELECT probe_id, vec_id, adc_d2 FROM (
+        |    SELECT probe_id, vec_id, adc_d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS crk
+        |    FROM approx) WHERE crk <= 12),
+        |ex AS (
+        |  SELECT cand.probe_id, cand.vec_id, cand.adc_d2,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS d2
+        |  FROM cand JOIN q ON cand.vec_id = q.vec_id
+        |  JOIN probes p ON p.probe_id = cand.probe_id AND p.dim = q.dim
+        |  GROUP BY cand.probe_id, cand.vec_id, cand.adc_d2)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+        |  CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(d2 AS BIGINT) AS d2
+        |FROM (SELECT probe_id, vec_id, adc_d2, d2, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM ex)
+        |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
 
     // the persisted-index probe must return exactly the in-flight IVF
     // routing's answer — one oracle text pins both

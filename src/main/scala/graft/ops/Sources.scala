@@ -822,7 +822,40 @@ object Sources {
     asOf(0L).unionByName(asOf(1L)).orderBy(col("version"))
   }
 
+  /** TABLE CONTENT CHECKSUM — the replication / migration audit
+    * primitive ("did the copy, backfill, or engine switch preserve the
+    * data?") that compares two tables WITHOUT moving either: per
+    * segment, an order-independent triple over portable md5-48 row
+    * hashes — exact decimal SUM, BIT_XOR, and the row count. Sum and
+    * xor are commutative-associative, so the checksum is invariant to
+    * partitioning, row order, and engine, and any single-row difference
+    * flips both aggregates with overwhelming probability. Row identity
+    * hashes only integer-exact columns (keys, line numbers,
+    * integral-valued quantities, flags) — float formatting never
+    * crosses the engine boundary.
+    *
+    * 100 TB shape: everything partial-aggregates map-side (sum, xor,
+    * count are all mergeable); the shuffle carries |segments| triples.
+    * Auditing a replica = run the same statement there and diff two
+    * |segments|-row frames — the `table_diff` companion at metadata
+    * cost instead of row cost. */
+  val metaChecksum: Q = (s, d) => {
+    val rh = graft.expr.Md5Prefix48.md548(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("bigint"), col("l_returnflag"),
+      col("l_linestatus")))
+    T.lineitem(s, d)
+      .select(col("l_returnflag"), rh.as("rh"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rh").cast("decimal(28,0)")).cast("decimal(38,0)")
+          .as("sum_h"),
+        expr("bit_xor(rh)").as("xor_h"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "meta_checksum" -> metaChecksum,
     "merge_cdc" -> mergeCdc,
     "meta_time_travel" -> metaTimeTravel,
     "merge_mor" -> mergeMor,
@@ -848,6 +881,18 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    "meta_checksum" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+        |      || '|' || CAST(l_quantity AS BIGINT) || '|' || l_returnflag
+        |      || '|' || l_linestatus), 1, 12) AS BIGINT) AS rh
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sum_h,
+        |  bit_xor(rh) AS xor_h
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // idempotent ingest: duplicate deliveries and replay overlap collapse,
     // so the one-apply (= N-apply) result is exactly the source table
     "merge_idempotent" ->

@@ -455,6 +455,213 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DETERMINISTIC BOOTSTRAP confidence interval — the uncertainty band
+    * experimentation platforms attach to every mean (`agg_ab_test` gives
+    * the parametric z; the bootstrap is the assumption-free check): B=32
+    * half-sample replicates, where replicate b keeps row r iff the
+    * portable 48-bit md5 of "boot|b|key" is even — the same hash-gate
+    * family as `sample_hash`/`sample_split`, so replicate membership is
+    * reproducible across engines, runs and appends. Per (status, b) the
+    * replicate mean sums exact decimals and divides ONCE in double; the
+    * 10%/90% band reads ranks 4 and 29 of the 32 sorted means (exact
+    * order statistics, no interpolation ambiguity).
+    *
+    * 100 TB shape: the ×32 replicate fan-out is a MAP-SIDE explode
+    * (sequence + filter — nothing materializes), and each replicate
+    * folds map-side into the same (status, b) hash aggregate — one
+    * shuffle of |status|×32 partials, windows on the model grid.
+    * Doubling B changes the constant, never the shape. */
+  val aggBootstrapCi: Q = (s, d) => {
+    val bReps = 32
+    val o = T.orders(s, d).select(col("o_orderstatus").as("st"),
+      col("o_orderkey"), col("o_totalprice").as("v"))
+    val full = o.groupBy(col("st")).agg(
+      round(sum(col("v").cast("decimal(20,8)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("full_mean"))
+    val reps = o
+      .select(col("st"), col("o_orderkey"), col("v"),
+        explode(sequence(lit(0), lit(bReps - 1))).as("b"))
+      .filter(graft.expr.Md5Prefix48.md548(
+        concat_ws("|", lit("boot"), col("b"), col("o_orderkey"))) % 2 === 0)
+    val means = reps.groupBy(col("st"), col("b"))
+      .agg(round(sum(col("v").cast("decimal(20,8)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("m"))
+    val wr = Window.partitionBy(col("st")).orderBy(col("m"), col("b"))
+    means.withColumn("rk", row_number().over(wr))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n_reps"),
+        round(sum(col("m").cast("decimal(20,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("boot_mean"),
+        max(when(col("rk") === 4, col("m"))).as("ci_lo"),
+        max(when(col("rk") === 29, col("m"))).as("ci_hi"))
+      .join(full, "st")
+      .select(col("st").as("o_orderstatus"), col("n_reps"), col("full_mean"),
+        col("boot_mean"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** THEIL-SEN robust trend — the outlier-proof slope of monthly revenue
+    * per order priority (one whale month drags OLS; the median of
+    * pairwise slopes shrugs it off): the corpus folds to the
+    * (priority, month) grid with exact CENT totals first, pairwise
+    * slopes enumerate on the GRID (C(months,2) per priority — model-
+    * sized), each slope rounds once in double, and the estimator is the
+    * exact median (both engines average the two central values on even
+    * counts — same two 6-rounded doubles, same result). The OLS slope
+    * on the same grid (cleared-denominator DECIMAL identity, the
+    * `agg_linreg` discipline) rides along as the contrast column.
+    *
+    * 100 TB shape: ONE (priority, month) hash aggregate touches the
+    * corpus; the quadratic pair stage and both regressions run on the
+    * few-hundred-row grid. The month index recenters per group so the
+    * decimal products stay far from overflow. */
+  val aggTheilSen: Q = (s, d) => {
+    val grid = T.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg((sum(col("o_totalprice").cast("decimal(20,8)")) * 100)
+        .cast("decimal(18,0)").as("r"))
+      .withColumn("mc", col("m") - min(col("m")).over(
+        Window.partitionBy(col("pri"))))
+    val a = grid.select(col("pri"), col("mc").as("m1"), col("r").as("r1"))
+    val b = grid.select(col("pri"), col("mc").as("m2"), col("r").as("r2"))
+    val slopes = a.join(b, Seq("pri"))
+      .filter(col("m1") < col("m2"))
+      .select(col("pri"),
+        round((col("r2") - col("r1")).cast("double")
+          / ((col("m2") - col("m1")).cast("double") * 100.0), 6).as("slope"))
+    val ts = slopes.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("median(slope)"), 6).as("ts_slope"))
+    val ols = grid.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("mc")).as("sm"),
+        sum(col("r")).as("sr"),
+        sum(col("mc").cast("decimal(38,0)") * col("r")).as("smr"),
+        sum(col("mc") * col("mc")).as("smm"))
+      .select(col("pri"), col("n_months"),
+        round((col("n_months") * col("smr")
+            - col("sm").cast("decimal(38,0)") * col("sr")).cast("double")
+          / ((col("n_months") * col("smm")
+            - col("sm") * col("sm")).cast("double") * 100.0), 6)
+          .as("ols_slope"))
+    ts.join(ols, "pri")
+      .select(col("pri").as("o_orderpriority"), col("n_months"),
+        col("n_pairs"), col("ts_slope"), col("ols_slope"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** MEDIAN ABSOLUTE DEVIATION — the robust scale estimate per order
+    * status (σ estimates blow up under the same whale orders that bend
+    * OLS; MAD·1.4826 is the consistent robust alternative every outlier
+    * gate should quote next to stddev): exact per-group median, one
+    * broadcast-back, exact median of |v − med|. Both medians interpolate
+    * identically in both engines (average of the two central doubles);
+    * the raw doubles subtract bit-identically under IEEE.
+    *
+    * 100 TB shape: an exact median is a per-group sort — the DECLARED
+    * semantics here (group count is an enumeration, so the sort
+    * parallelizes across groups and range-partitions within one);
+    * `agg_approx_quantile` is the sketch relaxation when the sort is not
+    * worth it. The second pass reuses the same partitioning. */
+  val aggMad: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus").as("st"),
+      col("o_totalprice").as("v"))
+    val med = o.groupBy(col("st")).agg(expr("median(v)").as("med"))
+    o.join(broadcast(med), "st")
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        expr("median(abs(v - med))").as("mad"))
+      .select(col("st").as("o_orderstatus"), col("n"),
+        round(col("med"), 6).as("median_price"),
+        round(col("mad"), 6).as("mad"),
+        round(col("mad") * 1.4826, 6).as("mad_scaled"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** RATIO-METRIC delta-method CI — the experimentation readout for
+    * "revenue per order" style metrics where the USER is the
+    * randomization unit (naive per-order variance ignores within-user
+    * correlation and understates the error; the delta method is the
+    * standard correction): per market segment, R = Σx/Σy over per-user
+    * (x = revenue in exact cents, y = order count), with
+    * Var(R) ≈ (s²x + R²s²y − 2R·sxy)/(n·ȳ²) and a 95 % normal band.
+    * All six moments (n, Σx, Σy, Σx², Σy², Σxy) are exact — cents are
+    * DECIMAL(18,0), products DECIMAL(38,0) (the `embed_drift` rule) —
+    * so both engines feed IDENTICAL doubles into the same fixed IEEE
+    * sequence; statistics round to 6.
+    *
+    * 100 TB shape: one o_custkey hash aggregate folds orders to the
+    * user grid; the segment dimension joins on the same key; one
+    * segment-keyed moment fold ends at a ≤ |segments| grid. No window,
+    * no second pass over the fact table. */
+  val aggRatioCi: Q = (s, d) => {
+    val u = T.orders(s, d).groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(20,8)")) * 100)
+          .cast("decimal(18,0)").as("x"),
+        count(lit(1)).as("y"))
+    val seg = T.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))
+    val m = u.join(seg, "o_custkey")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val r = sxD / syD
+    val vx = (col("sxx").cast("double") - sxD * sxD / nD) / (nD - 1.0)
+    val vy = (col("syy").cast("double") - syD * syD / nD) / (nD - 1.0)
+    val cxy = (col("sxy").cast("double") - sxD * syD / nD) / (nD - 1.0)
+    val ybar = syD / nD
+    val se = sqrt((vx + r * r * vy - lit(2.0) * r * cxy) / nD) / ybar
+    m.select(col("seg").as("c_mktsegment"), col("n").as("n_users"),
+        round(r / 100.0, 6).as("ratio"),
+        round(se / 100.0, 6).as("se"),
+        round((r - lit(1.96) * se) / 100.0, 6).as("ci_lo"),
+        round((r + lit(1.96) * se) / 100.0, 6).as("ci_hi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** POWER ANALYSIS / MDE — the question every experiment asks BEFORE
+    * `agg_ab_test` reads the result: per event type, the minimum
+    * detectable effect of a 50/50 split at the current traffic
+    * (α=0.05 two-sided, 80 % power — z-sum 1.96+0.8416 = 2.8016), and
+    * the per-arm sample size a 5 % relative lift would need. Variance
+    * comes from the same exact decimal moments as [[aggZscore]]
+    * (order-independent, engine-identical); every statistic is one
+    * fixed IEEE sequence over those moments; n_req's ceil is exact on
+    * identical doubles.
+    *
+    * 100 TB shape: ONE two-phase conditional hash aggregate folds the
+    * corpus to |event_type| rows; all analysis runs on the grid. The
+    * `agg_ab_test` cost class — no window, no second pass. */
+  val aggPowerMde: Q = (s, d) => {
+    def sd8(c: Column) = sum(c.cast("decimal(28,8)"))
+    val m = T.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sd8(col("value")).as("sx"),
+        sd8(col("value") * col("value")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val vr = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - 1.0)
+    val nArm = expr("n DIV 2").cast("double")
+    val mdeAbs = lit(2.8016) * sqrt(lit(2.0) * vr / nArm)
+    val nReq = ceil(lit(2.0) * vr * lit(2.8016) * lit(2.8016)
+      / ((lit(0.05) * mean) * (lit(0.05) * mean))).cast("long")
+    m.select(col("event_type"), col("n"),
+        round(mean, 6).as("mean"), round(sqrt(vr), 6).as("sd"),
+        round(mdeAbs, 6).as("mde_abs"),
+        round(mdeAbs / mean, 6).as("mde_rel"),
+        nReq.as("n_req_per_arm"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** One unrolled power-iteration step (ANSI — valid in both DuckDB and
@@ -769,5 +976,152 @@ object Stats {
         |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
         |FROM orders WHERE o_orderkey % 40 = 7
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderkey, o_totalprice AS v
+        |  FROM orders),
+        |full_m AS (
+        |  SELECT st,
+        |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS full_mean
+        |  FROM o GROUP BY st),
+        |reps AS (
+        |  SELECT st, b.b, v FROM o
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+        |  WHERE CAST('0x' || substr(md5('boot' || '|' || b.b || '|'
+        |    || o_orderkey), 1, 12) AS BIGINT) % 2 = 0),
+        |means AS (
+        |  SELECT st, b,
+        |    CAST(round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS m
+        |  FROM reps GROUP BY st, b),
+        |ranked AS (
+        |  SELECT st, b, m,
+        |    ROW_NUMBER() OVER (PARTITION BY st ORDER BY m, b) AS rk
+        |  FROM means),
+        |ci AS (
+        |  SELECT st, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |    CAST(round(CAST(SUM(CAST(m AS DECIMAL(20,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS boot_mean,
+        |    MAX(CASE WHEN rk = 4 THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rk = 29 THEN m END) AS ci_hi
+        |  FROM ranked GROUP BY st)
+        |SELECT ci.st AS o_orderstatus, n_reps, full_mean, boot_mean,
+        |  ci_lo, ci_hi
+        |FROM ci JOIN full_m ON ci.st = full_m.st
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_theil_sen" ->
+      """WITH grid0 AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |      AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 100
+        |      AS DECIMAL(18,0)) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT pri, m - MIN(m) OVER (PARTITION BY pri) AS mc, r
+        |  FROM grid0),
+        |slopes AS (
+        |  SELECT a.pri,
+        |    CAST(round(CAST(b.r - a.r AS DOUBLE)
+        |      / (CAST(b.mc - a.mc AS DOUBLE) * 100.0), 6) AS DOUBLE) AS slope
+        |  FROM grid a JOIN grid b ON a.pri = b.pri AND a.mc < b.mc),
+        |ts AS (
+        |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(round(median(slope), 6) AS DOUBLE) AS ts_slope
+        |  FROM slopes GROUP BY pri),
+        |ols AS (
+        |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |    CAST(round(CAST(COUNT(*) * SUM(CAST(mc AS DECIMAL(38,0)) * r)
+        |        - CAST(SUM(mc) AS DECIMAL(38,0)) * SUM(r) AS DOUBLE)
+        |      / (CAST(COUNT(*) * SUM(mc * mc)
+        |        - SUM(mc) * SUM(mc) AS DOUBLE) * 100.0), 6) AS DOUBLE)
+        |      AS ols_slope
+        |  FROM grid GROUP BY pri)
+        |SELECT ts.pri AS o_orderpriority, n_months, n_pairs, ts_slope,
+        |  ols_slope
+        |FROM ts JOIN ols ON ts.pri = ols.pri
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_mad" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_totalprice AS v FROM orders),
+        |med AS (SELECT st, median(v) AS med FROM o GROUP BY st)
+        |SELECT o.st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(round(MAX(med.med), 6) AS DOUBLE) AS median_price,
+        |  CAST(round(median(abs(v - med.med)), 6) AS DOUBLE) AS mad,
+        |  CAST(round(median(abs(v - med.med)) * 1.4826, 6) AS DOUBLE)
+        |    AS mad_scaled
+        |FROM o JOIN med ON o.st = med.st
+        |GROUP BY o.st ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_ratio_ci" ->
+      """WITH u AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) * 100
+        |      AS DECIMAL(18,0)) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |m AS (
+        |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        |  FROM u JOIN customer ON u.o_custkey = c_custkey
+        |  GROUP BY c_mktsegment),
+        |md AS (
+        |  SELECT seg, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m),
+        |st AS (
+        |  SELECT seg, n, sxd / syd AS r,
+        |    (sxxd - sxd * sxd / nd) / (nd - 1.0) AS vx,
+        |    (syyd - syd * syd / nd) / (nd - 1.0) AS vy,
+        |    (sxyd - sxd * syd / nd) / (nd - 1.0) AS cxy,
+        |    syd / nd AS ybar, nd
+        |  FROM md),
+        |se AS (
+        |  SELECT seg, n, r,
+        |    sqrt((vx + r * r * vy - 2.0 * r * cxy) / nd) / ybar AS se
+        |  FROM st)
+        |SELECT seg AS c_mktsegment, n AS n_users,
+        |  CAST(round(r / 100.0, 6) AS DOUBLE) AS ratio,
+        |  CAST(round(se / 100.0, 6) AS DOUBLE) AS se,
+        |  CAST(round((r - 1.96 * se) / 100.0, 6) AS DOUBLE) AS ci_lo,
+        |  CAST(round((r + 1.96 * se) / 100.0, 6) AS DOUBLE) AS ci_hi
+        |FROM se ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_power_mde" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,8))) AS sx,
+        |    SUM(CAST(value * value AS DECIMAL(28,8))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |md AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m),
+        |st AS (
+        |  SELECT event_type, n, sxd / nd AS mean,
+        |    (sxxd - sxd * sxd / nd) / (nd - 1.0) AS vr,
+        |    CAST(n // 2 AS DOUBLE) AS n_arm
+        |  FROM md),
+        |mde AS (
+        |  SELECT event_type, n, mean, vr,
+        |    2.8016 * sqrt(2.0 * vr / n_arm) AS mde_abs,
+        |    CAST(ceil(2.0 * vr * 2.8016 * 2.8016
+        |      / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) AS n_req
+        |  FROM st)
+        |SELECT event_type, n,
+        |  CAST(round(mean, 6) AS DOUBLE) AS mean,
+        |  CAST(round(sqrt(vr), 6) AS DOUBLE) AS sd,
+        |  CAST(round(mde_abs, 6) AS DOUBLE) AS mde_abs,
+        |  CAST(round(mde_abs / mean, 6) AS DOUBLE) AS mde_rel,
+        |  n_req AS n_req_per_arm
+        |FROM mde ORDER BY event_type""".stripMargin,
   )
 }

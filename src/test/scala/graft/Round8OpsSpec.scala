@@ -289,4 +289,257 @@ class Round8OpsSpec extends SparkSpecBase {
       assert(r(1) == src(r(0).asInstanceOf[String]), "row count drifted")
     }
   }
+
+  test("agg_bootstrap_ci: 32 replicates, ordered band, positive means") {
+    val rows = Stats.aggBootstrapCi(spark, sf0001).collect()
+    assert(rows.length == 3, "one row per order status")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 32L, "n_reps must be 32")
+      val (full, boot, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= hi, "band must be ordered")
+      assert(full > 0.0 && boot > 0.0)
+      // half-sample means concentrate: the 10/90 band sits within 5%
+      // of the full mean on this metric
+      assert(lo > full * 0.95 && hi < full * 1.05, "band far from mean")
+    }
+  }
+
+  test("agg_theil_sen: pair-count closure and finite slopes") {
+    val rows = Stats.aggTheilSen(spark, sf0001).collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      val (nm, np) = (r.getLong(1), r.getLong(2))
+      assert(np == nm * (nm - 1) / 2, "n_pairs must be C(n_months, 2)")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN)
+    }
+  }
+
+  test("agg_mad: nonnegative robust scale, count closure, exact 1.4826x") {
+    val total = T.orders(spark, sf0001).count()
+    val rows = Stats.aggMad(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (med, mad, sc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(med > 0.0 && mad >= 0.0)
+      assert(math.abs(sc - BigDecimal(mad * 1.4826)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("subq_notin_null: NOT IN collapses under NULL; clean == NOT EXISTS") {
+    val hasNull = T.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
+      .count() > 0
+    val totalCust = T.customer(spark, sf0001).count()
+    val rows = graft.ops.Advanced.subqNotinNull(spark, sf0001).collect()
+    assert(rows.map(_.getLong(1)).sum == totalCust)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        "NOT IN over the null-stripped set must equal NOT EXISTS")
+      if (hasNull)
+        assert(r.getLong(4) == 0L,
+          "NOT IN with a NULL member must select nothing")
+      else assert(r.getLong(4) == r.getLong(3))
+    }
+  }
+
+  test("graph_modularity: degree closure and contribution sum") {
+    val rows = graft.ops.Insights.graphModularity()(spark, sf0001)
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        col("contrib"), col("modularity"))
+      .collect()
+    assert(rows.nonEmpty)
+    val q = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == q), "modularity is one scalar")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    // sum of community degrees counts each edge's two endpoints once
+    val m2 = rows.map(_.getLong(3)).sum
+    assert(m2 % 2 == 0 && rows.map(_.getLong(2)).sum <= m2 / 2)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - q) < 1e-4)
+  }
+
+  test("events_lifecycle: class closure and new-user accounting") {
+    val users = T.events(spark, sf0001).select(col("user_id"))
+      .distinct().count()
+    val rows = graft.ops.Insights.eventsLifecycle()(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        "active = new + retained + resurrected")
+    }
+    assert(rows.map(_.getLong(2)).sum == users,
+      "every user is new exactly once")
+    val first = rows.head
+    assert(first.getLong(1) == first.getLong(2), "week 1 is all new")
+  }
+
+  test("text_readability: doc-count closure, valid bands, syllable floor") {
+    val total = T.documents(spark, sf0001).count()
+    val bands = Set("very_easy", "easy", "medium", "hard", "very_hard")
+    val rows = graft.ops.Curation.textReadability(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      assert(bands.contains(r.getString(1)))
+      assert(r.getDouble(4) >= 1.0, "every word has at least one syllable")
+    }
+  }
+
+  test("agg_skyline: frontier points are mutually non-dominating parts") {
+    val rows = graft.ops.Insights.aggSkyline(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(_._4 >= 1))
+    // within a brand no frontier point dominates another
+    rows.groupBy(_._1).foreach { case (_, pts) =>
+      for (a <- pts; b <- pts if a != b)
+        assert(!(a._2 <= b._2 && a._3 >= b._3),
+          s"$a dominates $b on the frontier")
+    }
+    // every part is dominated-or-equal by some frontier point of its brand
+    val parts = T.part(spark, sf0001)
+      .select(col("p_brand"), col("p_retailprice"), col("p_size")).collect()
+    val byBrand = rows.groupBy(_._1)
+    parts.foreach { p =>
+      val fr = byBrand(p.getString(0))
+      assert(fr.exists(f => f._2 <= p.getDouble(1) && f._3 >= p.getInt(2)))
+    }
+  }
+
+  test("graph_assortativity: r in [-1,1], symmetric-moment consistency") {
+    val r = graft.ops.Insights.graphAssortativity()(spark, sf0001)
+      .collect().head
+    val (nNodes, nEdges, meanDeg, rho) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nNodes > 0 && nEdges > 0)
+    // friendship paradox (Cauchy-Schwarz): the mean degree seen from a
+    // random edge endpoint, sum(d^2)/2m, dominates the node mean 2m/n
+    assert(meanDeg >= 2.0 * nEdges / nNodes - 1e-9)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
+  test("events_coverage: island arithmetic and per-mille bounds") {
+    val users = T.events(spark, sf0001).select(col("user_id"))
+      .distinct().count()
+    val rows = graft.ops.Insights.eventsCoverage(spark, sf0001).collect()
+    assert(rows.length == users, "one row per user")
+    rows.foreach { r =>
+      val (nev, nisl, cov, span, pm) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nisl >= 1 && nisl <= nev, "islands merge events")
+      assert(cov >= 1800L * nisl, "each island covers >= one interval")
+      assert(cov <= span && span >= 1800, "union fits inside the span")
+      assert(pm == cov * 1000 / span && pm >= 0 && pm <= 1000)
+    }
+  }
+
+  test("events_stickiness: DAU <= MAU28, per-mille closure, all days") {
+    val days = T.events(spark, sf0001)
+      .select(to_date(col("ts")).as("d")).distinct().count()
+    val rows = graft.ops.Insights.eventsStickiness(spark, sf0001).collect()
+    assert(rows.length == days, "one row per active day")
+    rows.foreach { r =>
+      val (dau, mau, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau >= 1 && dau <= mau, "DAU bounded by MAU28")
+      assert(pm == dau * 1000 / mau && pm >= 0 && pm <= 1000)
+    }
+  }
+
+  test("sim_topk_pq: ADC candidates contain and order the exact top-3") {
+    val rows = LlmPipeline.simTopkPq(spark, sf0001).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 10 && rows.length == 30)
+    byProbe.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      // exact distances are non-decreasing in rank and never negative
+      val d2 = sorted.map(_.getLong(4))
+      assert(d2.sameElements(d2.sorted) && d2.forall(_ >= 0))
+      // the probe itself is excluded from its own candidates
+      assert(rs.forall(_.getLong(2) != p))
+      assert(rs.forall(_.getLong(3) >= 0), "ADC distances nonnegative")
+    }
+  }
+
+  test("agg_sketch_rollup: merged <= naive sum, overlap closure") {
+    val rows = graft.ops.Advanced.aggSketchRollup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWeeks, naive, merged, overlap) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nWeeks >= 1)
+      assert(merged <= naive + 1e-9, "merge removes double counting")
+      assert(math.abs((naive - merged) - overlap) < 1e-6)
+      assert(merged >= naive / nWeeks - 1e-9,
+        "true distinct at least the largest week's share")
+    }
+  }
+
+  test("meta_checksum: order/partition-invariant, flips on any edit") {
+    val base = Sources.metaChecksum(spark, sf0001).collect()
+    assert(base.map(_.getLong(1)).sum ==
+      T.lineitem(spark, sf0001).count(), "counts partition the table")
+    // repartitioning must not change any component of the checksum
+    val shuffled = T.lineitem(spark, sf0001).repartition(7)
+    val rh = graft.expr.Md5Prefix48.md548(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("bigint"), col("l_returnflag"),
+      col("l_linestatus")))
+    val again = shuffled.select(col("l_returnflag"), rh.as("rh"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rh").cast("decimal(28,0)")).cast("decimal(38,0)")
+          .as("sum_h"),
+        expr("bit_xor(rh)").as("xor_h"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(base.map(_.toSeq.toList).toList ==
+      again.map(_.toSeq.toList).toList)
+  }
+
+  test("agg_power_mde: MDE shrinks with n, n_req covers the 5% lift") {
+    val rows = Stats.aggPowerMde(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sd, mdeAbs, mdeRel, nReq) = (r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6))
+      assert(mean > 0 && sd > 0 && mdeAbs > 0 && nReq > 0)
+      assert(math.abs(mdeRel - mdeAbs / mean) < 1e-4)
+      // at n_req per arm the detectable effect is (about) the 5% lift:
+      // mde(n_req) = 2.8016*sqrt(2*vr/n_req) <= 0.05*mean (+ceil slack)
+      val mdeAtReq = 2.8016 * math.sqrt(2.0 * sd * sd / nReq)
+      assert(mdeAtReq <= 0.05 * mean * 1.01,
+        s"n_req=$nReq does not power the 5% lift")
+    }
+  }
+
+  test("agg_lorenz_bands: shares and counts close, cum monotone") {
+    val rows = graft.ops.Insights.aggLorenzBands(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // rows arrive band-descending; cumulative share must be monotone
+      val cum = rs.map(_.getLong(5))
+      assert(cum.sameElements(cum.sorted), "cum share grows downward")
+      assert(cum.last >= 9990 && cum.last <= 10000,
+        "full cum share within DIV truncation of 100%")
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3),
+        "band counts partition the customers")
+      assert(rs.map(_.getLong(4)).sum <= 10000, "shares sum under 100%")
+    }
+  }
+
+  test("agg_ratio_ci: band brackets the ratio, se positive, user closure") {
+    val users = T.orders(spark, sf0001).select(col("o_custkey"))
+      .distinct().count()
+    val rows = Stats.aggRatioCi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == users,
+      "segments partition the purchasing users")
+    rows.foreach { r =>
+      val (ratio, se, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(se > 0 && lo < ratio && ratio < hi)
+      assert(math.abs((ratio - lo) - (hi - ratio)) < 1e-4,
+        "normal band is symmetric")
+    }
+  }
 }
