@@ -158,6 +158,8 @@ object SparkEntry {
     "events_markov_stationary" -> Stats.eventsMarkovStationary(),
     "embed_isotropy"    -> Stats.embedIsotropy,
     "agg_hhi"           -> Stats.aggHhi,
+    "agg_weighted_median" -> Stats.aggWeightedMedian,
+    "agg_trimmed_mean"  -> Stats.aggTrimmedMean,
     "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
     "text_shard_manifest" -> LlmPipeline.textShardManifest,
     "corpus_card"       -> Curation.corpusCard,

@@ -101,7 +101,8 @@ object SqlCatalog {
     "agg_hhi",
     // round-8b keys whose oracle SQL is already ANSI
     "agg_theil_sen", "agg_mad", "graph_modularity", "subq_notin_null",
-    "agg_skyline", "graph_assortativity", "agg_ratio_ci")
+    "agg_skyline", "graph_assortativity", "agg_ratio_ci",
+    "agg_weighted_median", "agg_trimmed_mean")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++

@@ -696,6 +696,116 @@ object Stats {
        |pi$k AS (SELECT state, CAST(round(upi / tot, 8) AS DOUBLE) AS pi
        |  FROM up$k CROSS JOIN t$k)""".stripMargin
 
+  /** WEIGHTED MEDIAN — the quantity-weighted midpoint price per return
+    * flag (the unweighted `agg_mad`/`agg_percentile` medians treat a
+    * 1-unit and a 50-unit line identically; pricing and inventory
+    * analyses need the unit-weighted center). Weights fold to the
+    * DISTINCT-value grid first (groupBy flag, price), then one
+    * cumulative-weight window over the grid picks the smallest price
+    * whose cumulative weight reaches half the total. All weight
+    * arithmetic is DECIMAL(20,2) sums and the half-total test is
+    * `2·cw ≥ tot` in decimals — no division, no ties ambiguity (equal
+    * prices merge before the window), so both engines select the
+    * identical row.
+    *
+    * 100 TB shape: the heavy fold is the map-side-combinable groupBy to
+    * the distinct-price grid; the window runs on the grid (|flags| ×
+    * |distinct prices| — bounded by price-domain cardinality, not row
+    * count) and range-partitions within each flag. Never a corpus-wide
+    * sort of raw rows. */
+  val aggWeightedMedian: Q = (s, d) => {
+    val g = T.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("w"))
+    val wc = Window.partitionBy(col("f")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("f"))
+    val c = g.select(col("f"), col("v"), col("w"),
+      sum(col("w")).over(wc).as("cw"),
+      sum(col("w")).over(wt).as("tw"))
+    c.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_at_or_above"),
+        min(col("v")).as("weighted_median"),
+        max(col("tw")).as("tw"))
+      .select(col("f").as("l_returnflag"), col("n_at_or_above"),
+        col("weighted_median"),
+        round(col("tw").cast("double"), 2).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Shared ANSI text for [[aggWeightedMedian]] (oracle + Spark
+    * statement — the grid/window/decimal algebra parses identically). */
+  private[graft] lazy val weightedMedianSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS f, l_extendedprice AS v,
+      |    SUM(CAST(l_quantity AS DECIMAL(20,2))) AS w
+      |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+      |c AS (
+      |  SELECT f, v, w,
+      |    SUM(w) OVER (PARTITION BY f ORDER BY v) AS cw,
+      |    SUM(w) OVER (PARTITION BY f) AS tw
+      |  FROM g)
+      |SELECT f AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_at_or_above,
+      |  MIN(v) AS weighted_median,
+      |  CAST(round(CAST(MAX(tw) AS DOUBLE), 2) AS DOUBLE) AS total_weight
+      |FROM c WHERE cw * 2 >= tw
+      |GROUP BY f ORDER BY l_returnflag""".stripMargin
+
+  /** TRIMMED MEAN — the drop-the-tails location estimate per order
+    * status ([[Curation]]'s `agg_winsorize` CLAMPS outliers to the
+    * fences; trimming DISCARDS the bottom and top 10% entirely — the
+    * other standard robust mean, and the two genuinely differ on skewed
+    * price tails). Ranks come from one deterministic row_number window
+    * (price, then orderkey as the total tiebreak); the kept band is
+    * `floor(0.1·n) < rank ≤ n − floor(0.1·n)` with the cut count
+    * computed in the same IEEE `0.1 * n` both engines evaluate; kept
+    * values sum as DECIMAL(28,8) so the mean is partition-invariant.
+    *
+    * 100 TB shape: ranking is a per-status range-partitioned sort (3
+    * statuses here; the general shape parallelizes across groups), and
+    * the kept-band filter + decimal fold ride the same pass — one
+    * shuffle, grid-sized output. `agg_approx_quantile` is the sketch
+    * relaxation when an exact per-group sort is not worth it. */
+  val aggTrimmedMean: Q = (s, d) => {
+    val w = Window.partitionBy(col("st"))
+      .orderBy(col("v"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("st"))
+    val r = T.orders(s, d)
+      .select(col("o_orderstatus").as("st"), col("o_totalprice").as("v"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("cut", floor(col("n").cast("double") * 0.1))
+    r.filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n_kept"), max(col("cut")).as("n_cut_each"),
+        sum(col("v").cast("decimal(28,8)")).as("sv"))
+      .select(col("st").as("o_orderstatus"), col("n_kept"),
+        col("n_cut_each"),
+        round(col("sv").cast("double") / col("n_kept").cast("double"), 6)
+          .as("trimmed_mean"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Shared ANSI text for [[aggTrimmedMean]]. */
+  private[graft] lazy val trimmedMeanSql: String =
+    """WITH r AS (
+      |  SELECT o_orderstatus AS st, o_totalprice AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders),
+      |k AS (
+      |  SELECT st, v, rn, n,
+      |    CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS cut
+      |  FROM r)
+      |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  MAX(cut) AS n_cut_each,
+      |  CAST(round(CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS trimmed_mean
+      |FROM k WHERE rn > cut AND rn <= n - cut
+      |GROUP BY st ORDER BY o_orderstatus""".stripMargin
+
   /** Shared ANSI text for [[eventsMarkovStationary]] (oracle + Spark
     * statement — the window/round/decimal algebra parses identically). */
   private[graft] lazy val markovStationarySql: String =
@@ -722,6 +832,8 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "events_markov_stationary" -> markovStationarySql,
+    "agg_weighted_median" -> weightedMedianSql,
+    "agg_trimmed_mean" -> trimmedMeanSql,
 
     "embed_isotropy" ->
       """WITH q AS (

@@ -327,6 +327,48 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_weighted_median: half-weight property, member value, unweighted contrast") {
+    val li = T.lineitem(spark, sf0001)
+    val rows = Stats.aggWeightedMedian(spark, sf0001).collect()
+    assert(rows.length == 3, "one row per return flag")
+    rows.foreach { r =>
+      val (flag, wm, tot) = (r.getString(0), r.getDouble(2), r.getDouble(3))
+      // the defining property: weight at or below the median reaches half
+      // the total, and strictly below stays under half
+      val atOrBelow = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= wm)
+        .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+      val below = li.filter(col("l_returnflag") === flag &&
+          col("l_extendedprice") < wm)
+        .agg(coalesce(sum(col("l_quantity")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      assert(atOrBelow * 2 >= tot - 1e-6, s"$flag: median too low")
+      assert(below * 2 < tot + 1e-6, s"$flag: median too high")
+      // the median is an actual member price of the group
+      assert(li.filter(col("l_returnflag") === flag &&
+        col("l_extendedprice") === wm).count() > 0)
+    }
+  }
+
+  test("agg_trimmed_mean: count closure, band tightens the mean vs raw") {
+    val o = T.orders(spark, sf0001)
+    val raw = o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rows = Stats.aggTrimmedMean(spark, sf0001).collect()
+    assert(rows.length == 3, "one row per order status")
+    rows.foreach { r =>
+      val (st, kept, cut, tm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (n, lo, hi) = raw(st)
+      assert(cut == math.floor(n.toDouble * 0.1).toLong)
+      assert(kept == n - 2 * cut, s"$st: kept band must be n - 2*cut")
+      assert(tm > lo && tm < hi, s"$st: trimmed mean outside value range")
+    }
+  }
+
   test("subq_notin_null: NOT IN collapses under NULL; clean == NOT EXISTS") {
     val hasNull = T.orders(spark, sf0001)
       .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 97 === 0)
