@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): local[32] at sf0.1 runs 32 concurrent tasks'
+  // execution memory + localCheckpoint storage in ONE heap — at 8g the
+  // r8 driver-run bench showed a 1.2-1.8x contention tail the identical
+  // quiet run didn't. The machine has 128 GiB; test forks use the same
+  // setting (20 suites run sequentially, one fork at a time).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -86,6 +86,16 @@ object Bench {
     // each — a coarser but real signal for all 175 declared keys that keeps
     // total bench wall-clock bounded.
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // environment stamp (VERDICT r8 #7): the r7→r8 rounds burned on
+    // quiet-run vs driver-run confusion because the artifacts never said
+    // which config produced them — record cpus, shuffle partitions, and
+    // heap so every BENCH json self-describes its config.
+    val rt = Runtime.getRuntime
+    val envStamp =
+      s""""env":{"cpus":$cpus,"shuffle_partitions":${
+        spark.sessionState.conf.numShufflePartitions},"max_heap_mb":${
+        rt.maxMemory() / (1024 * 1024)},"free_heap_mb":${
+        (rt.maxMemory() - rt.totalMemory() + rt.freeMemory()) / (1024 * 1024)}}"""
     val all = SparkEntry.queries
     val unknown = headline.filterNot(all.contains)
     require(unknown.isEmpty,
@@ -123,8 +133,16 @@ object Bench {
         // query plan. Explicit unpersist makes the release deterministic
         // instead of GC-timing-dependent.
         spark.catalog.clearCache()
+        // blocking=true: async unpersist races the NEXT sample for storage
+        // memory when the machine is contended (the r8 driver run measured
+        // graph_jaccard at 19.8 s where an identical-config quiet repro
+        // reads 3.9 s — cleanup falling behind under load is the one
+        // mechanism that matches); a synchronous release is untimed here
+        // and makes the between-sample state deterministic regardless of
+        // machine load.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         dt
       }
       // and a GC per key: broadcast blocks + shuffle state from earlier
@@ -138,6 +156,12 @@ object Bench {
       // tail keys keep the cheap single sample.
       val runs = if (ok && runs0 == 1 && first > 2.0) 3 else runs0
       val samples = first +: (2 to runs).map(_ => sample())
+      // per-sample trace on stderr (not the bounded stdout line): a median
+      // hides whether a slow key is uniformly slow or one-outlier slow —
+      // the exact ambiguity that stalled the graph_jaccard hunt for 2 rounds
+      if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+        System.err.println(s"[bench] $name samples=" +
+          samples.map(v => f"$v%.3f").mkString(","))
       // a query that throws must NEVER masquerade as a fast timing
       // (VERDICT r4 #3): report -1 and list it under "failed".
       if (!ok) { failed += name; (name, -1.0, runs) }
@@ -164,7 +188,7 @@ object Bench {
       // full per-key dump — every declared key, its seconds, and how many
       // runs produced the number (3 = median, 1 = single sample)
       val fullJson =
-        s"""{"sf":"$sfDir","agg":"median","failed":$fs,
+        s"""{"sf":"$sfDir","agg":"median",$envStamp,"failed":$fs,
            |"total_headline":${num(totalHeadline)},"total_all":${num(totalAll)},
            |"keys":${results.size},
            |"runs":${results.map { case (k, _, r) => "\"" + k + "\":" + r }
@@ -174,7 +198,7 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes("UTF-8"))
     }
-    println(s"""{"metric":"total","value":${num(totalHeadline)},"unit":"sec","runs":3,"agg":"median","total_all":${num(totalAll)},"keys":${results.size},"full":"BENCH_FULL.json","failed":$fs,"queries":${jmap(headlineRes)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(totalHeadline)},"unit":"sec","runs":3,"agg":"median",$envStamp,"total_all":${num(totalAll)},"keys":${results.size},"full":"BENCH_FULL.json","failed":$fs,"queries":${jmap(headlineRes)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

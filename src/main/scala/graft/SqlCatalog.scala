@@ -390,7 +390,8 @@ object SqlCatalog {
         |      AS rh
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sum_h,
+        |  CAST(CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |    % 2305843009213693951 AS BIGINT) AS sum_h,
         |  bit_xor(rh) AS xor_h
         |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -600,7 +601,8 @@ object SqlCatalog {
         |tot AS (SELECT COUNT(*) AS n_total FROM documents)
         |SELECT shard, COUNT(*) AS n_docs, SUM(toks) AS n_tokens,
         |  SUM(n_chars) AS n_chars,
-        |  CAST(SUM(CAST(ch AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS checksum,
+        |  CAST(CAST(SUM(CAST(ch AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    % 2305843009213693951 AS BIGINT) AS checksum,
         |  CAST(round(CAST(COUNT(*) AS DOUBLE)
         |    / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS share
         |FROM a CROSS JOIN tot

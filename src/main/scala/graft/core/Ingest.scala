@@ -50,6 +50,33 @@ object Ingest {
       .select(col("id"), col("username"), col("email"), col("reject_reason"))
   }
 
+  /** Driver-side scalar twin of [[parseStatements]] — the per-line parser
+    * the interactive REPL (`graft.Repl`, the `db.cpp:538-601` analogue)
+    * uses, with the SAME rule order and verbatim error strings as the
+    * columnar path (IngestSpec pins the two surfaces agree on a grid of
+    * inputs). Left = the reference's error reply, Right = the typed row. */
+  def parseLine(line: String): Either[String, User] = {
+    val toks = line.trim.split("\\s+", -1)
+    def tok(i: Int): Option[String] =
+      if (i < toks.length && toks(i).nonEmpty) Some(toks(i)) else None
+    if (!tok(0).contains("insert"))
+      Left(s"Unrecognized keyword at start of '$line'")
+    else if (toks.length < 4)
+      Left("Syntax error. Could not parse statement")
+    else {
+      val idOpt = tok(1).flatMap(s => scala.util.Try(s.toLong).toOption)
+      idOpt match {
+        case None => Left("Syntax error. Could not parse statement")
+        case Some(id) if id < 0 => Left("ID must be positive.")
+        case Some(id) =>
+          val (u, e) = (toks(2), toks(3))
+          if (u.length > MaxUsername || e.length > MaxEmail)
+            Left("String is too long.")
+          else Right(User(id, u, e))
+      }
+    }
+  }
+
   /** Typed surface: accepted statements as a Dataset[User]. */
   def parseAccepted(spark: SparkSession, lines: DataFrame, lineCol: String): Dataset[User] = {
     import spark.implicits._

@@ -1672,12 +1672,14 @@ object Advanced {
     // the single materializing job. Empirically settled by the r8
     // isolation audit: this shape runs 2.9 s (median-of-5, fresh JVM,
     // sf0.1) vs 7.7 s for the round-6 double-barrier (edges AND withDeg
-    // both checkpointed). The 19.2 s reading in BENCH_r07 was NOT this
-    // query: the bench reused one JVM across samples and localCheckpoint
-    // blocks from a key's own earlier samples pile up in storage memory
-    // until a driver GC — Bench.scala now unpersists all persistent RDDs
-    // after every sample, which returned the full-257-key reading to
-    // ~3.6 s on identical query code.
+    // both checkpointed). The 19-20 s readings in BENCH_r07/r08 were NOT
+    // this query's plan: a round-9 repro at the driver's exact config
+    // (cpus=32, full 296-key suite, 8g heap) measured 3.88 s median on
+    // identical code — the inflation only appears when the machine is
+    // otherwise loaded, because this is the checkpoint-heaviest key and
+    // async block release raced the next sample for storage memory.
+    // Bench.scala now unpersists SYNCHRONOUSLY (+ GC) between samples;
+    // SCALING.md's round-9 section carries the full variance analysis.
     val edges = a.join(b, Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
       .select(col("pa"), col("pb")).distinct()

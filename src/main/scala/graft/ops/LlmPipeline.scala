@@ -252,8 +252,12 @@ object LlmPipeline {
         sum(col("n_chars")).as("n_chars"),
         sum(col("ch").cast("decimal(20,0)")).as("checksum"))
       .crossJoin(broadcast(tot))
+      // surface the checksum as BIGINT mod 2^61-1 (order-independent,
+      // single-doc-sensitive) — a DECIMAL(20,0) column canonicalizes
+      // differently across engines (the SURVEY §2.2 stable-type rule)
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
-        col("checksum").cast("decimal(20,0)").as("checksum"),
+        (col("checksum").cast("decimal(38,0)") % lit(2305843009213693951L))
+          .cast("bigint").as("checksum"),
         round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
           .as("share"))
       .orderBy(col("shard"))
@@ -2294,7 +2298,8 @@ object LlmPipeline {
          |SELECT shard, COUNT(*) AS n_docs,
          |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
          |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-         |  CAST(SUM(CAST(ch AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS checksum,
+         |  CAST(CAST(SUM(CAST(ch AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |    % 2305843009213693951 AS BIGINT) AS checksum,
          |  CAST(round(CAST(COUNT(*) AS DOUBLE)
          |    / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS share
          |FROM a CROSS JOIN tot

@@ -311,9 +311,15 @@ object Sources {
         col("o_totalprice"))).as("r"))
       .select(col("o_orderkey"), col("r.o_custkey"), col("r.o_orderstatus"),
         col("r.o_totalprice"))
+    // materialize the gated delta to a staging path FIRST: Spark does not
+    // guarantee a job that reads a parquet path while appending to the same
+    // path (a task retry can double-read the half-written snapshot) — the
+    // stage/append split makes each action read-only or write-only
+    val stageDir = ioDir("merge_idempotent_stage")
     deduped.join(base.select(col("o_orderkey")), Seq("o_orderkey"),
         "left_anti")
-      .write.mode("append").parquet(baseDir)
+      .write.mode("overwrite").parquet(stageDir)
+    s.read.parquet(stageDir).write.mode("append").parquet(baseDir)
     s.read.parquet(baseDir).write.mode("overwrite").parquet(outDir)
     s.read.parquet(outDir)
       .groupBy(col("o_orderstatus"))
@@ -849,8 +855,16 @@ object Sources {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("rh").cast("decimal(28,0)")).cast("decimal(38,0)")
-          .as("sum_h"),
+          .as("sum_raw"),
         expr("bit_xor(rh)").as("xor_h"))
+      // fold the 128-bit running sum to BIGINT mod 2^61-1: still
+      // order-independent and single-row-sensitive, but the surfaced type
+      // is a primitive int64 on every engine (decimal128 canonicalization
+      // differs between engines — the SURVEY §2.2 stable-type rule)
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("sum_raw") % lit(2305843009213693951L)).cast("bigint")
+          .as("sum_h"),
+        col("xor_h"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -889,7 +903,8 @@ object Sources {
         |      || '|' || l_linestatus), 1, 12) AS BIGINT) AS rh
         |  FROM lineitem)
         |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sum_h,
+        |  CAST(CAST(SUM(CAST(rh AS DECIMAL(28,0))) AS DECIMAL(38,0))
+        |    % 2305843009213693951 AS BIGINT) AS sum_h,
         |  bit_xor(rh) AS xor_h
         |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

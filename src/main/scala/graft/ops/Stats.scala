@@ -824,7 +824,8 @@ object Stats {
        |  FROM counts JOIN rt ON counts.prev = rt.prev),
        |states AS (SELECT DISTINCT prev AS state FROM pmat),
        |kk AS (SELECT COUNT(*) AS k FROM states),
-       |pi0 AS (SELECT state, CAST(round(1.0 / k, 8) AS DOUBLE) AS pi
+       |pi0 AS (SELECT state,
+       |    CAST(round(CAST(1.0 AS DOUBLE) / k, 8) AS DOUBLE) AS pi
        |  FROM states CROSS JOIN kk),
        |${(1 to 4).map(mkvIterSql).mkString(",\n")}
        |SELECT state, CAST(round(pi, 6) AS DOUBLE) AS stationary
@@ -950,7 +951,8 @@ object Stats {
         |      OVER (PARTITION BY cohort ORDER BY dur) AS zeroed,
         |    SUM(lp) OVER (PARTITION BY cohort ORDER BY dur) AS ls
         |  FROM lp)
-        |SELECT cohort, dur, n_risk, d AS d_events,
+        |SELECT cohort, dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
         |  CAST(CASE WHEN zeroed = 1 THEN 0.0
         |    ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS DOUBLE) AS survival
         |FROM ls WHERE d > 0 ORDER BY cohort, dur""".stripMargin,

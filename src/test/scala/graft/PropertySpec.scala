@@ -239,6 +239,9 @@ class PropertySpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      val exactByType = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val perP = Seq(1, 4, 32).map { p =>
         spark.conf.set("spark.sql.shuffle.partitions", p)
         val approxUsers = ev.repartition(p)
@@ -246,6 +249,15 @@ class PropertySpec extends SparkSpecBase {
           .collect()(0).getLong(0)
         assert(math.abs(approxUsers - exactUsers).toDouble / exactUsers <= 0.25,
           s"p=$p: approx_count_distinct $approxUsers vs exact $exactUsers")
+        // the DECLARED operator too (not just a re-derivation): the
+        // agg_approx_distinct entry must hold its 2% rsd bound (checked at
+        // 3 sigma ~ 6%) under every merge fan-in
+        val declared = graft.ops.Relational.aggApproxDistinct(spark, sf0001)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        exactByType.foreach { case (t, nd) =>
+          assert(math.abs(declared(t) - nd).toDouble / nd <= 0.06,
+            s"p=$p type $t: agg_approx_distinct ${declared(t)} vs exact $nd")
+        }
         val hll = graft.ops.Advanced.aggHllSketch(spark, sf0001)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         exactParts.foreach { case (flag, nd) =>
@@ -261,7 +273,7 @@ class PropertySpec extends SparkSpecBase {
           assert(math.abs(a95 - p95) / (math.abs(p95) + 1) <= 0.05,
             s"p=$p $k p95: approx=$a95 exact=$p95")
         }
-        (approxUsers, hll)
+        (approxUsers, hll, declared)
       }
       // register-max merges are partition-invariant: all three sweeps must
       // agree bit-for-bit on the HLL-family estimates
@@ -269,6 +281,8 @@ class PropertySpec extends SparkSpecBase {
         s"approx_count_distinct drifted across partitionings: ${perP.map(_._1)}")
       assert(perP.map(_._2).distinct.size == 1,
         "agg_hll_sketch estimates drifted across partitionings")
+      assert(perP.map(_._3).distinct.size == 1,
+        "agg_approx_distinct estimates drifted across partitionings")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

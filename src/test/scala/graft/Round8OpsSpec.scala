@@ -530,8 +530,12 @@ class Round8OpsSpec extends SparkSpecBase {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("rh").cast("decimal(28,0)")).cast("decimal(38,0)")
-          .as("sum_h"),
+          .as("sum_raw"),
         expr("bit_xor(rh)").as("xor_h"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("sum_raw") % lit(2305843009213693951L)).cast("bigint")
+          .as("sum_h"),
+        col("xor_h"))
       .orderBy(col("l_returnflag")).collect()
     assert(base.map(_.toSeq.toList).toList ==
       again.map(_.toSeq.toList).toList)
