@@ -56,7 +56,10 @@ object Bench {
     "graph_modularity", "agg_skyline", "graph_assortativity",
     "events_coverage", "events_stickiness", "agg_ratio_ci",
     "sim_topk_pq", "agg_sketch_rollup", "agg_power_mde",
-    "agg_lorenz_bands")
+    "agg_lorenz_bands",
+    // round-9 flagships
+    "sample_dsir", "text_gopher_rules", "sim_topk_bq",
+    "dedup_downweight", "agg_cuped", "graph_bfs", "text_jsd_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

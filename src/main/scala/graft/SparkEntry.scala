@@ -69,6 +69,7 @@ object SparkEntry {
     "fn_bitwise"       -> Functions.fnBitwise,
     "fn_regex"         -> Functions.fnRegex,
     "fn_url"           -> Functions.fnUrl,
+    "fn_variant"       -> Functions.fnVariant,
     "fn_mask"          -> Functions.fnMask,
     "fn_try"           -> Functions.fnTry,
     // streaming semantics (batch-mode declared; stream-mode in tests)
@@ -160,11 +161,13 @@ object SparkEntry {
     "agg_hhi"           -> Stats.aggHhi,
     "agg_weighted_median" -> Stats.aggWeightedMedian,
     "agg_trimmed_mean"  -> Stats.aggTrimmedMean,
+    "agg_effect_size"   -> Stats.aggEffectSize,
     "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
     "text_shard_manifest" -> LlmPipeline.textShardManifest,
     "corpus_card"       -> Curation.corpusCard,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
-    Composite.queries ++ Insights.queries ++ Curation.queries
+    Composite.queries ++ Insights.queries ++ Curation.queries ++
+    Selection.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -195,5 +198,5 @@ object SparkEntry {
     RelationalOracles.sql ++ Functions.oracles ++ Streaming.oracles ++
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
-      Curation.oracles ++ Stats.oracles
+      Curation.oracles ++ Stats.oracles ++ Selection.oracles
 }

@@ -40,8 +40,9 @@ import graft.ops.{Composite, RelationalOracles}
   * closest possible mirror of the reference's actual interface: a REPL
   * consuming a sequence of statements (`db.cpp:549-598`).
   *
-  * The THREE DataFrame-only keys are `dedup_cluster`, `dedup_semantic`
-  * and `dedup_report` (which composes `dedup_cluster`): connected
+  * The DataFrame-only keys are `dedup_cluster`, `dedup_semantic`,
+  * `dedup_report` (which composes `dedup_cluster`) and `dedup_downweight`
+  * (the cluster-size reweighting over the same components): connected
   * components needs either an iterative fixpoint or a recursive closure
   * with cross-iteration dedup, and Spark 4.1's recursive CTEs reject
   * UNION (distinct) inside the recursion
@@ -102,13 +103,18 @@ object SqlCatalog {
     // round-8b keys whose oracle SQL is already ANSI
     "agg_theil_sen", "agg_mad", "graph_modularity", "subq_notin_null",
     "agg_skyline", "graph_assortativity", "agg_ratio_ci",
-    "agg_weighted_median", "agg_trimmed_mean")
+    "agg_weighted_median", "agg_trimmed_mean",
+    // round-9 keys whose oracle SQL is already ANSI
+    "agg_cuped", "events_did",
+    // round-9b keys whose oracle SQL is already ANSI
+    "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
-      graft.ops.Curation.oracles ++ graft.ops.Stats.oracles)(k)
+      graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
+      graft.ops.Selection.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -346,6 +352,226 @@ object SqlCatalog {
   private val sparkDialect: Map[String, String] = Map(
     // MinHash estimator audit (md5_48 + HOF shingle dialect)
     "dedup_minhash_audit" -> minhashAuditSql,
+
+    // VARIANT pack (parse_json/variant_get — Spark 4's semi-structured
+    // type; the oracle extracts the same values via DuckDB JSON)
+    "fn_variant" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"u":' || CAST(user_id AS STRING) || ',"m":{"k":'
+        |      || get_json_object(props, '$.k') || ',"t":"'
+        |      || event_type || '"}}' AS doc
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id,
+        |    variant_get(parse_json(doc), '$.u', 'bigint') AS u,
+        |    variant_get(parse_json(doc), '$.m.k', 'bigint') AS k,
+        |    variant_get(parse_json(doc), '$.m.t', 'string') AS t
+        |  FROM j)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN k >= 50 THEN 1L ELSE 0L END) AS BIGINT) AS k_hi
+        |FROM v GROUP BY t ORDER BY t""".stripMargin,
+
+    // bounded-vocab Jensen-Shannon drift (split/explode dialect)
+    "text_jsd_drift" ->
+      """WITH toks AS (
+        |  SELECT source, explode(split(text, ' ')) AS tok FROM documents),
+        |gcounts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok FROM gcounts ORDER BY c DESC, tok LIMIT 256),
+        |mapped AS (
+        |  SELECT source,
+        |    CASE WHEN vocab.tok IS NULL THEN '<oov>' ELSE toks.tok END AS term
+        |  FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok),
+        |sc AS (SELECT source, term, COUNT(*) AS cs
+        |       FROM mapped GROUP BY source, term),
+        |gc AS (SELECT term, COUNT(*) AS cg FROM mapped GROUP BY term),
+        |ns AS (SELECT source, SUM(cs) AS ns FROM sc GROUP BY source),
+        |ng AS (SELECT SUM(cg) AS ng FROM gc),
+        |grid AS (
+        |  SELECT /*+ BROADCAST(gc, ng) */
+        |    ns.source, ns.ns, COALESCE(sc.cs, 0L) AS cs, gc.cg, ng.ng
+        |  FROM ns CROSS JOIN gc CROSS JOIN ng
+        |  LEFT JOIN sc ON sc.source = ns.source AND sc.term = gc.term),
+        |cells AS (
+        |  SELECT source, ns, CAST(round(
+        |      CASE WHEN cs > 0 THEN
+        |        (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        * ln((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+        |            + CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END * 0.5
+        |    + CASE WHEN cg > 0 THEN
+        |        (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        * ln((CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+        |            + CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END * 0.5, 8) AS DECIMAL(20,8)) AS cell
+        |  FROM grid)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(SUM(cell) AS DOUBLE), 6) AS DOUBLE) AS jsd,
+        |  CAST(round(CAST(SUM(cell) AS DOUBLE) / ln(2.0), 6) AS DOUBLE)
+        |    AS jsd_norm
+        |FROM cells GROUP BY source ORDER BY source""".stripMargin,
+
+    // Gopher rule gate (split/size/filter/aggregate HOF dialect)
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, split(text, ' ') AS l,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_tok,
+        |    aggregate(transform(l, t -> CAST(length(t) AS BIGINT)),
+        |      0L, (a, x) -> a + x) AS sum_len,
+        |    CAST(size(filter(l, t -> t rlike '[a-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)
+        |      AS n_digit,
+        |    CAST(size(filter(l, t -> t IN ('the', 'a', 'value', 'data')))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM base)
+        |SELECT doc_id, n_tok,
+        |  CAST(round(CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        |    AS DOUBLE) AS mean_wlen,
+        |  CAST(round(CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        |    AS DOUBLE) AS alpha_frac,
+        |  stop_hits,
+        |  (n_tok >= 20 AND n_tok <= 100000) AS f_words,
+        |  (sum_len >= 2 * n_tok AND sum_len <= 12 * n_tok) AS f_wlen,
+        |  (5 * n_alpha >= 3 * n_tok) AS f_alpha,
+        |  (stop_hits >= 1) AS f_stop,
+        |  (5 * n_digit <= n_chars) AS f_digit,
+        |  ((n_tok >= 20 AND n_tok <= 100000)
+        |    AND (sum_len >= 2 * n_tok AND sum_len <= 12 * n_tok)
+        |    AND (5 * n_alpha >= 3 * n_tok) AND (stop_hits >= 1)
+        |    AND (5 * n_digit <= n_chars)) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance resampling (md5_48 + explode dialect)
+    "sample_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, pmod(md5_48(tok), 64) AS bkt FROM toks),
+        |model AS (
+        |  SELECT bkt,
+        |    SUM(CASE WHEN source = 'src0' THEN 1L ELSE 0L END) AS ct,
+        |    SUM(CASE WHEN source <> 'src0' THEN 1L ELSE 0L END) AS cr
+        |  FROM b GROUP BY bkt),
+        |tots AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model),
+        |ratios AS (
+        |  SELECT bkt, CAST(round(
+        |      ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+        |    - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 8)
+        |    AS DECIMAL(20,8)) AS llr
+        |  FROM model CROSS JOIN tots),
+        |scored AS (
+        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    SUM(llr) AS lw_dec
+        |  FROM b JOIN ratios USING (bkt)
+        |  WHERE b.source <> 'src0' GROUP BY b.doc_id),
+        |sel AS (
+        |  SELECT doc_id, n_tok, lw_dec FROM scored
+        |  ORDER BY lw_dec DESC, doc_id LIMIT 50)
+        |SELECT /*+ BROADCAST(bb) */
+        |  CAST(COUNT(bb.doc_id) + 1 AS BIGINT) AS rnk,
+        |  aa.doc_id, aa.n_tok,
+        |  CAST(round(CAST(aa.lw_dec AS DOUBLE), 6) AS DOUBLE) AS log_weight
+        |FROM sel aa LEFT JOIN sel bb
+        |  ON bb.lw_dec > aa.lw_dec
+        |    OR (bb.lw_dec = aa.lw_dec AND bb.doc_id < aa.doc_id)
+        |GROUP BY aa.doc_id, aa.n_tok, aa.lw_dec
+        |ORDER BY rnk""".stripMargin,
+
+    // DoReMi mixture step (explode dialect)
+    "text_doremi_step" ->
+      """WITH toks AS (
+        |  SELECT source, explode(split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 256),
+        |tot AS (SELECT SUM(c) AS n FROM counts),
+        |vt AS (SELECT SUM(c) AS nv FROM vocab),
+        |inv AS (
+        |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE)
+        |    / CAST(n AS DOUBLE)), 8) AS DECIMAL(20,8)) AS nlp
+        |  FROM vocab CROSS JOIN tot),
+        |oov AS (
+        |  SELECT CAST(round(-ln(CAST(greatest(n - nv, 1) AS DOUBLE)
+        |    / CAST(n AS DOUBLE)), 8) AS DECIMAL(20,8)) AS nlp_oov
+        |  FROM tot CROSS JOIN vt),
+        |scored AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    SUM(COALESCE(inv.nlp, oov.nlp_oov)) AS loss_dec
+        |  FROM toks LEFT JOIN inv USING (tok) CROSS JOIN oov
+        |  GROUP BY source),
+        |k AS (SELECT COUNT(*) AS nd FROM scored),
+        |stepped AS (
+        |  SELECT source, n_tokens,
+        |    CAST(loss_dec AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS loss,
+        |    1.0 / CAST(nd AS DOUBLE) AS w_old,
+        |    CAST(round((1.0 / CAST(nd AS DOUBLE))
+        |      * exp(CAST(loss_dec AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 8)
+        |      AS DECIMAL(20,8)) AS w_exp
+        |  FROM scored CROSS JOIN k),
+        |z AS (SELECT SUM(w_exp) AS z FROM stepped)
+        |SELECT source, n_tokens, CAST(round(loss, 6) AS DOUBLE) AS loss,
+        |  CAST(round(w_old, 6) AS DOUBLE) AS w_old,
+        |  CAST(round(CAST(w_exp AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+        |    AS DOUBLE) AS w_new
+        |FROM stepped CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // per-doc token entropy (explode dialect)
+    "text_token_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |wn AS (
+        |  SELECT doc_id, tok, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM counts),
+        |terms AS (
+        |  SELECT doc_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+        |      AS DECIMAL(20,8)) AS term
+        |  FROM wn)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(round(CAST(SUM(term) AS DOUBLE), 6) AS DOUBLE) AS entropy,
+        |  CAST(CASE WHEN COUNT(*) > 1 THEN
+        |      round(CAST(SUM(term) AS DOUBLE)
+        |        / ln(CAST(COUNT(*) AS DOUBLE)), 6)
+        |    ELSE 0.0D END AS DOUBLE) AS norm_entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // binary-quantized Hamming top-k (float_dot + HOF mask dialect; the
+    // semantic all-candidate form — the DataFrame plan blocks by bit-block
+    // pigeonhole, rows pinned identical)
+    "sim_topk_bq" ->
+      s"""WITH $vecCorpusSql,
+         |masks AS (
+         |  SELECT vec_id, embedding,
+         |    aggregate(sequence(0, 47), 0L, (acc, i) ->
+         |      acc + CASE WHEN element_at(embedding, i + 1)
+         |          > CAST(0.0 AS FLOAT)
+         |        THEN CAST(round(pow(2, i)) AS BIGINT) ELSE 0L END) AS mask
+         |  FROM vcorpus),
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    CAST(bit_count(p.mask ^ c.mask) AS BIGINT) AS hamming,
+         |    round(${cosFd("p.embedding", "c.embedding")}, 6) AS cos
+         |  FROM masks p JOIN masks c
+         |    ON p.vec_id >= 10000 AND c.vec_id < 10000
+         |  WHERE bit_count(p.mask ^ c.mask) <= 5),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, hamming, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY hamming, cand_id) AS rnk
+         |  FROM pairs)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, hamming, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     // interval-union coverage (unix_timestamp / DIV dialect)
     "events_coverage" ->
@@ -3361,6 +3587,21 @@ object SqlCatalog {
         |  round(o_totalprice, 2) AS o_totalprice,
         |  to_timestamp(o_odate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate
         |FROM graft_source_csv_back ORDER BY o_orderkey""".stripMargin),
+
+    "source_xml" -> Seq(
+      s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_xml")}'
+         |USING xml OPTIONS (rootTag 'orders', rowTag 'order')
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_odate
+         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_source_xml_back
+         |  (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |   o_totalprice DOUBLE, o_odate STRING)
+         |USING xml OPTIONS (path '${ioDir("source_xml")}', rowTag 'order')""".stripMargin,
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  to_timestamp(o_odate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate
+        |FROM graft_source_xml_back ORDER BY o_orderkey""".stripMargin),
 
     "source_text" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("source_text_sql")}' USING text

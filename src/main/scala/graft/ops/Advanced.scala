@@ -1931,7 +1931,85 @@ object Advanced {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** MULTI-SOURCE BFS over the co-purchase graph — k-hop reachability
+    * from a seed set (the "expand a trusted-domain neighborhood" /
+    * blast-radius primitive; [[graphJaccard]] scores edges, this walks
+    * them): seeds = every 500th part, three unrolled frontier
+    * expansions with a min-hop aggregate barrier between rounds
+    * (pregel's superstep as join + agg), report = node count per
+    * minimum hop distance, unreached parts at hop −1.
+    *
+    * 100 TB shape: each superstep is ONE join of the reached set
+    * against the edge list on the source key (both sides hash-partition
+    * on node id, so supersteps reuse the partitioning) + one min-agg;
+    * the reached set is bounded by the k-hop neighborhood, never the
+    * full graph. Fixed depth ⇒ fixed plan — no driver-side iteration
+    * state beyond the 3-round unroll. */
+  val graphBfs: Q = (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val seeds = T.part(s, d).filter(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("node"), lit(0L).as("hop"))
+    val reached = (1 to 3).foldLeft(seeds) { (cur, h) =>
+      cur.unionAll(
+        cur.join(edges, cur("node") === edges("src"))
+          .select(col("dst").as("node"), lit(h.toLong).as("hop")))
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }
+    T.part(s, d).select(col("p_partkey").as("node"))
+      .join(reached, Seq("node"), "left")
+      .select(coalesce(col("hop"), lit(-1L)).as("hop"))
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  /** COHORT LTV CURVE — cumulative purchase value per cohort user by day
+    * age (the growth-accounting readout next to [[eventsCohort]]'s
+    * retention grid: retention counts heads, LTV counts value): each
+    * user joins the cohort of their first event's DAY; purchase value
+    * folds to exact cents per (cohort, age) cell; the running sum over
+    * age divides by the FIXED cohort head-count. Day index is the
+    * integer `year*366 + dayofyear` — pure integer date math both
+    * engines spell identically (age differences are exact within a
+    * calendar year, which bounds the declared corpus; a multi-year
+    * deployment swaps in the per-dialect date_diff with no plan change).
+    *
+    * 100 TB shape: first-event pass and value pass both shuffle on
+    * user_id (co-located join), cells collapse map-side to the
+    * |cohorts|·|ages| grid, and the cumulative window sorts only within
+    * a cohort's ≤ |ages| rows — model-sized. */
+  val eventsLtv: Q = (s, d) => {
+    val mIdx = (c: Column) => (year(c) * 366 + dayofyear(c)).cast("long")
+    val firsts = T.events(s, d)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("fd"))
+      .select(col("user_id"), mIdx(col("fd")).as("cm"))
+    val sizes = firsts.groupBy(col("cm"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), mIdx(to_date(col("ts"))).as("am"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(firsts, "user_id")
+      .groupBy(col("cm"), (col("am") - col("cm")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+    cells.join(sizes, "cm")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cm").as("cohort_day"), col("age"), col("cohort_users"),
+        round(col("rev_cents").cast("double") / 100.0, 2).as("revenue"),
+        round(col("cum_cents").cast("double") / 100.0
+          / col("cohort_users").cast("double"), 6).as("cum_ltv"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_bfs" -> graphBfs,
+    "events_ltv" -> eventsLtv,
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
     "events_cohort" -> eventsCohort,
@@ -2000,6 +2078,74 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // unrolled 3-superstep BFS: UNION ALL + MIN(hop) per round is the
+    // declarative spelling of the frontier expansion (ANSI, dual-dialect)
+    "graph_bfs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |d0 AS (
+        |  SELECT p_partkey AS node, CAST(0 AS BIGINT) AS hop
+        |  FROM part WHERE p_partkey % 500 = 0),
+        |d1 AS (SELECT node, MIN(hop) AS hop FROM (
+        |    SELECT node, hop FROM d0
+        |    UNION ALL
+        |    SELECT e.dst AS node, CAST(1 AS BIGINT) AS hop
+        |    FROM d0 JOIN edges e ON d0.node = e.src) x1 GROUP BY node),
+        |d2 AS (SELECT node, MIN(hop) AS hop FROM (
+        |    SELECT node, hop FROM d1
+        |    UNION ALL
+        |    SELECT e.dst AS node, CAST(2 AS BIGINT) AS hop
+        |    FROM d1 JOIN edges e ON d1.node = e.src) x2 GROUP BY node),
+        |d3 AS (SELECT node, MIN(hop) AS hop FROM (
+        |    SELECT node, hop FROM d2
+        |    UNION ALL
+        |    SELECT e.dst AS node, CAST(3 AS BIGINT) AS hop
+        |    FROM d2 JOIN edges e ON d2.node = e.src) x3 GROUP BY node)
+        |SELECT COALESCE(d3.hop, CAST(-1 AS BIGINT)) AS hop,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM part LEFT JOIN d3 ON part.p_partkey = d3.node
+        |GROUP BY COALESCE(d3.hop, CAST(-1 AS BIGINT))
+        |ORDER BY hop""".stripMargin,
+
+    // integer day index year*366+dayofyear keeps cohort ages
+    // interval-free; cents sums exact; cumulative window per cohort
+    // (ANSI, dual-dialect)
+    "events_ltv" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    CAST(year(MIN(CAST(ts AS DATE))) * 366
+        |      + dayofyear(MIN(CAST(ts AS DATE))) AS BIGINT) AS cm
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |  FROM firsts GROUP BY cm),
+        |cells AS (
+        |  SELECT f.cm,
+        |    CAST(year(CAST(e.ts AS DATE)) * 366
+        |      + dayofyear(CAST(e.ts AS DATE)) AS BIGINT) - f.cm AS age,
+        |    CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY f.cm, CAST(year(CAST(e.ts AS DATE)) * 366
+        |      + dayofyear(CAST(e.ts AS DATE)) AS BIGINT) - f.cm),
+        |cum AS (
+        |  SELECT cm, age, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age)
+        |      AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT cum.cm AS cohort_day, cum.age, sizes.cohort_users,
+        |  CAST(round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(round(CAST(cum_cents AS DOUBLE) / 100.0
+        |    / CAST(cohort_users AS DOUBLE), 6) AS DOUBLE) AS cum_ltv
+        |FROM cum JOIN sizes ON cum.cm = sizes.cm
+        |ORDER BY cohort_day, age""".stripMargin,
     // seasonality grid: exact counts; the share/index divisions are one
     // double op each, rounded; DuckDB dayofweek is already Sunday=0
     "agg_seasonality" ->

@@ -559,7 +559,65 @@ object Curation {
       .orderBy(col("source"), col("band"))
   }
 
+  /** NEYMAN-ALLOCATED stratified sample — the statistically OPTIMAL
+    * budget split ([[graft.ops.Advanced.aggSalted]]'s cousin
+    * `sample_stratified` samples at a FIXED per-stratum rate; Neyman
+    * allocation n_h ∝ N_h·σ_h instead concentrates a fixed total budget
+    * where the variance lives, the design every survey/eval-set sampler
+    * should run): strata = market segments, value = account balance in
+    * exact cents; σ_h from exact DECIMAL(38,0) moment sums with ONE
+    * double sqrt; weights N_h·σ_h fold to DECIMAL(28,4) so the
+    * allocation denominator is an exact sum; membership = the md5
+    * hash-rank gate (order by the hex digest, take the allocated count)
+    * — deterministic, append-stable, data-derived like
+    * [[graft.ops.LlmPipeline]]'s sample_split.
+    *
+    * 100 TB shape: one stratum-grid moment fold (map-side) + one
+    * broadcast of the ≤|strata|-row allocation table + one per-stratum
+    * rank window over the gated scan — the rank is the only shuffle and
+    * it partitions on the stratum key. */
+  val sampleNeyman: Q = (s, d) => {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val base = T.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        cents.as("v"))
+    val m = base.groupBy(col("seg")).agg(
+      count(lit(1)).as("nh"),
+      sum(col("v")).as("sx"),
+      sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)"))
+        .as("sxx"))
+      .select(col("seg"), col("nh"),
+        // sample SD in cents: sqrt((n·Sxx − Sx²)/(n·(n−1))), one sqrt
+        sqrt((col("nh").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("nh").cast("double") * (col("nh").cast("double") - 1.0)))
+          .as("sd_c"))
+      .select(col("seg"), col("nh"), col("sd_c"),
+        round(col("nh").cast("double") * col("sd_c"), 4)
+          .cast("decimal(28,4)").as("w"))
+    val tot = m.agg(sum(col("w")).as("wt"))
+    val alloc = m.crossJoin(broadcast(tot))
+      .select(col("seg"), col("nh"), col("sd_c"),
+        expr("CAST(round(150.0 * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE)) " +
+          "AS BIGINT)").as("n_alloc"))
+    val ranked = base
+      .withColumn("hx", md5(col("c_custkey").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("hx"))))
+    ranked.join(broadcast(alloc), Seq("seg"))
+      .filter(col("rk") <= col("n_alloc"))
+      .groupBy(col("seg"))
+      .agg(max(col("nh")).as("n_stratum"),
+        max(round(col("sd_c"), 6)).as("sd_cents"),
+        max(col("n_alloc")).as("n_alloc"),
+        count(lit(1)).as("n_sampled"),
+        round(sum(col("v")).cast("double")
+          / count(lit(1)).cast("double") / 100.0, 6).as("sample_mean"))
+      .orderBy(col("seg"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_neyman" -> sampleNeyman,
     "dedup_substring" -> dedupSubstring,
     "text_readability" -> textReadability,
     "dedup_containment" -> dedupContainment,
@@ -619,6 +677,50 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // Neyman allocation: exact decimal moments + md5 hash-rank gate; the
+    // hex-digest ORDER BY is engine-portable (same md5, same collation of
+    // lowercase hex)
+    "sample_neyman" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer),
+        |m AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS nh, SUM(v) AS sx,
+        |    SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS sxx
+        |  FROM base GROUP BY seg),
+        |sds AS (
+        |  SELECT seg, nh,
+        |    sqrt((CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0))) AS sd_c
+        |  FROM m),
+        |ws AS (
+        |  SELECT seg, nh, sd_c,
+        |    CAST(round(CAST(nh AS DOUBLE) * sd_c, 4) AS DECIMAL(28,4)) AS w
+        |  FROM sds),
+        |tot AS (SELECT SUM(w) AS wt FROM ws),
+        |alloc AS (
+        |  SELECT seg, nh, sd_c,
+        |    CAST(round(150.0 * CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+        |      AS BIGINT) AS n_alloc
+        |  FROM ws CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT seg, v,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY md5(CAST(c_custkey AS STRING))) AS rk
+        |  FROM base)
+        |SELECT ranked.seg,
+        |  CAST(MAX(nh) AS BIGINT) AS n_stratum,
+        |  CAST(MAX(round(sd_c, 6)) AS DOUBLE) AS sd_cents,
+        |  CAST(MAX(n_alloc) AS BIGINT) AS n_alloc,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 100.0, 6) AS DOUBLE) AS sample_mean
+        |FROM ranked JOIN alloc ON ranked.seg = alloc.seg
+        |WHERE rk <= n_alloc
+        |GROUP BY ranked.seg ORDER BY ranked.seg""".stripMargin,
+
     // Flesch profile: identical literal regex classes in both engines
     "text_readability" ->
       """WITH per AS (

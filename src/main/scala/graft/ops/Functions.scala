@@ -257,7 +257,59 @@ object Functions {
       .orderBy(col("ka"), col("kb"))
   }
 
+  /** VARIANT pack — Spark 4's binary semi-structured type (the
+    * lakehouse answer to string-JSON columns): each event's `props`
+    * payload plus typed context packs into ONE nested JSON document,
+    * `parse_json` encodes it as VARIANT ONCE, and every later field
+    * access is a typed `variant_get` path probe against the binary
+    * encoding — [[fnJson]]'s `get_json_object` re-parses the string per
+    * call, which at 100 TB is the difference between one decode at
+    * ingest and a decode per expression. The declared result folds the
+    * variant-extracted fields per event type (exact integer sums), so
+    * the oracle — DuckDB's JSON extraction over the identically
+    * constructed document — proves the VARIANT round trip value-exact. */
+  val fnVariant: Q = (s, d) => {
+    val doc = concat(
+      lit("{\"u\":"), col("user_id").cast("string"),
+      lit(",\"m\":{\"k\":"),
+      get_json_object(col("props"), "$.k"),
+      lit(",\"t\":\""), col("event_type"), lit("\"}}"))
+    T.events(s, d)
+      .select(col("event_id"), parse_json(doc).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.u", "bigint").as("u"),
+        variant_get(col("v"), "$.m.k", "bigint").as("k"),
+        variant_get(col("v"), "$.m.t", "string").as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("u")).as("n_users"),
+        sum(when(col("k") >= 50L, 1L).otherwise(0L)).as("k_hi"))
+      .orderBy(col("t"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // same constructed document, DuckDB JSON extraction (VARIANT is
+    // engine-internal; value equality is the declared contract)
+    "fn_variant" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"u":' || CAST(user_id AS STRING) || ',"m":{"k":'
+        |      || json_extract_string(props, '$.k') || ',"t":"'
+        |      || event_type || '"}}' AS doc
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id,
+        |    CAST(json_extract(doc, '$.u') AS BIGINT) AS u,
+        |    CAST(json_extract(doc, '$.m.k') AS BIGINT) AS k,
+        |    json_extract_string(doc, '$.m.t') AS t
+        |  FROM j)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS k_hi
+        |FROM v GROUP BY t ORDER BY t""".stripMargin,
+
     "fn_geo" ->
       """WITH n AS (SELECT n_nationkey,
         |    CAST(CAST('0x' || substr(md5(n_name || 'lat'), 1, 12) AS BIGINT)

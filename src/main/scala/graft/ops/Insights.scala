@@ -798,7 +798,64 @@ object Insights {
       .orderBy(col("o_orderpriority"), col("band").desc)
   }
 
+  /** JENSEN-SHANNON drift per source vs the corpus — the bounded,
+    * symmetric divergence a mixture monitor alarms on ([[textDomainDrift]]
+    * ranks individual TERMS by document-frequency shift; this scores each
+    * SOURCE's whole unigram distribution in one number ∈ [0, ln 2]):
+    * distributions live on the bounded top-256 global vocabulary + one
+    * OOV class (the text_perplexity scale rule), P = source, Q = corpus,
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M) with M the midpoint. Every log term is
+    * computed on the (source × 257)-cell model grid and rounded to 8
+    * decimals BEFORE the decimal sum, so results are independent of cell
+    * enumeration order.
+    *
+    * 100 TB shape: one token explode feeds TWO bounded aggregates
+    * (per-(source, term) and global-term counts); the grid completion
+    * (sources × vocab cross join, zero-filled) and the JSD fold never
+    * touch corpus-scale rows again. */
+  val textJsdDrift: Q = (s, d) => {
+    val toks = T.documents(s, d).select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val gCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = gCounts.orderBy(col("c").desc, col("tok")).limit(256)
+      .select(col("tok"))
+    val mapped = toks
+      .join(broadcast(vocab.withColumn("inv", lit(1))), Seq("tok"), "left")
+      .select(col("source"),
+        when(col("inv").isNull, lit("<oov>")).otherwise(col("tok"))
+          .as("term"))
+    val sc = mapped.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+    val gc = mapped.groupBy(col("term")).agg(count(lit(1)).as("cg"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val ng = gc.agg(sum(col("cg")).as("ng"))
+    // complete grid: every (source, term) cell, zero-filled source counts
+    // (the term side is ≤257 model rows — broadcast, never cartesian)
+    val grid = ns.select(col("source"), col("ns"))
+      .crossJoin(broadcast(gc.crossJoin(broadcast(ng))))
+      .join(sc, Seq("source", "term"), "left")
+      .select(col("source"), col("ns"),
+        coalesce(col("cs"), lit(0L)).as("cs"), col("cg"), col("ng"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("cg").cast("double") / col("ng").cast("double")
+    val m = (p + q) / 2.0
+    val cell = round(
+      when(col("cs") > 0L, p * log(p / m)).otherwise(lit(0.0)) * 0.5
+        + when(col("cg") > 0L, q * log(q / m)).otherwise(lit(0.0)) * 0.5, 8)
+      .cast("decimal(20,8)")
+    grid.select(col("source"), col("ns"), cell.as("cell"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(col("cell")).as("jsd_dec"))
+      .select(col("source"), col("n_tokens"),
+        round(col("jsd_dec").cast("double"), 6).as("jsd"),
+        round(col("jsd_dec").cast("double") / math.log(2.0), 6)
+          .as("jsd_norm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_jsd_drift" -> textJsdDrift,
     "sample_balanced" -> sampleBalanced,
     "agg_skyline" -> aggSkyline,
     "agg_lorenz_bands" -> aggLorenzBands,
@@ -872,6 +929,48 @@ object Insights {
   }
 
   val oracles: Map[String, String] = Map(
+    // bounded-vocab JSD: per-cell round-8 decimal terms keep the fold
+    // order-free; the CASE/ln spelling mirrors the Spark plan exactly
+    "text_jsd_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |gcounts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok FROM gcounts ORDER BY c DESC, tok LIMIT 256),
+        |mapped AS (
+        |  SELECT source,
+        |    CASE WHEN vocab.tok IS NULL THEN '<oov>' ELSE toks.tok END AS term
+        |  FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok),
+        |sc AS (SELECT source, term, COUNT(*) AS cs
+        |       FROM mapped GROUP BY source, term),
+        |gc AS (SELECT term, COUNT(*) AS cg FROM mapped GROUP BY term),
+        |ns AS (SELECT source, SUM(cs) AS ns FROM sc GROUP BY source),
+        |ng AS (SELECT SUM(cg) AS ng FROM gc),
+        |grid AS (
+        |  SELECT ns.source, ns.ns, COALESCE(sc.cs, 0) AS cs, gc.cg, ng.ng
+        |  FROM ns CROSS JOIN gc CROSS JOIN ng
+        |  LEFT JOIN sc ON sc.source = ns.source AND sc.term = gc.term),
+        |cells AS (
+        |  SELECT source, ns, CAST(round(
+        |      CASE WHEN cs > 0 THEN
+        |        (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        * ln((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+        |          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+        |            + CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END * 0.5
+        |    + CASE WHEN cg > 0 THEN
+        |        (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        * ln((CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |          / ((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+        |            + CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END * 0.5, 8) AS DECIMAL(20,8)) AS cell
+        |  FROM grid)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(SUM(cell) AS DOUBLE), 6) AS DOUBLE) AS jsd,
+        |  CAST(round(CAST(SUM(cell) AS DOUBLE) / ln(2.0), 6) AS DOUBLE)
+        |    AS jsd_norm
+        |FROM cells GROUP BY source ORDER BY source""".stripMargin,
+
     "agg_lorenz_bands" ->
       """WITH grid AS (
         |  SELECT o_orderpriority AS pri, o_custkey,

@@ -90,7 +90,7 @@ object LlmPipeline {
       |         array_to_string(list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 2), ' ')
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  private val shingleSetsSql =
+  private[ops] val shingleSetsSql =
     s"""tok AS (SELECT doc_id, string_split(text, ' ') l FROM corpus),
        |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)""".stripMargin
 
@@ -303,7 +303,7 @@ object LlmPipeline {
 
   /** Embedding corpus with planted near-dup variants: vec_id%10==0 → copy
     * at +10000 scaled by 1.5f (cosine-invariant up to float rounding). */
-  private def vecCorpus(s: SparkSession, d: String): DataFrame = {
+  private[ops] def vecCorpus(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val vars = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 10000L).as("vec_id"),
@@ -311,7 +311,7 @@ object LlmPipeline {
     e.unionByName(vars)
   }
 
-  private val vecCorpusSql =
+  private[ops] val vecCorpusSql =
     """vcorpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -1936,7 +1936,7 @@ object LlmPipeline {
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
 
-  private val jaccSql =
+  private[ops] val jaccSql =
     """CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
       | / CAST(len(sa.sset) + len(sb.sset)
       |        - len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)""".stripMargin

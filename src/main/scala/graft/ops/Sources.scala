@@ -67,6 +67,36 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** XML interchange roundtrip (Spark 4 built-in `xml` source — the
+    * feeds/sitemaps/legacy-ERP ingestion format): orders slice →
+    * row-tagged XML with an explicit timestamp render → schema-directed
+    * read → ordered readback. The declared result is the parsed rows
+    * themselves (the source_csv contract), so the oracle — computed from
+    * the original table — proves the markup roundtrip lossless, element
+    * escaping included. At 100 TB XML files split per-file (the format
+    * is not line-splittable), so ingest-side sharding into many files —
+    * exactly what the row-tag writer produces per partition — is the
+    * parallelism story. */
+  val sourceXml: Q = (s, d) => {
+    val dir = ioDir("source_xml")
+    T.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_odate"))
+      .write.mode("overwrite").option("rootTag", "orders")
+      .option("rowTag", "order").format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_odate", StringType)))
+    s.read.schema(schema).option("rowTag", "order").format("xml").load(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        to_timestamp(col("o_odate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (replace-where) — the lakehouse
     * partition-repair primitive: a status-partitioned orders table is
     * written once, then ONE partition ('F') is replaced by a corrected
@@ -876,6 +906,7 @@ object Sources {
     "sink_compaction" -> sinkCompaction,
     "sink_roundtrip" -> sinkRoundtrip,
     "source_csv" -> sourceCsv,
+    "source_xml" -> sourceXml,
     "source_text" -> sourceText,
     "sink_replace_where" -> sinkReplaceWhere,
     "source_json" -> sourceJson,
@@ -1035,6 +1066,15 @@ object Sources {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "source_csv" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same readback contract as source_csv: the XML roundtrip must
+    // reproduce the original rows exactly
+    "source_xml" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  round(o_totalprice, 2) AS o_totalprice,
         |  CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS o_orderdate

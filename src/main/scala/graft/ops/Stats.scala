@@ -831,7 +831,91 @@ object Stats {
        |SELECT state, CAST(round(pi, 6) AS DOUBLE) AS stationary
        |FROM pi4 ORDER BY state""".stripMargin
 
+  /** EFFECT-SIZE readout — the magnitude companion to
+    * [[graft.ops.Advanced.aggAbTest]]'s significance test (a t-statistic
+    * says an effect exists; Cohen's d says whether anyone should care):
+    * per event type, between the user-parity arms — pooled-SD Cohen's d,
+    * the small-sample Hedges' g correction g = d·(1 − 3/(4n−9)), and the
+    * relative lift. Moments accumulate as exact DECIMAL(28,8) sums (the
+    * agg_ab_test discipline); means, variances and the d/g/lift tail are
+    * one fixed IEEE sequence each, so both engines compute bit-identical
+    * doubles.
+    *
+    * 100 TB shape: ONE conditional hash aggregate to the event-type grid
+    * (map-side partials carry six numbers per group); everything after
+    * is per-row scalar algebra on the model-sized grid. */
+  val aggEffectSize: Q = (s, d) => {
+    def sd(c: Column) = sum(c.cast("decimal(28,8)"))
+    val m = T.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).as("g"), col("value"))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n2"),
+        sd(when(col("g") === 0, col("value"))).as("sx1"),
+        sd(when(col("g") === 1, col("value"))).as("sx2"),
+        sd(when(col("g") === 0, col("value") * col("value"))).as("sxx1"),
+        sd(when(col("g") === 1, col("value") * col("value"))).as("sxx2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+    val sxx1 = col("sxx1").cast("double"); val sxx2 = col("sxx2").cast("double")
+    val v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    val v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    val sp = sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    val dEff = (sx1 / n1 - sx2 / n2) / sp
+    val gEff = dEff * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - 9.0))
+    m.select(col("event_type"), col("n1"), col("n2"),
+      round(sx1 / n1, 6).as("mean_1"),
+      round(sx2 / n2, 6).as("mean_2"),
+      round(sp, 6).as("sd_pooled"),
+      round(dEff, 6).as("cohens_d"),
+      round(gEff, 6).as("hedges_g"),
+      round((sx1 / n1 - sx2 / n2) / (sx2 / n2), 6).as("rel_lift"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Dual-dialect ANSI oracle for [[aggEffectSize]]. */
+  private val effectSizeSql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE) AS sx1,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1
+      |      THEN CAST(value AS DECIMAL(28,8)) END) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS sxx1,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1
+      |      THEN CAST(value * value AS DECIMAL(28,8)) END) AS DOUBLE) AS sxx2
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type, n1, n2, sx1, sx2,
+      |    (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+      |    (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+      |  FROM m),
+      |sp AS (
+      |  SELECT event_type, n1, n2, sx1, sx2,
+      |    sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sdp
+      |  FROM st),
+      |fin AS (
+      |  SELECT event_type, n1, n2, sx1, sx2, sdp,
+      |    (sx1 / n1 - sx2 / n2) / sdp AS d
+      |  FROM sp)
+      |SELECT event_type, n1, n2,
+      |  CAST(round(sx1 / n1, 6) AS DOUBLE) AS mean_1,
+      |  CAST(round(sx2 / n2, 6) AS DOUBLE) AS mean_2,
+      |  CAST(round(sdp, 6) AS DOUBLE) AS sd_pooled,
+      |  CAST(round(d, 6) AS DOUBLE) AS cohens_d,
+      |  CAST(round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS DOUBLE)
+      |    AS hedges_g,
+      |  CAST(round((sx1 / n1 - sx2 / n2) / (sx2 / n2), 6) AS DOUBLE)
+      |    AS rel_lift
+      |FROM fin ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_effect_size" -> effectSizeSql,
     "events_markov_stationary" -> markovStationarySql,
     "agg_weighted_median" -> weightedMedianSql,
     "agg_trimmed_mean" -> trimmedMeanSql,

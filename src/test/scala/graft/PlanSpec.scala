@@ -860,4 +860,31 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"),
       "overlap join degenerated to a product")
   }
+
+  test("text_gopher_rules is a pure projection (no agg/join before the sort)") {
+    // every rule flag must fuse into the scan: per-row work only
+    val o = graft.ops.Selection.textGopherRules(spark, sf0001)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val bad = o.collect { case a: Aggregate => a; case j: Join => j }
+    assert(bad.isEmpty, s"text_gopher_rules plans ${bad.size} agg/join nodes")
+  }
+
+  test("sample_dsir scores through a broadcast model, never a shuffle join") {
+    val p = planString(graft.ops.Selection.sampleDsir(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-bucket LLR model must broadcast to the token stream")
+    assert(!p.contains("SortMergeJoin"),
+      "the token stream must never sort-merge against the model")
+    // top-50 selection must be distributed top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 selection fell back to a global sort")
+  }
+
+  test("sim_topk_bq candidates come from the block equi-join, never all-pairs") {
+    val p = planString(graft.ops.Selection.simTopkBq(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bit-block LSH degenerated to an all-pairs product")
+  }
 }

@@ -55,7 +55,7 @@ class SqlEntrySpec extends SparkSpecBase {
     val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
     val uncovered = SparkEntry.queries.keySet -- covered
     assert(uncovered == Set("dedup_cluster", "dedup_semantic", "dedup_report",
-        "meta_vacuum"),
+        "dedup_downweight", "meta_vacuum"),
       s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
   }
 }
