@@ -162,6 +162,8 @@ object SparkEntry {
     "agg_weighted_median" -> Stats.aggWeightedMedian,
     "agg_trimmed_mean"  -> Stats.aggTrimmedMean,
     "agg_effect_size"   -> Stats.aggEffectSize,
+    "events_hazard"     -> Stats.eventsHazard,
+    "agg_tukey_fences"  -> Stats.aggTukeyFences,
     "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
     "text_shard_manifest" -> LlmPipeline.textShardManifest,
     "corpus_card"       -> Curation.corpusCard,

@@ -107,7 +107,8 @@ object SqlCatalog {
     // round-9 keys whose oracle SQL is already ANSI
     "agg_cuped", "events_did",
     // round-9b keys whose oracle SQL is already ANSI
-    "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman")
+    "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman",
+    "graph_closeness")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -373,6 +374,96 @@ object SqlCatalog {
         |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
         |  CAST(SUM(CASE WHEN k >= 50 THEN 1L ELSE 0L END) AS BIGINT) AS k_hi
         |FROM v GROUP BY t ORDER BY t""".stripMargin,
+
+    // Nelson-Aalen cumulative hazard (datediff dialect, same risk grid
+    // as the events_survival statement)
+    "events_hazard" ->
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS cohort
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, cohort, MIN(ts) AS birth,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        |  FROM fe GROUP BY user_id, cohort),
+        |wm AS (SELECT MAX(ts) AS wm FROM events),
+        |durs AS (
+        |  SELECT cohort,
+        |    CAST(datediff(CAST(COALESCE(death, wm) AS DATE),
+        |      CAST(birth AS DATE)) AS BIGINT) AS dur,
+        |    death IS NOT NULL AS died
+        |  FROM pu CROSS JOIN wm),
+        |grid AS (
+        |  SELECT cohort, dur,
+        |    SUM(CASE WHEN died THEN 1L ELSE 0L END) AS d,
+        |    SUM(CASE WHEN died THEN 0L ELSE 1L END) AS c
+        |  FROM durs GROUP BY cohort, dur),
+        |curve AS (
+        |  SELECT cohort, dur, d,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |      AS n_risk
+        |  FROM grid),
+        |ch AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    SUM(CAST(CASE WHEN d > 0
+        |      THEN round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 8)
+        |      ELSE 0.0 END AS DECIMAL(20,8)))
+        |      OVER (PARTITION BY cohort ORDER BY dur) AS ch
+        |  FROM curve)
+        |SELECT cohort, dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(round(CAST(ch AS DOUBLE), 6) AS DOUBLE) AS cum_hazard,
+        |  CAST(round(exp(-CAST(ch AS DOUBLE)), 6) AS DOUBLE) AS na_survival
+        |FROM ch WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
+
+    // Tukey fences (Spark's exact `percentile` ≡ DuckDB quantile_cont)
+    "agg_tukey_fences" ->
+      """WITH f AS (
+        |  SELECT o_orderstatus,
+        |    round(percentile(o_totalprice, 0.25), 2) AS q1,
+        |    round(percentile(o_totalprice, 0.75), 2) AS q3
+        |  FROM orders GROUP BY o_orderstatus),
+        |f2 AS (
+        |  SELECT o_orderstatus, q1, q3, round(q3 - q1, 2) AS iqr FROM f),
+        |f3 AS (
+        |  SELECT o_orderstatus, q1, q3, iqr,
+        |    q1 - 1.5 * iqr AS f_lo, q3 + 1.5 * iqr AS f_hi
+        |  FROM f2)
+        |SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(q1) AS DOUBLE) AS q1, CAST(MAX(q3) AS DOUBLE) AS q3,
+        |  CAST(MAX(iqr) AS DOUBLE) AS iqr,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < f_lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN o.o_totalprice > f_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above,
+        |  CAST(round(CAST(SUM(CASE WHEN o.o_totalprice < f_lo
+        |      OR o.o_totalprice > f_hi THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS outlier_share
+        |FROM orders o JOIN f3 ON o.o_orderstatus = f3.o_orderstatus
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
+    // token burstiness on the top-64 grid (split/explode dialect)
+    "text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |tg AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY tok),
+        |top AS (SELECT tok, tf, df FROM tg ORDER BY tf DESC, tok LIMIT 64),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, tf, df,
+        |  CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS DOUBLE)
+        |    AS burst,
+        |  CAST(round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS DOUBLE) AS doc_share
+        |FROM top CROSS JOIN nd ORDER BY burst DESC, tok""".stripMargin,
 
     // bounded-vocab Jensen-Shannon drift (split/explode dialect)
     "text_jsd_drift" ->

@@ -1955,9 +1955,14 @@ object Advanced {
       .select(col("src"), col("dst")).distinct()
     val seeds = T.part(s, d).filter(col("p_partkey") % 500 === 0)
       .select(col("p_partkey").as("node"), lit(0L).as("hop"))
+    // expand only the FRONTIER (nodes first reached last round): a node at
+    // distance h is a neighbor of some distance-(h−1) node, so re-walking
+    // the whole reached set each superstep buys nothing and triples the
+    // join input on dense neighborhoods
     val reached = (1 to 3).foldLeft(seeds) { (cur, h) =>
       cur.unionAll(
-        cur.join(edges, cur("node") === edges("src"))
+        cur.filter(col("hop") === (h - 1).toLong)
+          .join(edges, col("node") === edges("src"))
           .select(col("dst").as("node"), lit(h.toLong).as("hop")))
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
     }
@@ -1966,6 +1971,46 @@ object Advanced {
       .select(coalesce(col("hop"), lit(-1L)).as("hop"))
       .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("hop"))
+  }
+
+  /** CLOSENESS CENTRALITY (3-hop ball) — how central each probe node sits
+    * in the co-purchase graph ([[graphBfs]] maps reachability of ONE seed
+    * set; this scores EACH seed separately: closeness = (reached−1)/Σhops,
+    * the local variant production graph systems compute within a bounded
+    * radius because exact all-pairs closeness is O(n·m)): seeds = every
+    * 100th part, per-seed labeled BFS — the same three unrolled
+    * frontier-only supersteps keyed by (seed, node) — then one per-seed
+    * fold of reach count and hop sum. All integer until the one reported
+    * division.
+    *
+    * 100 TB shape: state is seeds × their 3-hop neighborhoods (bounded by
+    * the probe budget, not the graph); each superstep joins the frontier
+    * to the edge list on the node key. */
+  val graphCloseness: Q = (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val seeds = T.part(s, d).filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey").as("seed"), col("p_partkey").as("node"),
+        lit(0L).as("hop"))
+    val reached = (1 to 3).foldLeft(seeds) { (cur, h) =>
+      cur.unionAll(
+        cur.filter(col("hop") === (h - 1).toLong)
+          .join(edges, col("node") === edges("src"))
+          .select(col("seed"), col("dst").as("node"), lit(h.toLong).as("hop")))
+        .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
+    }
+    reached.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1L).as("n_reach"), sum(col("hop")).as("sum_d"))
+      .select(col("seed"), col("n_reach"), col("sum_d"),
+        when(col("sum_d") > 0L,
+          round(col("n_reach").cast("double") / col("sum_d").cast("double"),
+            6)).otherwise(lit(0.0)).as("closeness"))
+      .orderBy(col("seed"))
   }
 
   /** COHORT LTV CURVE — cumulative purchase value per cohort user by day
@@ -2009,6 +2054,7 @@ object Advanced {
 
   val queries: Map[String, Q] = Map(
     "graph_bfs" -> graphBfs,
+    "graph_closeness" -> graphCloseness,
     "events_ltv" -> eventsLtv,
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
@@ -2095,22 +2141,64 @@ object Advanced {
         |    SELECT node, hop FROM d0
         |    UNION ALL
         |    SELECT e.dst AS node, CAST(1 AS BIGINT) AS hop
-        |    FROM d0 JOIN edges e ON d0.node = e.src) x1 GROUP BY node),
+        |    FROM d0 JOIN edges e ON d0.node = e.src
+        |    WHERE d0.hop = 0) x1 GROUP BY node),
         |d2 AS (SELECT node, MIN(hop) AS hop FROM (
         |    SELECT node, hop FROM d1
         |    UNION ALL
         |    SELECT e.dst AS node, CAST(2 AS BIGINT) AS hop
-        |    FROM d1 JOIN edges e ON d1.node = e.src) x2 GROUP BY node),
+        |    FROM d1 JOIN edges e ON d1.node = e.src
+        |    WHERE d1.hop = 1) x2 GROUP BY node),
         |d3 AS (SELECT node, MIN(hop) AS hop FROM (
         |    SELECT node, hop FROM d2
         |    UNION ALL
         |    SELECT e.dst AS node, CAST(3 AS BIGINT) AS hop
-        |    FROM d2 JOIN edges e ON d2.node = e.src) x3 GROUP BY node)
+        |    FROM d2 JOIN edges e ON d2.node = e.src
+        |    WHERE d2.hop = 2) x3 GROUP BY node)
         |SELECT COALESCE(d3.hop, CAST(-1 AS BIGINT)) AS hop,
         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM part LEFT JOIN d3 ON part.p_partkey = d3.node
         |GROUP BY COALESCE(d3.hop, CAST(-1 AS BIGINT))
         |ORDER BY hop""".stripMargin,
+
+    // per-seed labeled BFS, same unrolled-CTE spelling as graph_bfs with
+    // a seed key carried through every round (ANSI, dual-dialect)
+    "graph_closeness" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |d0 AS (
+        |  SELECT p_partkey AS seed, p_partkey AS node, CAST(0 AS BIGINT) AS hop
+        |  FROM part WHERE p_partkey % 100 = 0),
+        |d1 AS (SELECT seed, node, MIN(hop) AS hop FROM (
+        |    SELECT seed, node, hop FROM d0
+        |    UNION ALL
+        |    SELECT d0.seed, e.dst AS node, CAST(1 AS BIGINT) AS hop
+        |    FROM d0 JOIN edges e ON d0.node = e.src
+        |    WHERE d0.hop = 0) x1 GROUP BY seed, node),
+        |d2 AS (SELECT seed, node, MIN(hop) AS hop FROM (
+        |    SELECT seed, node, hop FROM d1
+        |    UNION ALL
+        |    SELECT d1.seed, e.dst AS node, CAST(2 AS BIGINT) AS hop
+        |    FROM d1 JOIN edges e ON d1.node = e.src
+        |    WHERE d1.hop = 1) x2 GROUP BY seed, node),
+        |d3 AS (SELECT seed, node, MIN(hop) AS hop FROM (
+        |    SELECT seed, node, hop FROM d2
+        |    UNION ALL
+        |    SELECT d2.seed, e.dst AS node, CAST(3 AS BIGINT) AS hop
+        |    FROM d2 JOIN edges e ON d2.node = e.src
+        |    WHERE d2.hop = 2) x3 GROUP BY seed, node)
+        |SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reach,
+        |  CAST(SUM(hop) AS BIGINT) AS sum_d,
+        |  CAST(CASE WHEN SUM(hop) > 0
+        |    THEN round(CAST(COUNT(*) - 1 AS DOUBLE)
+        |      / CAST(SUM(hop) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS DOUBLE) AS closeness
+        |FROM d3 GROUP BY seed ORDER BY seed""".stripMargin,
 
     // integer day index year*366+dayofyear keeps cohort ages
     // interval-free; cents sums exact; cumulative window per cohort

@@ -616,7 +616,37 @@ object Curation {
       .orderBy(col("seg"))
   }
 
+  /** TOKEN BURSTINESS (Church & Gale's adaptation signal — the
+    * within-document clumping a unigram LM misses): for the top-64
+    * corpus tokens, total frequency tf vs document frequency df; burst =
+    * tf/df (mean occurrences PER CONTAINING DOC — function words sit
+    * near tf/n_docs·(1/share), topical words burst far above 1) and the
+    * doc share. The number that separates "frequent because everywhere"
+    * from "frequent because obsessively repeated" — the repetition-aware
+    * stopword/keyword split a quality pipeline keys on.
+    *
+    * 100 TB shape: one (doc_id, tok) hash aggregate collapses the corpus
+    * (map-side combine), one token aggregate, a 64-row TakeOrdered — the
+    * model grid never exceeds the vocabulary. */
+  val textBurstiness: Q = (s, d) => {
+    val dt = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tg = dt.groupBy(col("tok"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+    val top = tg.orderBy(col("tf").desc, col("tok")).limit(64)
+    val nd = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    top.crossJoin(broadcast(nd))
+      .select(col("tok"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df").cast("double"), 6)
+          .as("burst"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("doc_share"))
+      .orderBy(col("burst").desc, col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_burstiness" -> textBurstiness,
     "sample_neyman" -> sampleNeyman,
     "dedup_substring" -> dedupSubstring,
     "text_readability" -> textReadability,
@@ -677,6 +707,27 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // burstiness = tf/df on the bounded top-64 grid; integer counts,
+    // two rounded divisions
+    "text_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |tg AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY tok),
+        |top AS (SELECT tok, tf, df FROM tg ORDER BY tf DESC, tok LIMIT 64),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, tf, df,
+        |  CAST(round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS DOUBLE)
+        |    AS burst,
+        |  CAST(round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS DOUBLE) AS doc_share
+        |FROM top CROSS JOIN nd ORDER BY burst DESC, tok""".stripMargin,
+
     // Neyman allocation: exact decimal moments + md5 hash-rank gate; the
     // hex-digest ORDER BY is engine-portable (same md5, same collation of
     // lowercase hex)

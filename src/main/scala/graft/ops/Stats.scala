@@ -35,7 +35,12 @@ object Stats {
     * (cohort, duration, died) rows; the survival grid is (cohorts ×
     * distinct durations) — MODEL-sized — so the at-risk and log-sum
     * windows run on the grid, never the corpus. */
-  val eventsSurvival: Q = (s, d) => {
+  /** The Kaplan-Meier risk grid shared by [[eventsSurvival]] and
+    * [[eventsHazard]]: per (cohort, duration) — deaths `d`, censored `c`,
+    * and the at-risk count `n_risk` (everyone whose duration is ≥ this
+    * one, computed by total-minus-strictly-prior prefix sums on the
+    * model-sized grid). */
+  private def kmGrid(s: SparkSession, d: String): DataFrame = {
     val e = T.events(s, d)
     val wFirst = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -56,10 +61,14 @@ object Stats {
     val wCum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
     val wPrev = wCum.rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("cohort"))
-    val curve = grid
-      .withColumn("n_risk",
-        sum(col("d") + col("c")).over(wAll)
-          - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    grid.withColumn("n_risk",
+      sum(col("d") + col("c")).over(wAll)
+        - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+  }
+
+  val eventsSurvival: Q = (s, d) => {
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+    val curve = kmGrid(s, d)
       // a death time where EVERYONE at risk dies (d = n) zeroes the curve:
       // its log factor is undefined, so the zero is carried as a flag and
       // the survival pins to 0.0 from that time on (standard KM edge case)
@@ -77,6 +86,87 @@ object Stats {
         when(col("zeroed") === 1L, lit(0.0))
           .otherwise(round(exp(col("ls").cast("double")), 6)).as("survival"))
       .orderBy(col("cohort"), col("dur"))
+  }
+
+  /** NELSON-AALEN cumulative hazard — the additive companion of
+    * [[eventsSurvival]]'s Kaplan-Meier product (KM answers "what share
+    * survives to t"; the hazard integral H(t) = Σ d_i/n_i answers "how
+    * much death pressure accumulated by t", the quantity hazard-ratio
+    * models regress on): same per-user fold and risk grid ([[kmGrid]]),
+    * per-time terms d/n rounded to 8 decimals then summed as exact
+    * DECIMAL over the cohort-ordered window (order-free — the
+    * text_perplexity discipline), plus the Fleming-Harrington survival
+    * exp(−H) the two-estimator cross-check reads.
+    *
+    * 100 TB shape: identical to events_survival — one user_id shuffle to
+    * per-user rows, then every window runs on the model-sized (cohort ×
+    * duration) grid. */
+  val eventsHazard: Q = (s, d) => {
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+    kmGrid(s, d)
+      .withColumn("hterm",
+        when(col("d") > 0,
+          round(col("d").cast("double") / col("n_risk").cast("double"), 8))
+          .otherwise(lit(0.0)).cast("decimal(20,8)"))
+      .withColumn("ch", sum(col("hterm")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("cohort"), col("dur"), col("n_risk"),
+        col("d").as("d_events"),
+        round(col("ch").cast("double"), 6).as("cum_hazard"),
+        round(exp(-col("ch").cast("double")), 6).as("na_survival"))
+      .orderBy(col("cohort"), col("dur"))
+  }
+
+  /** TUKEY-FENCE outlier audit — the box-plot gate every data-quality
+    * monitor draws ([[graft.ops.Curation]]'s winsorize CLAMPS at fixed
+    * percentiles; Tukey fences COUNT what falls outside Q1−1.5·IQR /
+    * Q3+1.5·IQR, the distribution-free outlier definition): exact
+    * interpolated quartiles per order status via the
+    * [[graft.ops.Advanced.aggPercentile]] rank-interpolation spelling
+    * (external-sort window, ≤4 carrier rows per group survive — never a
+    * full-group aggregation buffer), fences as one fixed IEEE sequence on
+    * the round-2 quartiles, then ONE conditional aggregate counts
+    * below/above/total against the broadcast fence table.
+    *
+    * 100 TB shape: one per-group sort-shuffle (spills, memory-bounded) +
+    * one map-side conditional fold against ≤|groups| broadcast fences. */
+  val aggTukeyFences: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val n = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    val ranked = o.withColumn("r", row_number().over(w).cast("long") - 1)
+    def h(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    val kept = ranked.join(n, "o_orderstatus").filter(
+      col("r") === floor(h(0.25)) || col("r") === ceil(h(0.25)) ||
+      col("r") === floor(h(0.75)) || col("r") === ceil(h(0.75)))
+    val picked = kept.groupBy(col("o_orderstatus"), col("n")).agg(
+      max(when(col("r") === floor(h(0.25)), col("o_totalprice"))).as("lo25"),
+      max(when(col("r") === ceil(h(0.25)), col("o_totalprice"))).as("hi25"),
+      max(when(col("r") === floor(h(0.75)), col("o_totalprice"))).as("lo75"),
+      max(when(col("r") === ceil(h(0.75)), col("o_totalprice"))).as("hi75"))
+    def interp(lo: Column, hi: Column, q: Double) = {
+      val hq = h(q)
+      round(lo + (hq - floor(hq)) * (hi - lo), 2)
+    }
+    val fences = picked.select(col("o_orderstatus"),
+      interp(col("lo25"), col("hi25"), 0.25).as("q1"),
+      interp(col("lo75"), col("hi75"), 0.75).as("q3"))
+      .withColumn("iqr", round(col("q3") - col("q1"), 2))
+      .withColumn("f_lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("f_hi", col("q3") + lit(1.5) * col("iqr"))
+    o.join(broadcast(fences), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("iqr")).as("iqr"),
+        sum(when(col("o_totalprice") < col("f_lo"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("o_totalprice") > col("f_hi"), 1L).otherwise(0L))
+          .as("n_above"))
+      .withColumn("outlier_share",
+        round((col("n_below") + col("n_above")).cast("double")
+          / col("n").cast("double"), 6))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** MANN-WHITNEY U rank-sum test — the nonparametric A/B comparison
@@ -916,6 +1006,77 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "agg_effect_size" -> effectSizeSql,
+    // Nelson-Aalen over the same risk grid as events_survival; n_risk/d
+    // cast BIGINT (DuckDB window sums are HUGEINT — the stable-type rule)
+    "events_hazard" ->
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS cohort
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, cohort, MIN(ts) AS birth,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        |  FROM fe GROUP BY user_id, cohort),
+        |wm AS (SELECT MAX(ts) AS wm FROM events),
+        |durs AS (
+        |  SELECT cohort,
+        |    CAST(date_diff('day', CAST(birth AS DATE),
+        |      CAST(COALESCE(death, wm) AS DATE)) AS BIGINT) AS dur,
+        |    death IS NOT NULL AS died
+        |  FROM pu CROSS JOIN wm),
+        |grid AS (
+        |  SELECT cohort, dur,
+        |    SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN died THEN 0 ELSE 1 END) AS c
+        |  FROM durs GROUP BY cohort, dur),
+        |curve AS (
+        |  SELECT cohort, dur, d,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM grid),
+        |ch AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    SUM(CAST(CASE WHEN d > 0
+        |      THEN round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 8)
+        |      ELSE 0.0 END AS DECIMAL(20,8)))
+        |      OVER (PARTITION BY cohort ORDER BY dur) AS ch
+        |  FROM curve)
+        |SELECT cohort, dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(round(CAST(ch AS DOUBLE), 6) AS DOUBLE) AS cum_hazard,
+        |  CAST(round(exp(-CAST(ch AS DOUBLE)), 6) AS DOUBLE) AS na_survival
+        |FROM ch WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
+
+    // fences from round-2 exact quartiles (quantile_cont ≡ the Spark
+    // rank-interpolation at h = q·(n−1) — the agg_percentile contract)
+    "agg_tukey_fences" ->
+      """WITH f AS (
+        |  SELECT o_orderstatus,
+        |    round(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+        |    round(quantile_cont(o_totalprice, 0.75), 2) AS q3
+        |  FROM orders GROUP BY o_orderstatus),
+        |f2 AS (
+        |  SELECT o_orderstatus, q1, q3, round(q3 - q1, 2) AS iqr FROM f),
+        |f3 AS (
+        |  SELECT o_orderstatus, q1, q3, iqr,
+        |    q1 - 1.5 * iqr AS f_lo, q3 + 1.5 * iqr AS f_hi
+        |  FROM f2)
+        |SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(q1) AS DOUBLE) AS q1, CAST(MAX(q3) AS DOUBLE) AS q3,
+        |  CAST(MAX(iqr) AS DOUBLE) AS iqr,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < f_lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN o.o_totalprice > f_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above,
+        |  CAST(round(CAST(SUM(CASE WHEN o.o_totalprice < f_lo
+        |      OR o.o_totalprice > f_hi THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS outlier_share
+        |FROM orders o JOIN f3 ON o.o_orderstatus = f3.o_orderstatus
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
     "events_markov_stationary" -> markovStationarySql,
     "agg_weighted_median" -> weightedMedianSql,
     "agg_trimmed_mean" -> trimmedMeanSql,

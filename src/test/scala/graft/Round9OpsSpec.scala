@@ -216,6 +216,67 @@ class Round9OpsSpec extends SparkSpecBase {
       s"total allocation $totalAlloc too far from budget 150")
   }
 
+  test("events_hazard: exp(-H) dominates the KM product, H non-decreasing") {
+    val haz = graft.ops.Stats.eventsHazard(spark, sf0001).collect()
+    val km = graft.ops.Stats.eventsSurvival(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(haz.nonEmpty && haz.length == km.size)
+    haz.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byDur = rs.sortBy(_.getLong(1))
+      byDur.zip(byDur.tail).foreach { case (a, b) =>
+        assert(b.getDouble(4) >= a.getDouble(4) - 1e-9,
+          "cumulative hazard must be non-decreasing")
+      }
+    }
+    // 1-x <= e^-x termwise => KM product <= Fleming-Harrington exp(-H)
+    haz.foreach { r =>
+      val s = km((r.getString(0), r.getLong(1)))
+      assert(r.getDouble(5) >= s - 1e-6,
+        s"exp(-H)=${r.getDouble(5)} must dominate KM=$s")
+    }
+  }
+
+  test("agg_tukey_fences: quartile order and outlier accounting") {
+    val rows = graft.ops.Stats.aggTukeyFences(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q1, q3, iqr) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q3 >= q1 && math.abs(iqr - BigDecimal(q3 - q1)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      val out = r.getLong(5) + r.getLong(6)
+      assert(out <= n)
+      assert(math.abs(r.getDouble(7) - out.toDouble / n) < 1e-5)
+    }
+  }
+
+  test("text_burstiness: tf >= df, burst >= 1, shares in (0,1]") {
+    val rows = graft.ops.Curation.textBurstiness(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    rows.foreach { r =>
+      val (tf, df) = (r.getLong(1), r.getLong(2))
+      assert(tf >= df && df > 0)
+      assert(r.getDouble(3) >= 1.0 - 1e-9, "burst = tf/df must be >= 1")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+    val bs = rows.map(_.getDouble(3))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "declared order is burst desc")
+  }
+
+  test("graph_closeness: bounded by 1, hop sums dominate reach counts") {
+    val rows = graft.ops.Advanced.graphCloseness(spark, sf0001).collect()
+    val seeds = T.part(spark, sf0001)
+      .filter(col("p_partkey") % 100 === 0).count()
+    assert(rows.length == seeds, "one row per seed")
+    rows.foreach { r =>
+      val (nr, sd, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nr >= 0 && sd >= nr, "every reached non-seed is >= 1 hop away")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, "closeness = reach/hops <= 1")
+      if (sd == 0) assert(c == 0.0)
+    }
+  }
+
   test("source_xml: roundtrip reproduces the original rows exactly") {
     val got = Sources.sourceXml(spark, sf0001).collect()
     val want = T.orders(spark, sf0001)
