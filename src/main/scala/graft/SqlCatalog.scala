@@ -108,7 +108,8 @@ object SqlCatalog {
     "agg_cuped", "events_did",
     // round-9b keys whose oracle SQL is already ANSI
     "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman",
-    "graph_closeness")
+    "graph_closeness", "events_fano", "events_overlap",
+    "agg_period_growth")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -444,6 +445,40 @@ object SqlCatalog {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS outlier_share
         |FROM orders o JOIN f3 ON o.o_orderstatus = f3.o_orderstatus
         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
+    // vocabulary coverage curve (split/explode dialect; rank by
+    // strictly-prior count — no partition-less window)
+    "text_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT /*+ BROADCAST(b) */ a.tok, a.c,
+        |    CAST(COUNT(b.tok) + 1 AS BIGINT) AS rnk
+        |  FROM counts a LEFT JOIN counts b
+        |    ON b.c > a.c OR (b.c = a.c AND b.tok < a.tok)
+        |  GROUP BY a.tok, a.c),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vocab FROM counts),
+        |bands AS (
+        |  SELECT n_tok, n_vocab,
+        |    CAST(SUM(CASE WHEN rnk <= 4 THEN c ELSE 0L END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN rnk <= 8 THEN c ELSE 0L END) AS BIGINT) AS c8,
+        |    CAST(SUM(CASE WHEN rnk <= 16 THEN c ELSE 0L END) AS BIGINT)
+        |      AS c16
+        |  FROM ranked CROSS JOIN tot GROUP BY n_tok, n_vocab),
+        |stacked AS (
+        |  SELECT CAST(4 AS BIGINT) AS band, c4 AS covered, n_tok, n_vocab
+        |    FROM bands
+        |  UNION ALL
+        |  SELECT CAST(8 AS BIGINT), c8, n_tok, n_vocab FROM bands
+        |  UNION ALL
+        |  SELECT CAST(16 AS BIGINT), c16, n_tok, n_vocab FROM bands)
+        |SELECT band, covered, n_tok, n_vocab,
+        |  CAST(round(CAST(covered AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        |    AS DOUBLE) AS coverage
+        |FROM stacked ORDER BY band""".stripMargin,
 
     // token burstiness on the top-64 grid (split/explode dialect)
     "text_burstiness" ->

@@ -1973,6 +1973,32 @@ object Advanced {
       .orderBy(col("hop"))
   }
 
+  /** PERIOD-OVER-PERIOD GROWTH — the day-over-day and week-over-week
+    * deltas every metrics dashboard leads with ([[aggOhlc]] reports the
+    * day's shape, [[aggSeasonality]] the weekly profile; this reports
+    * CHANGE): per event type, daily exact-decimal value (dsum), then
+    * lag-1 and lag-7 percent changes over the type-partitioned day
+    * window — NULL where the comparison period is missing or zero, never
+    * a fabricated 0%.
+    *
+    * 100 TB shape: the corpus folds map-side onto the (type × day) grid;
+    * both lags ride ONE model-sized window. */
+  val aggPeriodGrowth: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev1", lag(col("rev"), 1).over(w))
+      .withColumn("prev7", lag(col("rev"), 7).over(w))
+      .select(col("event_type"), col("day"), col("rev"),
+        when(col("prev1") > 0,
+          round((col("rev") - col("prev1")) / col("prev1"), 6)).as("dod_pct"),
+        when(col("prev7") > 0,
+          round((col("rev") - col("prev7")) / col("prev7"), 6)).as("wow_pct"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CLOSENESS CENTRALITY (3-hop ball) — how central each probe node sits
     * in the co-purchase graph ([[graphBfs]] maps reachability of ONE seed
     * set; this scores EACH seed separately: closeness = (reached−1)/Σhops,
@@ -2056,6 +2082,7 @@ object Advanced {
     "graph_bfs" -> graphBfs,
     "graph_closeness" -> graphCloseness,
     "events_ltv" -> eventsLtv,
+    "agg_period_growth" -> aggPeriodGrowth,
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
     "events_cohort" -> eventsCohort,
@@ -2160,6 +2187,24 @@ object Advanced {
         |FROM part LEFT JOIN d3 ON part.p_partkey = d3.node
         |GROUP BY COALESCE(d3.hop, CAST(-1 AS BIGINT))
         |ORDER BY hop""".stripMargin,
+
+    // daily dsum grid + two lags on one window (ANSI, dual-dialect)
+    "agg_period_growth" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${graft.core.Numeric.dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |lagged AS (
+         |  SELECT event_type, day, rev,
+         |    LAG(rev, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev1,
+         |    LAG(rev, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev7
+         |  FROM daily)
+         |SELECT event_type, day, rev,
+         |  CAST(CASE WHEN prev1 > 0
+         |    THEN round((rev - prev1) / prev1, 6) END AS DOUBLE) AS dod_pct,
+         |  CAST(CASE WHEN prev7 > 0
+         |    THEN round((rev - prev7) / prev7, 6) END AS DOUBLE) AS wow_pct
+         |FROM lagged ORDER BY event_type, day""".stripMargin,
 
     // per-seed labeled BFS, same unrolled-CTE spelling as graph_bfs with
     // a seed key carried through every round (ANSI, dual-dialect)

@@ -645,7 +645,46 @@ object Curation {
       .orderBy(col("burst").desc, col("tok"))
   }
 
+  /** VOCABULARY COVERAGE CURVE — what share of corpus tokens the top-N
+    * vocabulary captures, for N ∈ {4, 8, 16} (the tokenizer-budget
+    * readout: where this curve flattens is where a vocab stops paying
+    * for itself; [[graft.ops.LlmPipeline]]'s text_oov_rate fixes one N
+    * and reports the complement per doc — this sweeps N corpus-wide;
+    * band values parameterize at production vocab scales): token counts
+    * fold once, ranks come from a strictly-prior count against the
+    * broadcast vocabulary grid (the sample_dsir rule — never a
+    * partition-less row_number), bands are conditional sums stacked to
+    * rows.
+    *
+    * 100 TB shape: ONE corpus-scale token aggregate; the rank self-join
+    * and band fold run on the ≤|vocabulary| grid. */
+  val textVocabCoverage: Q = (s, d) => {
+    val counts = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .join(broadcast(counts.select(col("c").as("bc"), col("tok").as("bt"))),
+        col("bc") > col("c")
+          || (col("bc") === col("c") && col("bt") < col("tok")), "left")
+      .groupBy(col("tok"), col("c")).agg((count(col("bt")) + 1L).as("rnk"))
+    val tot = counts.agg(sum(col("c")).as("n_tok"),
+      count(lit(1)).as("n_vocab"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n_tok"), col("n_vocab"))
+      .agg(
+        sum(when(col("rnk") <= 4L, col("c")).otherwise(0L)).as("c4"),
+        sum(when(col("rnk") <= 8L, col("c")).otherwise(0L)).as("c8"),
+        sum(when(col("rnk") <= 16L, col("c")).otherwise(0L)).as("c16"))
+      .select(expr("stack(3, 4L, c4, 8L, c8, 16L, c16) AS (band, covered)"),
+        col("n_tok"), col("n_vocab"))
+      .select(col("band"), col("covered"), col("n_tok"), col("n_vocab"),
+        round(col("covered").cast("double") / col("n_tok").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_coverage" -> textVocabCoverage,
     "text_burstiness" -> textBurstiness,
     "sample_neyman" -> sampleNeyman,
     "dedup_substring" -> dedupSubstring,
@@ -707,6 +746,38 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // coverage curve: strictly-prior-count ranks on the vocab grid,
+    // conditional band sums, three UNION ALL rows (no stack in DuckDB)
+    "text_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT a.tok, a.c, CAST(COUNT(b.tok) + 1 AS BIGINT) AS rnk
+        |  FROM counts a LEFT JOIN counts b
+        |    ON b.c > a.c OR (b.c = a.c AND b.tok < a.tok)
+        |  GROUP BY a.tok, a.c),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vocab FROM counts),
+        |bands AS (
+        |  SELECT n_tok, n_vocab,
+        |    CAST(SUM(CASE WHEN rnk <= 4 THEN c ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN rnk <= 8 THEN c ELSE 0 END) AS BIGINT) AS c8,
+        |    CAST(SUM(CASE WHEN rnk <= 16 THEN c ELSE 0 END) AS BIGINT) AS c16
+        |  FROM ranked CROSS JOIN tot GROUP BY n_tok, n_vocab),
+        |stacked AS (
+        |  SELECT CAST(4 AS BIGINT) AS band, c4 AS covered, n_tok, n_vocab
+        |    FROM bands
+        |  UNION ALL
+        |  SELECT CAST(8 AS BIGINT), c8, n_tok, n_vocab FROM bands
+        |  UNION ALL
+        |  SELECT CAST(16 AS BIGINT), c16, n_tok, n_vocab FROM bands)
+        |SELECT band, covered, n_tok, n_vocab,
+        |  CAST(round(CAST(covered AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+        |    AS DOUBLE) AS coverage
+        |FROM stacked ORDER BY band""".stripMargin,
+
     // burstiness = tf/df on the bounded top-64 grid; integer counts,
     // two rounded divisions
     "text_burstiness" ->

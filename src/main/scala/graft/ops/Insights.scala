@@ -854,7 +854,73 @@ object Insights {
       .orderBy(col("source"))
   }
 
+  /** FANO FACTOR / BURSTINESS of event arrivals — the dispersion test a
+    * capacity planner runs before trusting a Poisson model ([[aggAutocorr]]
+    * finds periodic structure; this measures CLUMPING): per event type,
+    * the hourly arrival-count grid, then Fano = var/mean (1 ⇒ Poisson,
+    * > 1 ⇒ bursty) and the bounded Goh-Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1). Counts are integers; the two reported
+    * ratios come from exact DECIMAL(38,0) moment sums with one fixed
+    * IEEE tail (the agg_hhi rule).
+    *
+    * 100 TB shape: the corpus folds map-side onto the (type × hour)
+    * grid — bounded by the time span, not event volume; the moment fold
+    * and ratios are model-sized. */
+  val eventsFano: Q = (s, d) => {
+    val hourly = T.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val n = col("n_hours").cast("double")
+    val sm = col("s").cast("double"); val ss = col("ss").cast("double")
+    val vr = (n * ss - sm * sm) / (n * (n - 1))
+    val mean = sm / n
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("ss"))
+      .select(col("event_type"), col("n_hours"),
+        round(mean, 6).as("mean_rate"),
+        round(vr / mean, 6).as("fano"),
+        round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  /** AUDIENCE OVERLAP between event types — which behaviors share users
+    * (the co-usage matrix a growth team reads before bundling features,
+    * and the correlation structure a skew planner checks before
+    * co-partitioning): distinct (type, user) pairs, user-keyed self-join
+    * with ta < tb, per-pair Jaccard and Szymkiewicz-Simpson overlap
+    * coefficients from integer counts.
+    *
+    * 100 TB shape: the (type, user) distinct collapses event volume
+    * map-side; the self-join fans each user out ≤ |types|² — bounded
+    * replication, not quadratic in users; the pair grid is |types|². */
+  val eventsOverlap: Q = (s, d) => {
+    val tu = T.events(s, d)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = tu.select(col("t").as("ta"), col("user_id"))
+      .join(tu.select(col("t").as("tb"), col("user_id")), Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("t").as("ta"), col("n").as("na"))),
+        Seq("ta"))
+      .join(broadcast(sizes.select(col("t").as("tb"), col("n").as("nb"))),
+        Seq("tb"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_common").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6)
+          .as("overlap_coef"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_fano" -> eventsFano,
+    "events_overlap" -> eventsOverlap,
     "text_jsd_drift" -> textJsdDrift,
     "sample_balanced" -> sampleBalanced,
     "agg_skyline" -> aggSkyline,
@@ -929,6 +995,54 @@ object Insights {
   }
 
   val oracles: Map[String, String] = Map(
+    // hourly arrival grid + exact decimal moments; ANSI dual-dialect
+    "events_fano" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    SUM(c) AS s,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS ss
+        |  FROM hourly GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n_hours,
+        |    (CAST(n_hours AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n_hours AS DOUBLE) * (CAST(n_hours AS DOUBLE) - 1))
+        |      AS vr,
+        |    CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean
+        |  FROM m)
+        |SELECT event_type, n_hours,
+        |  CAST(round(mean, 6) AS DOUBLE) AS mean_rate,
+        |  CAST(round(vr / mean, 6) AS DOUBLE) AS fano,
+        |  CAST(round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6) AS DOUBLE)
+        |    AS burstiness
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // distinct (type, user) + user-keyed pair join; ANSI dual-dialect
+    "events_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM tu GROUP BY t),
+        |pairs AS (
+        |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |  WHERE a.t < b.t GROUP BY a.t, b.t)
+        |SELECT ta, tb, sa.n AS na, sb.n AS nb, n_common,
+        |  CAST(round(CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS DOUBLE)
+        |    AS jaccard,
+        |  CAST(round(CAST(n_common AS DOUBLE)
+        |    / CAST(CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END AS DOUBLE),
+        |    6) AS DOUBLE) AS overlap_coef
+        |FROM pairs
+        |JOIN sizes sa ON pairs.ta = sa.t
+        |JOIN sizes sb ON pairs.tb = sb.t
+        |ORDER BY ta, tb""".stripMargin,
+
     // bounded-vocab JSD: per-cell round-8 decimal terms keep the fold
     // order-free; the CASE/ln spelling mirrors the Spark plan exactly
     "text_jsd_drift" ->

@@ -416,4 +416,59 @@ class ApiSpec extends SparkSpecBase {
     val c = labels(embs, 3, checkpoint = true)
     assert(c.size.toLong == n && c.values.toSet.subsetOf(seeds))
   }
+
+  test("TextQuality.gopherFlags flags an ad-hoc corpus with integer rules") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, ("the data value " * 10).trim),       // 30 tokens, passes
+      (2L, "short doc"),                          // under the word floor
+      (3L, ("12345 67890 " * 15).trim),           // all digits, no alpha
+      (4L, ("zq " * 40).trim)                     // no stopword hit, wlen 2
+    ).toDF("id", "text")
+    val out = graft.api.TextQuality.gopherFlags(docs, "text",
+      minWords = 20L).orderBy("id").collect()
+    assert(out.map(r => r.getAs[Boolean]("pass")) sameElements
+      Array(true, false, false, false))
+    val r1 = out.head
+    assert(r1.getAs[Long]("n_tok") == 30L && r1.getAs[Long]("stop_hits") > 0)
+    assert(!out(1).getAs[Boolean]("f_words"), "doc 2 fails the word floor")
+    assert(!out(2).getAs[Boolean]("f_alpha") || !out(2).getAs[Boolean]("f_digit"),
+      "digit soup must fail an alpha/digit rule")
+  }
+
+  test("TextQuality.tokenProfile entropy extremes on an ad-hoc corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // zero entropy
+      (2L, "w x y z")           // maximal: H = ln 4, normalized 1
+    ).toDF("id", "text")
+    val out = graft.api.TextQuality.tokenProfile(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("entropy") == 0.0)
+    assert(math.abs(out(1).getAs[Double]("entropy") - math.log(4.0)) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("norm_entropy") - 1.0) < 1e-6)
+  }
+
+  test("TextQuality.burstiness and vocabCoverage on an ad-hoc corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam eggs"),
+      (2L, "eggs toast"),
+      (3L, "eggs")
+    ).toDF("id", "text")
+    val b = graft.api.TextQuality.burstiness(docs, "id", "text", topK = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(b("spam") == ((4L, 1L, 4.0)), "4 occurrences in 1 doc -> burst 4")
+    assert(b("eggs") == ((3L, 3L, 1.0)), "once per doc -> burst 1")
+    val cov = graft.api.TextQuality.vocabCoverage(docs, "text",
+      bands = Seq(1L, 2L)).orderBy("band").collect()
+    // 8 tokens total; top-1 = spam (4), top-2 adds eggs (3) -> 7/8
+    assert(cov(0).getAs[Double]("coverage") == 0.5)
+    assert(cov(1).getAs[Double]("coverage") == 0.875)
+    assert(cov(0).getAs[Long]("n_vocab") == 3L)
+  }
 }

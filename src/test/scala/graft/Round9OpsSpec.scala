@@ -277,6 +277,58 @@ class Round9OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_fano: burstiness bounded in (-1,1), moments positive") {
+    val rows = graft.ops.Insights.eventsFano(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, "need >= 2 hours for a variance")
+      assert(r.getDouble(2) > 0, "mean rate must be positive")
+      assert(r.getDouble(3) >= 0, "Fano factor is non-negative")
+      val b = r.getDouble(4)
+      assert(b > -1.0 - 1e-9 && b < 1.0 + 1e-9, s"burstiness $b out of (-1,1)")
+    }
+  }
+
+  test("events_overlap: symmetric bounds and count consistency") {
+    val rows = graft.ops.Insights.eventsOverlap(spark, sf0001).collect()
+    val nTypes = T.events(spark, sf0001)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == nTypes * (nTypes - 1) / 2, "one row per pair")
+    rows.foreach { r =>
+      val (na, nb, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common <= math.min(na, nb), "overlap cannot exceed either side")
+      val (j, oc) = (r.getDouble(5), r.getDouble(6))
+      assert(j >= 0 && j <= oc + 1e-9 && oc <= 1.0 + 1e-9,
+        "jaccard <= overlap coefficient <= 1")
+    }
+  }
+
+  test("agg_period_growth: lag windows leave early rows NULL, grid dense") {
+    val df = graft.ops.Advanced.aggPeriodGrowth(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byDay = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(byDay.head.isNullAt(3), "first day has no day-over-day")
+      byDay.take(7).foreach(r => assert(r.isNullAt(4),
+        "first week has no week-over-week"))
+      byDay.foreach(r => assert(r.getDouble(2) >= 0))
+    }
+  }
+
+  test("text_vocab_coverage: monotone non-decreasing curve, bounded by 1") {
+    val rows = graft.ops.Curation.textVocabCoverage(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L))
+    val cov = rows.map(_.getDouble(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "coverage must grow with the band")
+    cov.foreach(c => assert(c > 0 && c <= 1.0 + 1e-9))
+    val covered = rows.map(_.getLong(1))
+    assert(covered.zip(covered.tail).forall { case (a, b) => b >= a })
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2)),
+      "covered <= total tokens")
+  }
+
   test("source_xml: roundtrip reproduces the original rows exactly") {
     val got = Sources.sourceXml(spark, sf0001).collect()
     val want = T.orders(spark, sf0001)
