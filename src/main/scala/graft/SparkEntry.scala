@@ -101,6 +101,7 @@ object SparkEntry {
     "sim_recall_audit" -> LlmPipeline.simRecallAudit,
     "dedup_report"     -> LlmPipeline.dedupReport,
     "sim_topk"         -> LlmPipeline.simTopk,
+    "sim_topk_mips"    -> LlmPipeline.simTopkMips,
     "sim_topk_ivf"     -> LlmPipeline.simTopkIvf,
     "sim_index_persist" -> LlmPipeline.simIndexPersist,
     "sim_index_delta"  -> LlmPipeline.simIndexDelta,

@@ -109,7 +109,7 @@ object SqlCatalog {
     // round-9b keys whose oracle SQL is already ANSI
     "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman",
     "graph_closeness", "events_fano", "events_overlap",
-    "agg_period_growth")
+    "agg_period_growth", "events_trend_decompose")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -2070,6 +2070,22 @@ object SqlCatalog {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // exact MIPS via the native float_dot over the planted-variant corpus
+    "sim_topk_mips" ->
+      s"""WITH $vecCorpusSql,
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(float_dot(p.embedding, c.embedding), 6) AS dot
+         |  FROM vcorpus p JOIN vcorpus c
+         |    ON p.vec_id >= 10000 AND c.vec_id < 10000),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY dot DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, dot
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     // exercises the engine-registered native float_dot in SQL text
     "sim_topk" ->

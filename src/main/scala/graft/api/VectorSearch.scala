@@ -44,6 +44,29 @@ object VectorSearch {
         col("cand_id"), col("cos"))
   }
 
+  /** Exact brute-force MAXIMUM-INNER-PRODUCT top-k (the retrieval order
+    * for dot-product-trained embedding models — recommendation and
+    * dual-encoder retrieval score by ⟨q, x⟩, where a large-norm item can
+    * out-rank a better-aligned small one; [[topK]]'s cosine normalizes
+    * that away, so the two orders genuinely differ): probes broadcast
+    * against the candidate scan; rank on the round-`roundTo` dot product
+    * (ties → cand_id) so the order is engine-reproducible. Output:
+    * (probe_id, rnk, cand_id, dot). */
+  def mipsTopK(probes: DataFrame, cands: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val c = cands.select(col(idCol).as("cand_id"), col(vecCol).as("ce"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    broadcast(p).crossJoin(c)
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", round(fdot(col("pe"), col("ce")), roundTo))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), col("dot"))
+  }
+
   /** IVF approximate top-k — the 100 TB path: candidates shard into
     * centroid cells (broadcast argmin assignment); each probe searches its
     * `nprobe` nearest cells via an equi-join on cell id, never a full

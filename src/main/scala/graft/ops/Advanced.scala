@@ -1999,6 +1999,46 @@ object Advanced {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CLASSICAL ADDITIVE DECOMPOSITION (STL-lite) — value = trend +
+    * seasonal + residual, the monitoring split run before alarming on a
+    * raw series ([[aggSeasonality]] profiles the weekly shape,
+    * [[eventsAnomaly]] flags z-outliers; this SEPARATES the components so
+    * each can be judged alone): per type, daily exact-decimal value;
+    * trend = 7-day centered moving average (full windows only — edges
+    * drop, never extrapolate) summed as exact DECIMAL inside the frame;
+    * seasonal = per weekly-phase mean of the detrended series (phase =
+    * day-index mod 7 — pure integer, no dayofweek dialect); residual =
+    * the rounded remainder.
+    *
+    * 100 TB shape: the corpus folds map-side to the (type × day) grid;
+    * the moving window, phase means and the join-back all run on that
+    * model-sized grid. */
+  val eventsTrendDecompose: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("w_n", count(lit(1)).over(w7))
+      .withColumn("trend",
+        round(sum(col("rev").cast("decimal(20,8)")).over(w7).cast("double")
+          / 7.0, 6))
+      .filter(col("w_n") === 7)
+      .withColumn("det", round(col("rev") - col("trend"), 6))
+      .withColumn("phase",
+        pmod((year(col("day")) * 366 + dayofyear(col("day"))).cast("long"),
+          lit(7L)))
+    val seas = t.groupBy(col("event_type"), col("phase"))
+      .agg(round(sum(col("det").cast("decimal(20,8)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("seasonal"))
+    t.join(broadcast(seas), Seq("event_type", "phase"))
+      .select(col("event_type"), col("day"), col("rev"), col("trend"),
+        col("phase"), col("seasonal"),
+        round(col("rev") - col("trend") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CLOSENESS CENTRALITY (3-hop ball) — how central each probe node sits
     * in the co-purchase graph ([[graphBfs]] maps reachability of ONE seed
     * set; this scores EACH seed separately: closeness = (reached−1)/Σhops,
@@ -2083,6 +2123,7 @@ object Advanced {
     "graph_closeness" -> graphCloseness,
     "events_ltv" -> eventsLtv,
     "agg_period_growth" -> aggPeriodGrowth,
+    "events_trend_decompose" -> eventsTrendDecompose,
     "agg_seasonality" -> aggSeasonality,
     "events_rfm" -> eventsRfm,
     "events_cohort" -> eventsCohort,
@@ -2187,6 +2228,42 @@ object Advanced {
         |FROM part LEFT JOIN d3 ON part.p_partkey = d3.node
         |GROUP BY COALESCE(d3.hop, CAST(-1 AS BIGINT))
         |ORDER BY hop""".stripMargin,
+
+    // additive decomposition on the daily grid: decimal frame sums,
+    // integer phase classes, full 7-day windows only (ANSI, dual-dialect)
+    "events_trend_decompose" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${graft.core.Numeric.dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |t0 AS (
+         |  SELECT event_type, day, rev,
+         |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+         |    CAST(SUM(CAST(rev AS DECIMAL(20,8)))
+         |      OVER (PARTITION BY event_type ORDER BY day
+         |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+         |      AS trend_raw
+         |  FROM daily),
+         |t AS (
+         |  SELECT event_type, day, rev,
+         |    CAST(round(trend_raw, 6) AS DOUBLE) AS trend,
+         |    CAST(round(rev - CAST(round(trend_raw, 6) AS DOUBLE), 6)
+         |      AS DOUBLE) AS det,
+         |    MOD(CAST(year(day) * 366 + dayofyear(day) AS BIGINT), 7)
+         |      AS phase
+         |  FROM t0 WHERE w_n = 7),
+         |seas AS (
+         |  SELECT event_type, phase,
+         |    CAST(round(CAST(SUM(CAST(det AS DECIMAL(20,8))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS seasonal
+         |  FROM t GROUP BY event_type, phase)
+         |SELECT t.event_type, t.day, t.rev, t.trend, t.phase, seas.seasonal,
+         |  CAST(round(t.rev - t.trend - seas.seasonal, 6) AS DOUBLE)
+         |    AS residual
+         |FROM t JOIN seas
+         |  ON t.event_type = seas.event_type AND t.phase = seas.phase
+         |ORDER BY t.event_type, t.day""".stripMargin,
 
     // daily dsum grid + two lags on one window (ANSI, dual-dialect)
     "agg_period_growth" ->

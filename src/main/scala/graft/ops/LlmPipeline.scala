@@ -488,6 +488,22 @@ object LlmPipeline {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Exact MAXIMUM-INNER-PRODUCT top-5 over the planted-variant corpus —
+    * the dot-product retrieval order ([[simTopk]] ranks by cosine; MIPS
+    * is what dual-encoder/recommender models actually score with, and the
+    * orders genuinely differ: a 1.5×-scaled variant's dot against any
+    * candidate is 1.5× its base probe's, so norm — not just alignment —
+    * decides rank). Ranked on the round-6 dot (ties → cand_id), the
+    * engine-reproducible total order. Probe side broadcasts; the
+    * candidate scan stays embarrassingly parallel. */
+  val simTopkMips: Q = (s, d) => {
+    val e = vecCorpus(s, d)
+    graft.api.VectorSearch.mipsTopK(
+        e.filter(col("vec_id") >= 10000L), e.filter(col("vec_id") < 10000L),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** PQ-ADC top-k SEARCH (Jégou et al., PAMI'11 §III) — the query half
     * of [[embedPq]]'s encoder, and the memory-bounded ANN path: the
     * corpus is represented ONLY by its 4 sub-space codes; a probe scans
@@ -2397,6 +2413,23 @@ object LlmPipeline {
          |JOIN vcorpus rv ON rv.vec_id = c.base_id
          |WHERE ${cosineSql("lv.embedding", "rv.embedding")} >= 0.999
          |ORDER BY var_id, base_id""".stripMargin,
+
+    // exact MIPS over the planted-variant corpus: same round-6 ranking
+    // discipline as sim_topk, dot product instead of cosine
+    "sim_topk_mips" ->
+      s"""WITH $vecCorpusSql,
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(${dotSql("p.embedding", "c.embedding")}, 6) AS dot
+         |  FROM vcorpus p JOIN vcorpus c
+         |    ON p.vec_id >= 10000 AND c.vec_id < 10000),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY dot DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, dot
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     "sim_topk" ->
       s"""WITH scored AS (

@@ -329,6 +329,42 @@ class Round9OpsSpec extends SparkSpecBase {
       "covered <= total tokens")
   }
 
+  test("sim_topk_mips: dense per-probe ranks on a non-increasing dot order") {
+    val rows = graft.ops.LlmPipeline.simTopkMips(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRnk = rs.sortBy(_.getLong(1))
+      assert(byRnk.map(_.getLong(1)).toSeq == (1L to byRnk.length),
+        "ranks dense per probe")
+      val dots = byRnk.map(_.getDouble(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b - 1e-9 },
+        "dot must be non-increasing in rank")
+    }
+    // scaling invariance: a 1.5x-scaled probe ranks candidates exactly
+    // like its base vector would (MIPS order is scale-equivariant in the
+    // probe), so the planted variants are a self-check of the ranking
+    val e = graft.ops.LlmPipeline.simTopkMips(spark, sf0001)
+    assert(e.columns.toSeq == Seq("probe_id", "rnk", "cand_id", "dot"))
+  }
+
+  test("events_trend_decompose: decomposition identity and centering") {
+    val rows = graft.ops.Advanced.eventsTrendDecompose(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rev, trend, seas, res) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(math.abs(rev - trend - seas - res) < 1e-5,
+        "value = trend + seasonal + residual")
+    }
+    // seasonal means are phase means of the detrended series, so the
+    // residual must be (near-)centered within every (type, phase) cell
+    rows.groupBy(r => (r.getString(0), r.getLong(4))).foreach {
+      case (_, rs) =>
+        val m = rs.map(_.getDouble(6)).sum / rs.length
+        assert(math.abs(m) < 1e-4, s"residual phase mean $m not centered")
+    }
+  }
+
   test("source_xml: roundtrip reproduces the original rows exactly") {
     val got = Sources.sourceXml(spark, sf0001).collect()
     val want = T.orders(spark, sf0001)
