@@ -165,6 +165,9 @@ object SparkEntry {
     "agg_effect_size"   -> Stats.aggEffectSize,
     "events_hazard"     -> Stats.eventsHazard,
     "agg_tukey_fences"  -> Stats.aggTukeyFences,
+    "events_survival_ci" -> Stats.eventsSurvivalCi,
+    "agg_spearman"      -> Stats.aggSpearman,
+    "agg_cramers_v"     -> Stats.aggCramersV,
     "dedup_minhash_audit" -> LlmPipeline.dedupMinhashAudit,
     "text_shard_manifest" -> LlmPipeline.textShardManifest,
     "corpus_card"       -> Curation.corpusCard,

@@ -109,7 +109,8 @@ object SqlCatalog {
     // round-9b keys whose oracle SQL is already ANSI
     "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman",
     "graph_closeness", "events_fano", "events_overlap",
-    "agg_period_growth", "events_trend_decompose")
+    "agg_period_growth", "events_trend_decompose",
+    "agg_spearman", "agg_cramers_v")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -419,6 +420,69 @@ object SqlCatalog {
         |  CAST(round(CAST(ch AS DOUBLE), 6) AS DOUBLE) AS cum_hazard,
         |  CAST(round(exp(-CAST(ch AS DOUBLE)), 6) AS DOUBLE) AS na_survival
         |FROM ch WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
+
+    // Greenwood confidence bands (datediff dialect, shared KM grid)
+    "events_survival_ci" ->
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS cohort
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, cohort, MIN(ts) AS birth,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        |  FROM fe GROUP BY user_id, cohort),
+        |wm AS (SELECT MAX(ts) AS wm FROM events),
+        |durs AS (
+        |  SELECT cohort,
+        |    CAST(datediff(CAST(COALESCE(death, wm) AS DATE),
+        |      CAST(birth AS DATE)) AS BIGINT) AS dur,
+        |    death IS NOT NULL AS died
+        |  FROM pu CROSS JOIN wm),
+        |grid AS (
+        |  SELECT cohort, dur,
+        |    SUM(CASE WHEN died THEN 1L ELSE 0L END) AS d,
+        |    SUM(CASE WHEN died THEN 0L ELSE 1L END) AS c
+        |  FROM durs GROUP BY cohort, dur),
+        |curve AS (
+        |  SELECT cohort, dur, d,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |      AS n_risk
+        |  FROM grid),
+        |terms AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 8) ELSE 0.0 END
+        |      AS DECIMAL(20,8)) AS lp,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)), 8)
+        |      ELSE 0.0 END AS DECIMAL(20,8)) AS gt
+        |  FROM curve),
+        |acc AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY dur) AS zeroed,
+        |    SUM(lp) OVER (PARTITION BY cohort ORDER BY dur) AS ls,
+        |    SUM(gt) OVER (PARTITION BY cohort ORDER BY dur) AS gw
+        |  FROM terms),
+        |sv AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    CASE WHEN zeroed = 1 THEN 0.0
+        |      ELSE exp(CAST(ls AS DOUBLE)) END AS surv,
+        |    CASE WHEN zeroed = 1 THEN 0.0
+        |      ELSE exp(CAST(ls AS DOUBLE)) END
+        |      * sqrt(CAST(gw AS DOUBLE)) AS se
+        |  FROM acc)
+        |SELECT cohort, dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(round(surv, 6) AS DOUBLE) AS survival,
+        |  CAST(round(GREATEST(surv - 1.96 * se, 0.0), 6) AS DOUBLE) AS ci_lo,
+        |  CAST(round(LEAST(surv + 1.96 * se, 1.0), 6) AS DOUBLE) AS ci_hi
+        |FROM sv WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
 
     // Tukey fences (Spark's exact `percentile` ≡ DuckDB quantile_cont)
     "agg_tukey_fences" ->

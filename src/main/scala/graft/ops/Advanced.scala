@@ -2044,7 +2044,7 @@ object Advanced {
     * set; this scores EACH seed separately: closeness = (reached−1)/Σhops,
     * the local variant production graph systems compute within a bounded
     * radius because exact all-pairs closeness is O(n·m)): seeds = every
-    * 100th part, per-seed labeled BFS — the same three unrolled
+    * 500th part, per-seed labeled BFS — the same three unrolled
     * frontier-only supersteps keyed by (seed, node) — then one per-seed
     * fold of reach count and hop sum. All integer until the one reported
     * division.
@@ -2060,7 +2060,7 @@ object Advanced {
         Seq("l_orderkey"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val seeds = T.part(s, d).filter(col("p_partkey") % 100 === 0)
+    val seeds = T.part(s, d).filter(col("p_partkey") % 500 === 0)
       .select(col("p_partkey").as("seed"), col("p_partkey").as("node"),
         lit(0L).as("hop"))
     val reached = (1 to 3).foldLeft(seeds) { (cur, h) =>
@@ -2295,7 +2295,7 @@ object Advanced {
         |  WHERE a.l_partkey <> b.l_partkey),
         |d0 AS (
         |  SELECT p_partkey AS seed, p_partkey AS node, CAST(0 AS BIGINT) AS hop
-        |  FROM part WHERE p_partkey % 100 = 0),
+        |  FROM part WHERE p_partkey % 500 = 0),
         |d1 AS (SELECT seed, node, MIN(hop) AS hop FROM (
         |    SELECT seed, node, hop FROM d0
         |    UNION ALL

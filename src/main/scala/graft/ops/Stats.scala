@@ -169,6 +169,130 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** KAPLAN-MEIER with GREENWOOD CONFIDENCE BANDS — [[eventsSurvival]]'s
+    * curve plus the 95 % interval a decision should actually read
+    * (a point estimate without its variance invites overreading thin
+    * cohorts): Greenwood's formula var(S) = S²·Σ d/(n(n−d)), the
+    * variance terms accumulated exactly like the log factors — rounded
+    * to 8 decimals, summed as exact DECIMAL over the cohort window —
+    * bands clamped to [0, 1], total-death times pinned to 0 (the KM
+    * edge case shared with the base curve).
+    *
+    * 100 TB shape: identical to events_survival — one user fold, all
+    * windows on the model-sized risk grid. */
+  val eventsSurvivalCi: Q = (s, d) => {
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
+    val curve = kmGrid(s, d)
+      .withColumn("lp",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")), 8))
+          .otherwise(lit(0.0)).cast("decimal(20,8)"))
+      .withColumn("gt",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(col("d").cast("double")
+            / (col("n_risk").cast("double")
+              * (col("n_risk") - col("d")).cast("double")), 8))
+          .otherwise(lit(0.0)).cast("decimal(20,8)"))
+      .withColumn("zeroed",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("ls", sum(col("lp")).over(wCum))
+      .withColumn("gw", sum(col("gt")).over(wCum))
+    curve.filter(col("d") > 0)
+      .withColumn("surv",
+        when(col("zeroed") === 1L, lit(0.0))
+          .otherwise(exp(col("ls").cast("double"))))
+      .withColumn("se", col("surv") * sqrt(col("gw").cast("double")))
+      .select(col("cohort"), col("dur"), col("n_risk"),
+        col("d").as("d_events"),
+        round(col("surv"), 6).as("survival"),
+        round(greatest(col("surv") - lit(1.96) * col("se"), lit(0.0)), 6)
+          .as("ci_lo"),
+        round(least(col("surv") + lit(1.96) * col("se"), lit(1.0)), 6)
+          .as("ci_hi"))
+      .orderBy(col("cohort"), col("dur"))
+  }
+
+  /** SPEARMAN RANK CORRELATION per return flag — the monotone-association
+    * companion of [[graft.ops.Insights]]'s Pearson `agg_corr_matrix`
+    * (Pearson reads LINEAR association and is leveraged by outliers;
+    * Spearman on ranks answers "do they move together at all", the
+    * robust screening question): quantity vs extended price per flag,
+    * tied values at AVERAGE rank carried ×2 so every rank is an exact
+    * integer (the [[aggMannWhitney]] device); all five moments are
+    * exact DECIMAL(19,0)-product sums; ρ is one fixed IEEE tail.
+    *
+    * 100 TB shape: two per-group sort-shuffles (the rank windows — the
+    * window_rank cost class); the moment fold is map-side to the flag
+    * grid. */
+  val aggSpearman: Q = (s, d) => {
+    val li = T.lineitem(s, d).select(col("l_returnflag").as("fl"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def r2(c: String) =
+      lit(2L) * rank().over(Window.partitionBy(col("fl")).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col("fl"), col(c))) - 1L
+    val ranked = li.withColumn("rx", r2("x")).withColumn("ry", r2("y"))
+    val m = ranked.groupBy(col("fl")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx").cast("decimal(19,0)") * col("rx").cast("decimal(19,0)"))
+        .as("sxx"),
+      sum(col("ry").cast("decimal(19,0)") * col("ry").cast("decimal(19,0)"))
+        .as("syy"),
+      sum(col("rx").cast("decimal(19,0)") * col("ry").cast("decimal(19,0)"))
+        .as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    m.select(col("fl").as("l_returnflag"), col("n"),
+      round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .as("spearman_rho"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CRAMÉR'S V — the bounded [0, 1] effect size for categorical
+    * association ([[aggChi2]] reports the χ² statistic, which grows with
+    * n and says nothing about STRENGTH; V = √(χ²/(n·min(r−1, c−1))) is
+    * the number two tables of different sizes can be compared on):
+    * event type × user-parity segment contingency grid, the same exact
+    * DECIMAL(38,0) cross-product χ² contributions as agg_chi2, one
+    * double tail for V. Output is the one-row table summary.
+    *
+    * 100 TB shape: ONE conditional hash fold to the r×c grid; margins,
+    * χ² and V are all model-sized. */
+  val aggCramersV: Q = (s, d) => {
+    val cells = T.events(s, d)
+      .groupBy(col("event_type").as("rk"), (col("user_id") % 4).as("ck"))
+      .agg(count(lit(1)).as("o"))
+    val rTot = cells.groupBy(col("rk")).agg(sum(col("o")).as("r"))
+    val cTot = cells.groupBy(col("ck")).agg(sum(col("o")).as("c"))
+    val nTot = cells.agg(sum(col("o")).as("n"))
+    val dims = cells.agg(countDistinct(col("rk")).as("nr"),
+      countDistinct(col("ck")).as("nc"))
+    val t = cells
+      .join(broadcast(rTot), "rk")
+      .join(broadcast(cTot), "ck")
+      .crossJoin(broadcast(nTot))
+      .withColumn("num",
+        col("o").cast("decimal(38,0)") * col("n")
+          - col("r").cast("decimal(38,0)") * col("c"))
+      .withColumn("contrib",
+        round((col("num") * col("num")).cast("double")
+          / (col("r").cast("decimal(38,0)") * col("c") * col("n"))
+            .cast("double"), 8))
+    val chi2 = t.agg(
+      sum(col("contrib").cast("decimal(20,8)")).cast("double").as("chi2"),
+      max(col("n")).as("n"))
+    chi2.crossJoin(broadcast(dims))
+      .select(col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("nr") - 1L, col("nc") - 1L).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** MANN-WHITNEY U rank-sum test — the nonparametric A/B comparison
     * (`agg_ab_test`'s t-statistic assumes near-normal means; rank-sum
     * does not): cohort A = even order keys, B = odd, metric =
@@ -1006,6 +1130,147 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "agg_effect_size" -> effectSizeSql,
+
+    // Greenwood bands over the shared KM grid; variance terms follow the
+    // log-factor discipline (round 8, exact decimal window sum)
+    "events_survival_ci" ->
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS cohort
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, cohort, MIN(ts) AS birth,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        |  FROM fe GROUP BY user_id, cohort),
+        |wm AS (SELECT MAX(ts) AS wm FROM events),
+        |durs AS (
+        |  SELECT cohort,
+        |    CAST(date_diff('day', CAST(birth AS DATE),
+        |      CAST(COALESCE(death, wm) AS DATE)) AS BIGINT) AS dur,
+        |    death IS NOT NULL AS died
+        |  FROM pu CROSS JOIN wm),
+        |grid AS (
+        |  SELECT cohort, dur,
+        |    SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN died THEN 0 ELSE 1 END) AS c
+        |  FROM durs GROUP BY cohort, dur),
+        |curve AS (
+        |  SELECT cohort, dur, d,
+        |    SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM grid),
+        |terms AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 8) ELSE 0.0 END
+        |      AS DECIMAL(20,8)) AS lp,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)), 8)
+        |      ELSE 0.0 END AS DECIMAL(20,8)) AS gt
+        |  FROM curve),
+        |acc AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY dur) AS zeroed,
+        |    SUM(lp) OVER (PARTITION BY cohort ORDER BY dur) AS ls,
+        |    SUM(gt) OVER (PARTITION BY cohort ORDER BY dur) AS gw
+        |  FROM terms),
+        |sv AS (
+        |  SELECT cohort, dur, d, n_risk,
+        |    CASE WHEN zeroed = 1 THEN 0.0
+        |      ELSE exp(CAST(ls AS DOUBLE)) END AS surv,
+        |    CASE WHEN zeroed = 1 THEN 0.0
+        |      ELSE exp(CAST(ls AS DOUBLE)) END
+        |      * sqrt(CAST(gw AS DOUBLE)) AS se
+        |  FROM acc)
+        |SELECT cohort, dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d_events,
+        |  CAST(round(surv, 6) AS DOUBLE) AS survival,
+        |  CAST(round(GREATEST(surv - 1.96 * se, 0.0), 6) AS DOUBLE) AS ci_lo,
+        |  CAST(round(LEAST(surv + 1.96 * se, 1.0), 6) AS DOUBLE) AS ci_hi
+        |FROM sv WHERE d > 0 ORDER BY cohort, dur""".stripMargin,
+
+    // doubled average ranks (exact integers), DECIMAL(19,0)-product
+    // moments, one double tail (ANSI, dual-dialect)
+    "agg_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS fl,
+        |    2 * RANK() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+        |      AS rx,
+        |    2 * RANK() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |      - 1 AS ry
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT fl, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(rx) AS sx, SUM(ry) AS sy,
+        |    SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+        |      AS syy,
+        |    SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM ranked GROUP BY fl)
+        |SELECT fl AS l_returnflag, n,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS DOUBLE) AS spearman_rho
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // the chi2 contribution machinery folded to the one-row V summary
+    // (ANSI, dual-dialect)
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type AS rk, user_id % 4 AS ck, COUNT(*) AS o
+        |  FROM events GROUP BY event_type, user_id % 4),
+        |dims AS (
+        |  SELECT CAST(COUNT(DISTINCT rk) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT ck) AS BIGINT) AS nc
+        |  FROM cells),
+        |rt AS (SELECT rk, SUM(o) AS r FROM cells GROUP BY rk),
+        |ct AS (SELECT ck, SUM(o) AS c FROM cells GROUP BY ck),
+        |nt AS (SELECT SUM(o) AS n FROM cells),
+        |t AS (
+        |  SELECT cells.rk, cells.ck, o, r, c, n
+        |  FROM cells JOIN rt ON cells.rk = rt.rk
+        |  JOIN ct ON cells.ck = ct.ck CROSS JOIN nt),
+        |nums AS (
+        |  SELECT rk, ck, o, r, c, n,
+        |    CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+        |      - CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS num,
+        |    CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS rc
+        |  FROM t),
+        |contribs AS (
+        |  SELECT rk, ck, n,
+        |    round(CAST(CAST(num AS DECIMAL(18,0))
+        |        * CAST(num AS DECIMAL(18,0)) AS DOUBLE)
+        |      / CAST(CAST(rc AS DECIMAL(18,0))
+        |        * CAST(n AS DECIMAL(18,0)) AS DOUBLE), 8) AS contrib
+        |  FROM nums),
+        |chit AS (
+        |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+        |      AS chi2,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM contribs)
+        |SELECT n, dims.nr AS n_rows, dims.nc AS n_cols,
+        |  CAST(round(chi2, 6) AS DOUBLE) AS chi2,
+        |  CAST(round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(CASE WHEN nr < nc THEN nr - 1 ELSE nc - 1 END
+        |      AS DOUBLE))), 6) AS DOUBLE) AS cramers_v
+        |FROM chit CROSS JOIN dims""".stripMargin,
     // Nelson-Aalen over the same risk grid as events_survival; n_risk/d
     // cast BIGINT (DuckDB window sums are HUGEINT — the stable-type rule)
     "events_hazard" ->

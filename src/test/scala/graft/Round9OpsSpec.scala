@@ -267,7 +267,7 @@ class Round9OpsSpec extends SparkSpecBase {
   test("graph_closeness: bounded by 1, hop sums dominate reach counts") {
     val rows = graft.ops.Advanced.graphCloseness(spark, sf0001).collect()
     val seeds = T.part(spark, sf0001)
-      .filter(col("p_partkey") % 100 === 0).count()
+      .filter(col("p_partkey") % 500 === 0).count()
     assert(rows.length == seeds, "one row per seed")
     rows.foreach { r =>
       val (nr, sd, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
@@ -363,6 +363,57 @@ class Round9OpsSpec extends SparkSpecBase {
         val m = rs.map(_.getDouble(6)).sum / rs.length
         assert(math.abs(m) < 1e-4, s"residual phase mean $m not centered")
     }
+  }
+
+  test("events_survival_ci: bands bracket the KM curve and stay in [0,1]") {
+    val ci = graft.ops.Stats.eventsSurvivalCi(spark, sf0001).collect()
+    val km = graft.ops.Stats.eventsSurvival(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(ci.nonEmpty && ci.length == km.size)
+    ci.foreach { r =>
+      val (s, lo, hi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, "bands clamp to [0,1]")
+      assert(lo <= s + 1e-9 && s <= hi + 1e-9, "bands must bracket S")
+      assert(math.abs(s - km((r.getString(0), r.getLong(1)))) < 1e-6,
+        "point estimate must equal the events_survival curve")
+    }
+  }
+
+  test("agg_spearman: rho in [-1,1] and equals native corr on the ranks") {
+    val rows = graft.ops.Stats.aggSpearman(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho $rho out of range")
+      assert(r.getLong(1) > 0)
+    }
+    // independent second spelling: Pearson corr() over the same doubled
+    // average ranks must agree with the exact-moment computation
+    import org.apache.spark.sql.expressions.Window
+    val li = T.lineitem(spark, sf0001).select(col("l_returnflag").as("fl"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def r2(c: String) =
+      lit(2L) * rank().over(Window.partitionBy(col("fl")).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col("fl"), col(c))) - 1L
+    val check = li.withColumn("rx", r2("x")).withColumn("ry", r2("y"))
+      .groupBy(col("fl"))
+      .agg(corr(col("rx").cast("double"), col("ry").cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - check(r.getString(0))) < 1e-4,
+        s"rho ${r.getDouble(2)} != native corr ${check(r.getString(0))}")
+    }
+  }
+
+  test("agg_cramers_v: one bounded summary row, dims match the data") {
+    val rows = graft.ops.Stats.aggCramersV(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == T.events(spark, sf0001).count())
+    assert(r.getLong(1) >= 2 && r.getLong(2) == 4, "5 types x 4 parity segs")
+    val v = r.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, s"V $v out of [0,1]")
+    assert(r.getDouble(3) >= 0.0, "chi2 non-negative")
   }
 
   test("source_xml: roundtrip reproduces the original rows exactly") {
