@@ -59,7 +59,11 @@ object Bench {
     "agg_lorenz_bands",
     // round-9 flagships
     "sample_dsir", "text_gopher_rules", "sim_topk_bq",
-    "dedup_downweight", "agg_cuped", "graph_bfs", "text_jsd_drift")
+    "dedup_downweight", "agg_cuped", "graph_bfs", "text_jsd_drift",
+    // round-10 flagships
+    "agg_holt", "events_ltv_forecast", "graph_betweenness",
+    "sample_coreset", "sample_kcenter", "agg_qq_drift",
+    "events_forecast_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,6 +76,17 @@ object Bench {
       // bench must too or its plans diverge on a non-UTC machine.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Tungsten execution memory OFF-HEAP: on a very large driver heap
+      // (the round-9 env stamps record ~89 GiB) the join/agg scratch that
+      // Tungsten allocates on-heap makes G1's CONCURRENT cycles scan tens
+      // of GB while all worker threads are busy — the pause-time stamp
+      // stays small (sub-500ms) but whole seconds of marking CPU land
+      // inside timed samples, with 2-10x sample variance on the
+      // allocation-heaviest keys (graph_jaccard read 3.2-30.9 s at 90g
+      // vs a stable ~3 s at 16g, same code). Unsafe off-heap pages never
+      // enter the GC's world, so sample times stop depending on -Xmx.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // native fns + engine-tuned confs
@@ -88,7 +103,6 @@ object Bench {
     // 3 is robust to one GC/JIT outlier). The non-headline tail runs ONCE
     // each — a coarser but real signal for all 175 declared keys that keeps
     // total bench wall-clock bounded.
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // environment stamp (VERDICT r8 #7): the r7→r8 rounds burned on
     // quiet-run vs driver-run confusion because the artifacts never said
     // which config produced them — record cpus, shuffle partitions, and
@@ -115,14 +129,26 @@ object Bench {
       case None     => headline.map(_ -> 3) ++ tailKeys.map(_ -> 1)
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // total stop-the-world GC milliseconds so far, summed over collectors —
+    // the delta across a timed sample says how much of its wall-clock was
+    // GC pause (the r9→r10 graph_jaccard hunt ended on exactly this
+    // number: at ~90g heap, deserialized checkpoint blocks made G1 trace
+    // millions of row objects and seconds of pause landed inside samples)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = toRun.map { case (name, runs0) =>
       val fn = all(name)
       var ok = true
-      def sample(): Double = {
+      def sample(): (Double, Long) = {
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => ok = false }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gcDt = gcMillis() - gc0
         // UNTIMED cleanup (dt is already taken): release every persisted
         // block before the next sample. clearCache() frees .cache()/.persist()
         // subtrees; localCheckpoint RDDs are NOT in the cache manager — they
@@ -145,8 +171,13 @@ object Bench {
         // machine load.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        System.gc()
-        dt
+        // escape hatch for heap-behavior experiments: a full GC on a very
+        // large heap UNCOMMITS memory back to the OS (G1 resizes to its
+        // free-ratio band), and the next heavy sample re-pays the page
+        // commit+zero cost inside its timed region — set
+        // SPARK_GRAFT_BENCH_NOGC=1 to measure without the per-sample GC
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOGC")) System.gc()
+        (dt, gcDt)
       }
       // and a GC per key: broadcast blocks + shuffle state from earlier
       // keys are still ContextCleaner-gated (see r6 pipeline_e2e /
@@ -157,44 +188,54 @@ object Bench {
       // indistinguishable from one GC pause, so any tail key whose first
       // sample crosses 2 s is promoted to median-of-3 on the spot; fast
       // tail keys keep the cheap single sample.
-      val runs = if (ok && runs0 == 1 && first > 2.0) 3 else runs0
+      val runs = if (ok && runs0 == 1 && first._1 > 2.0) 3 else runs0
       val samples = first +: (2 to runs).map(_ => sample())
       // per-sample trace on stderr (not the bounded stdout line): a median
       // hides whether a slow key is uniformly slow or one-outlier slow —
       // the exact ambiguity that stalled the graph_jaccard hunt for 2 rounds
       if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
         System.err.println(s"[bench] $name samples=" +
-          samples.map(v => f"$v%.3f").mkString(","))
+          samples.map { case (v, g) => f"$v%.3f(gc=${g}ms)" }.mkString(","))
       // a query that throws must NEVER masquerade as a fast timing
       // (VERDICT r4 #3): report -1 and list it under "failed".
-      if (!ok) { failed += name; (name, -1.0, runs) }
-      else (name, median(samples), runs)
+      if (!ok) { failed += name; (name, -1.0, runs, -1L) }
+      else {
+        // report the gc_ms of the SAME sample the median timing comes
+        // from — a per-key pair (seconds, pause-ms) that decomposes the
+        // reading instead of two unrelated medians
+        val (mv, mg) = samples.sortBy(_._1).apply(samples.size / 2)
+        (name, mv, runs, mg)
+      }
     }
     // compact, locale-safe number formatting: the driver captures a bounded
     // tail of stdout, so the single JSON line must stay short (3 decimals,
     // not Double.toString's 15+)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmap(rs: Seq[(String, Double, Int)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
+    def jmap(rs: Seq[(String, Double, Int, Long)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the stdout line carries the headline subset; in ONLY mode it carries
     // exactly the keys that ran (local iteration wants its numbers printed)
     val headlineRes =
       if (only.isDefined) results
-      else results.filter { case (k, _, _) => headline.contains(k) }
+      else results.filter { case (k, _, _, _) => headline.contains(k) }
     val totalHeadline =
-      headlineRes.collect { case (_, v, _) if v >= 0 => v }.sum
-    val totalAll = results.collect { case (_, v, _) if v >= 0 => v }.sum
+      headlineRes.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalAll = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     if (only.isEmpty) {
-      // full per-key dump — every declared key, its seconds, and how many
-      // runs produced the number (3 = median, 1 = single sample)
+      // full per-key dump — every declared key, its seconds, how many runs
+      // produced the number (3 = median, 1 = single sample), and the GC
+      // pause-ms inside the median-producing sample (VERDICT r9 #3: the
+      // artifact must show where the wall-clock went)
       val fullJson =
         s"""{"sf":"$sfDir","agg":"median",$envStamp,"failed":$fs,
            |"total_headline":${num(totalHeadline)},"total_all":${num(totalAll)},
            |"keys":${results.size},
-           |"runs":${results.map { case (k, _, r) => "\"" + k + "\":" + r }
+           |"runs":${results.map { case (k, _, r, _) => "\"" + k + "\":" + r }
+            .mkString("{", ",", "}")},
+           |"gc_ms":${results.map { case (k, _, _, g) => "\"" + k + "\":" + g }
             .mkString("{", ",", "}")},
            |"queries":${jmap(results)}}""".stripMargin.replace("\n", "")
       java.nio.file.Files.write(

@@ -79,7 +79,11 @@ object Repl {
         .mkString("(", ", ", ")")
 
     var done = false
-    while (!done) {
+    // flush-on-any-exit: .exit and end-of-input flush inline below, but a
+    // fatal error escaping the dispatch (meta-command I/O, OOM) must still
+    // persist this session's inserts — overwrite-mode flush is idempotent,
+    // so the extra call on the normal path is harmless (ADVICE r9)
+    try while (!done) {
       out.print("db > ")
       if (!in.hasNext) { flush(); done = true }
       else {
@@ -130,10 +134,17 @@ object Repl {
             case _: org.apache.spark.sql.AnalysisException |
                  _: org.apache.spark.sql.catalyst.parser.ParseException =>
               out.println(s"Unrecognized keyword at start of '$input'")
+            // a statement that PARSES but fails at execution time (bad
+            // file path in a read, ANSI cast overflow, ...) must not kill
+            // the session — the reference's loop survives every bad input,
+            // and an escaping exception here would skip the .exit flush
+            // and lose the rows inserted this session (ADVICE r9)
+            case scala.util.control.NonFatal(e) =>
+              out.println(s"Error: ${e.getMessage}")
           }
         }
       }
-    }
+    } finally scala.util.Try(flush())
   }
 
   def main(args: Array[String]): Unit = {

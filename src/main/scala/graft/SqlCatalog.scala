@@ -109,15 +109,17 @@ object SqlCatalog {
     // round-9b keys whose oracle SQL is already ANSI
     "graph_bfs", "events_ltv", "agg_effect_size", "sample_neyman",
     "graph_closeness", "events_fano", "events_overlap",
-    "agg_period_growth", "events_trend_decompose",
-    "agg_spearman", "agg_cramers_v")
+    "agg_period_growth",
+    "agg_spearman", "agg_cramers_v",
+    // round-10 keys whose oracle SQL is already ANSI
+    "graph_betweenness")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
-      graft.ops.Selection.oracles)(k)
+      graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -356,6 +358,205 @@ object SqlCatalog {
     // MinHash estimator audit (md5_48 + HOF shingle dialect)
     "dedup_minhash_audit" -> minhashAuditSql,
 
+    // Holt level-trend smoothing: the sequential recursion runs as an
+    // aggregate() HOF over the per-type day array (the DuckDB oracle
+    // replays it as a RECURSIVE CTE — same init, same IEEE op order)
+    "agg_holt" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ys
+         |  FROM daily GROUP BY event_type),
+         |f AS (
+         |  SELECT event_type, ys,
+         |    ${graft.ops.Horizon.holtFoldSql} AS st
+         |  FROM ser WHERE size(ys) >= 2)
+         |SELECT event_type, CAST(size(ys) AS BIGINT) AS n_days,
+         |  CAST(round(st.l, 6) AS DOUBLE) AS level,
+         |  CAST(round(st.b, 6) AS DOUBLE) AS trend,
+         |  CAST(round(st.l + st.b, 6) AS DOUBLE) AS fc_1,
+         |  CAST(round(st.l + CAST(7 AS DOUBLE) * st.b, 6) AS DOUBLE) AS fc_7
+         |FROM f ORDER BY event_type""".stripMargin,
+
+    // cohort-LTV projection: events_ltv's cum grid + the Holt HOF fold
+    "events_ltv_forecast" ->
+      s"""WITH firsts AS (
+         |  SELECT user_id,
+         |    CAST(year(MIN(CAST(ts AS DATE))) * 366
+         |      + dayofyear(MIN(CAST(ts AS DATE))) AS BIGINT) AS cm
+         |  FROM events GROUP BY user_id),
+         |sizes AS (
+         |  SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_users
+         |  FROM firsts GROUP BY cm),
+         |cells AS (
+         |  SELECT f.cm,
+         |    CAST(year(CAST(e.ts AS DATE)) * 366
+         |      + dayofyear(CAST(e.ts AS DATE)) AS BIGINT) - f.cm AS age,
+         |    CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM events e JOIN firsts f ON e.user_id = f.user_id
+         |  WHERE e.event_type = 'purchase'
+         |  GROUP BY f.cm, CAST(year(CAST(e.ts AS DATE)) * 366
+         |      + dayofyear(CAST(e.ts AS DATE)) AS BIGINT) - f.cm),
+         |curve AS (
+         |  SELECT cells.cm, cells.age, sizes.cohort_users,
+         |    CAST(round(CAST(SUM(rev_cents) OVER
+         |        (PARTITION BY cells.cm ORDER BY age) AS DOUBLE) / 100.0
+         |      / CAST(cohort_users AS DOUBLE), 6) AS DOUBLE) AS ltv
+         |  FROM cells JOIN sizes ON cells.cm = sizes.cm),
+         |ser AS (
+         |  SELECT cm AS cohort_day, cohort_users,
+         |    transform(array_sort(collect_list(struct(age, ltv))),
+         |      x -> x.ltv) AS ys
+         |  FROM curve GROUP BY cm, cohort_users),
+         |f AS (
+         |  SELECT cohort_day, cohort_users, ys,
+         |    ${graft.ops.Horizon.holtFoldSql} AS st
+         |  FROM ser WHERE size(ys) >= 2)
+         |SELECT cohort_day, cohort_users, CAST(size(ys) AS BIGINT) AS n_ages,
+         |  element_at(ys, size(ys)) AS ltv_last,
+         |  CAST(round(st.l, 6) AS DOUBLE) AS level,
+         |  CAST(round(st.b, 6) AS DOUBLE) AS trend,
+         |  CAST(round(st.l + CAST(7 AS DOUBLE) * st.b, 6) AS DOUBLE) AS fc_7
+         |FROM f ORDER BY cohort_day""".stripMargin,
+
+    // q-q drift: identical to the oracle except the decile generator
+    "agg_qq_drift" -> graft.ops.Horizon.qqDriftSqlGen(
+      "SELECT explode(sequence(1, 9)) AS dec"),
+
+    // greedy k-center: the same 8 unrolled rounds, HOF distance dialect
+    "sample_kcenter" -> graft.ops.Horizon.kcenterSqlGen(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))",
+      (a, b) => s"aggregate(zip_with($a.qv, $b.qv, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+
+    // Holt backtest: HOF fold on the 20-day prefix, posexplode holdout
+    "events_forecast_eval" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ysAll
+         |  FROM daily GROUP BY event_type),
+         |f AS (
+         |  SELECT event_type, ysAll, slice(ysAll, 1, 20) AS ys
+         |  FROM ser WHERE size(ysAll) > 21),
+         |stt AS (
+         |  SELECT event_type,
+         |    ${graft.ops.Horizon.holtFoldSql} AS st,
+         |    slice(ysAll, 21, size(ysAll) - 20) AS tail
+         |  FROM f),
+         |scored AS (
+         |  SELECT event_type, CAST(size(tail) AS BIGINT) AS n_test,
+         |    CAST(round(round(y - (st.l + CAST(j + 1 AS DOUBLE) * st.b), 6)
+         |      / CAST(size(tail) AS DOUBLE), 8) AS DECIMAL(20,8)) AS e,
+         |    CAST(round(round(abs(y
+         |        - (st.l + CAST(j + 1 AS DOUBLE) * st.b)), 6)
+         |      / CAST(size(tail) AS DOUBLE), 8) AS DECIMAL(20,8)) AS ae,
+         |    CAST(round(round(abs(y - (st.l + CAST(j + 1 AS DOUBLE) * st.b))
+         |      / abs(y), 6)
+         |      / CAST(size(tail) AS DOUBLE), 8) AS DECIMAL(20,8)) AS ape
+         |  FROM stt LATERAL VIEW posexplode(tail) t AS j, y)
+         |SELECT event_type, CAST(20 AS BIGINT) AS n_train, n_test,
+         |  CAST(round(SUM(ae), 6) AS DOUBLE) AS mae,
+         |  CAST(round(SUM(ape), 6) AS DOUBLE) AS mape,
+         |  CAST(round(SUM(e), 6) AS DOUBLE) AS bias
+         |FROM scored GROUP BY event_type, n_test
+         |ORDER BY event_type""".stripMargin,
+
+    // stratified lightweight coreset (posexplode micro-unit dialect; the
+    // DuckDB oracle indexes dims via range(1,65) — dim is only an
+    // engine-internal join key, so the offset never surfaces)
+    "sample_coreset" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, pos AS dim, col AS qd
+        |  FROM embeddings
+        |  LATERAL VIEW posexplode(transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS pos, col),
+        |sums AS (
+        |  SELECT label, dim, CAST(SUM(qd) AS BIGINT) AS sd,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM q GROUP BY label, dim),
+        |member AS (
+        |  SELECT q.vec_id, q.label,
+        |    SUM(CAST(sums.n * q.qd - sums.sd AS DECIMAL(18,0))
+        |      * CAST(sums.n * q.qd - sums.sd AS DECIMAL(18,0))) AS d2,
+        |    MAX(sums.n) AS n
+        |  FROM q JOIN sums ON q.label = sums.label AND q.dim = sums.dim
+        |  GROUP BY q.vec_id, q.label),
+        |tot AS (
+        |  SELECT label, SUM(d2) AS sumd2, CAST(COUNT(*) AS BIGINT)
+        |      AS n_label
+        |  FROM member GROUP BY label),
+        |sens AS (
+        |  SELECT member.label, member.vec_id, tot.n_label,
+        |    CAST(round(CAST(0.5 AS DOUBLE) / CAST(tot.n_label AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE) * (CAST(member.d2 AS DOUBLE)
+        |        / CAST(tot.sumd2 AS DOUBLE)), 8) AS DECIMAL(20,8)) AS s8
+        |  FROM member JOIN tot ON member.label = tot.label),
+        |cw AS (
+        |  SELECT label, vec_id, n_label, s8,
+        |    SUM(s8) OVER (PARTITION BY label ORDER BY vec_id) AS cum
+        |  FROM sens),
+        |st AS (SELECT label, SUM(s8) AS st FROM sens GROUP BY label)
+        |SELECT CAST(cw.label AS BIGINT) AS label, cw.vec_id, cw.n_label,
+        |  CAST(cw.s8 AS DOUBLE) AS sensitivity,
+        |  CAST(round(CAST(st.st AS DOUBLE)
+        |    / (CAST(16 AS DOUBLE) * CAST(cw.s8 AS DOUBLE)), 6) AS DOUBLE)
+        |    AS weight
+        |FROM cw JOIN st ON cw.label = st.label
+        |WHERE floor(CAST(cw.cum * 16 AS DOUBLE) / CAST(st.st AS DOUBLE))
+        |    > floor(CAST((cw.cum - cw.s8) * 16 AS DOUBLE)
+        |        / CAST(st.st AS DOUBLE))
+        |ORDER BY label, vec_id""".stripMargin,
+
+    // additive decomposition: identical to the DuckDB oracle except the
+    // epoch-day index — Spark spells it datediff(day, DATE ...), DuckDB
+    // as date subtraction (the RANGE-frame gap-safety fix, ADVICE r9)
+    "events_trend_decompose" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |d2 AS (
+         |  SELECT event_type, day, rev,
+         |    CAST(datediff(day, DATE '1970-01-01') AS BIGINT) AS di
+         |  FROM daily),
+         |t0 AS (
+         |  SELECT event_type, day, rev, di,
+         |    COUNT(*) OVER (PARTITION BY event_type ORDER BY di
+         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+         |    CAST(SUM(CAST(rev AS DECIMAL(20,8)))
+         |      OVER (PARTITION BY event_type ORDER BY di
+         |        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+         |      AS trend_raw
+         |  FROM d2),
+         |t AS (
+         |  SELECT event_type, day, rev,
+         |    CAST(round(trend_raw, 6) AS DOUBLE) AS trend,
+         |    CAST(round(rev - CAST(round(trend_raw, 6) AS DOUBLE), 6)
+         |      AS DOUBLE) AS det,
+         |    MOD(di, 7) AS phase
+         |  FROM t0 WHERE w_n = 7),
+         |seas AS (
+         |  SELECT event_type, phase,
+         |    CAST(round(CAST(SUM(CAST(det AS DECIMAL(20,8))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS seasonal
+         |  FROM t GROUP BY event_type, phase)
+         |SELECT t.event_type, t.day, t.rev, t.trend, t.phase, seas.seasonal,
+         |  CAST(round(t.rev - t.trend - seas.seasonal, 6) AS DOUBLE)
+         |    AS residual
+         |FROM t JOIN seas
+         |  ON t.event_type = seas.event_type AND t.phase = seas.phase
+         |ORDER BY t.event_type, t.day""".stripMargin,
+
     // VARIANT pack (parse_json/variant_get — Spark 4's semi-structured
     // type; the oracle extracts the same values via DuckDB JSON)
     "fn_variant" ->
@@ -510,17 +711,20 @@ object SqlCatalog {
         |FROM orders o JOIN f3 ON o.o_orderstatus = f3.o_orderstatus
         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
 
-    // vocabulary coverage curve (split/explode dialect; rank by
-    // strictly-prior count — no partition-less window)
+    // vocabulary coverage curve (split/explode dialect; candidates
+    // pre-cut to the top-16 — only they can reach a band, and in-set
+    // strictly-prior ranks equal global ranks; rank by strictly-prior
+    // count — no partition-less window)
     "text_vocab_coverage" ->
       """WITH counts AS (
         |  SELECT tok, COUNT(*) AS c FROM (
         |    SELECT explode(split(text, ' ')) AS tok FROM documents)
         |  GROUP BY tok),
+        |top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 16),
         |ranked AS (
         |  SELECT /*+ BROADCAST(b) */ a.tok, a.c,
         |    CAST(COUNT(b.tok) + 1 AS BIGINT) AS rnk
-        |  FROM counts a LEFT JOIN counts b
+        |  FROM top a LEFT JOIN top b
         |    ON b.c > a.c OR (b.c = a.c AND b.tok < a.tok)
         |  GROUP BY a.tok, a.c),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,

@@ -61,7 +61,8 @@ object Clustering {
     for (_ <- 2 to iters) {
       cents = update(assigned)
       assigned = assign(q, cents, idCol)
-      if (checkpoint) assigned = assigned.localCheckpoint(true)
+      if (checkpoint)
+        assigned = graft.api.CheckpointStrategy.Local.materialize(assigned)
     }
     assigned
   }

@@ -40,7 +40,20 @@ sealed trait CheckpointStrategy {
 }
 object CheckpointStrategy {
   case object Local extends CheckpointStrategy {
-    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    // SERIALIZED blocks, not the default deserialized level: a
+    // deserialized checkpoint holds one UnsafeRow object per row live on
+    // the heap for the checkpoint's lifetime, and on a large heap (the
+    // round-9 env stamps record ~89 GiB) nothing ever spills, so G1 traces
+    // millions of row objects every cycle and multi-second pauses land
+    // inside the work being measured — a same-machine A/B of the
+    // checkpoint-heaviest query read 2.8 s at 16g vs 5.2-11 s at 90g on
+    // identical code. MEMORY_AND_DISK_SER packs each partition into a few
+    // large byte arrays: object count stays O(partitions), GC pauses stay
+    // flat regardless of heap size, and UnsafeRow serialization is a
+    // near-memcpy so the pack cost is noise.
+    def materialize(df: DataFrame): DataFrame =
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
   case object Reliable extends CheckpointStrategy {
     def materialize(df: DataFrame): DataFrame = df.checkpoint(eager = true)
@@ -56,8 +69,10 @@ object TextDedup {
     * `persist()`, which pins a CacheManager entry until someone calls
     * `unpersist()` — the backing RDD blocks are released automatically by
     * the ContextCleaner once the returned frame is garbage-collected. No
-    * caching contract leaks to the caller. */
-  private def cached(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    * caching contract leaks to the caller. Serialized storage level for
+    * the same heap-size-independence reason as [[CheckpointStrategy.Local]]. */
+  private def cached(df: DataFrame): DataFrame =
+    CheckpointStrategy.Local.materialize(df)
 
   /** 48-bit portable hash: first 12 hex digits of md5 (engine-agnostic —
     * DuckDB reproduces it as `CAST('0x' || substr(md5(e), 1, 12) AS

@@ -119,17 +119,26 @@ object TextQuality {
   }
 
   /** Vocabulary coverage curve: the share of corpus tokens captured by
-    * the top-N vocabulary for each N in `bands` (ascending). Ranks come
-    * from a strictly-prior count against the broadcast vocabulary grid —
-    * never a partition-less window (the engine-wide PlanSpec rule). */
+    * the top-N vocabulary for each N in `bands` (ascending). Only the
+    * top-max(bands) tokens can contribute to any band, so candidates are
+    * pre-cut to exactly those via an ordered limit (TakeOrderedAndProject
+    * — the sample_dsir rule) BEFORE ranking; within that top set the
+    * strictly-prior count against its broadcast copy equals the global
+    * rank, because every excluded token sorts strictly after every kept
+    * one. A full |vocab|² rank join would be quadratic in the vocabulary
+    * — infeasible at multi-million-token scale (ADVICE r9); this is
+    * max(bands)², a constant. Never a partition-less window (the
+    * engine-wide PlanSpec rule). */
   def vocabCoverage(df: DataFrame, textCol: String,
       bands: Seq[Long] = Seq(4L, 8L, 16L)): DataFrame = {
     require(bands.nonEmpty, "bands must be non-empty")
     val counts = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = counts
-      .join(broadcast(counts.select(col("c").as("bc"), col("tok").as("bt"))),
+    val top = counts.orderBy(col("c").desc, col("tok"))
+      .limit(bands.max.toInt)
+    val ranked = top
+      .join(broadcast(top.select(col("c").as("bc"), col("tok").as("bt"))),
         col("bc") > col("c")
           || (col("bc") === col("c") && col("bt") < col("tok")), "left")
       .groupBy(col("tok"), col("c")).agg((count(col("bt")) + 1L).as("rnk"))

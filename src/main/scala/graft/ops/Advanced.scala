@@ -2004,11 +2004,14 @@ object Advanced {
     * raw series ([[aggSeasonality]] profiles the weekly shape,
     * [[eventsAnomaly]] flags z-outliers; this SEPARATES the components so
     * each can be judged alone): per type, daily exact-decimal value;
-    * trend = 7-day centered moving average (full windows only — edges
-    * drop, never extrapolate) summed as exact DECIMAL inside the frame;
-    * seasonal = per weekly-phase mean of the detrended series (phase =
-    * day-index mod 7 — pure integer, no dayofweek dialect); residual =
-    * the rounded remainder.
+    * trend = 7-day centered moving average over a RANGE frame keyed on
+    * the epoch-day index (full CALENDAR windows only — a ±3-row frame
+    * would silently span a wider range across a missing day yet still
+    * divide by 7; the range frame sees the gap as w_n < 7 and the edge
+    * drops, never extrapolates — ADVICE r9) summed as exact DECIMAL
+    * inside the frame; seasonal = per weekly-phase mean of the detrended
+    * series (phase = epoch-day mod 7 — pure integer, no dayofweek
+    * dialect); residual = the rounded remainder.
     *
     * 100 TB shape: the corpus folds map-side to the (type × day) grid;
     * the moving window, phase means and the join-back all run on that
@@ -2017,8 +2020,10 @@ object Advanced {
     val daily = T.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(dsum(col("value")).as("rev"))
-    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-3, 3)
+      .withColumn("di",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("di"))
+      .rangeBetween(-3, 3)
     val t = daily
       .withColumn("w_n", count(lit(1)).over(w7))
       .withColumn("trend",
@@ -2026,9 +2031,7 @@ object Advanced {
           / 7.0, 6))
       .filter(col("w_n") === 7)
       .withColumn("det", round(col("rev") - col("trend"), 6))
-      .withColumn("phase",
-        pmod((year(col("day")) * 366 + dayofyear(col("day"))).cast("long"),
-          lit(7L)))
+      .withColumn("phase", pmod(col("di"), lit(7L)))
     val seas = t.groupBy(col("event_type"), col("phase"))
       .agg(round(sum(col("det").cast("decimal(20,8)")).cast("double")
         / count(lit(1)).cast("double"), 6).as("seasonal"))
@@ -2231,27 +2234,34 @@ object Advanced {
 
     // additive decomposition on the daily grid: decimal frame sums,
     // integer phase classes, full 7-day windows only (ANSI, dual-dialect)
+    // RANGE frame on the epoch-day index (not ROWS): a missing calendar
+    // day must shrink the window (edge drops), not silently widen the
+    // averaged span (ADVICE r9). DuckDB spells the index as date
+    // subtraction; the Spark statement text uses datediff.
     "events_trend_decompose" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    ${graft.core.Numeric.dsumSql("value")} AS rev
          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
-         |t0 AS (
+         |d2 AS (
          |  SELECT event_type, day, rev,
-         |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
-         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
-         |    CAST(SUM(CAST(rev AS DECIMAL(20,8)))
-         |      OVER (PARTITION BY event_type ORDER BY day
-         |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
-         |      AS trend_raw
+         |    CAST(day - DATE '1970-01-01' AS BIGINT) AS di
          |  FROM daily),
+         |t0 AS (
+         |  SELECT event_type, day, rev, di,
+         |    COUNT(*) OVER (PARTITION BY event_type ORDER BY di
+         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+         |    CAST(SUM(CAST(rev AS DECIMAL(20,8)))
+         |      OVER (PARTITION BY event_type ORDER BY di
+         |        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+         |      AS trend_raw
+         |  FROM d2),
          |t AS (
          |  SELECT event_type, day, rev,
          |    CAST(round(trend_raw, 6) AS DOUBLE) AS trend,
          |    CAST(round(rev - CAST(round(trend_raw, 6) AS DOUBLE), 6)
          |      AS DOUBLE) AS det,
-         |    MOD(CAST(year(day) * 366 + dayofyear(day) AS BIGINT), 7)
-         |      AS phase
+         |    MOD(di, 7) AS phase
          |  FROM t0 WHERE w_n = 7),
          |seas AS (
          |  SELECT event_type, phase,

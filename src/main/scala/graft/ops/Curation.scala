@@ -651,19 +651,24 @@ object Curation {
     * for itself; [[graft.ops.LlmPipeline]]'s text_oov_rate fixes one N
     * and reports the complement per doc — this sweeps N corpus-wide;
     * band values parameterize at production vocab scales): token counts
-    * fold once, ranks come from a strictly-prior count against the
-    * broadcast vocabulary grid (the sample_dsir rule — never a
-    * partition-less row_number), bands are conditional sums stacked to
-    * rows.
+    * fold once, candidates pre-cut to the top-max(band) tokens via an
+    * ordered limit (only they can contribute to any band; every excluded
+    * token sorts strictly after every kept one, so in-set strictly-prior
+    * ranks equal global ranks — ADVICE r9 killed the |vocab|² variant),
+    * then ranks come from a strictly-prior count against the broadcast
+    * top grid (the sample_dsir rule — never a partition-less
+    * row_number), bands are conditional sums stacked to rows.
     *
-    * 100 TB shape: ONE corpus-scale token aggregate; the rank self-join
-    * and band fold run on the ≤|vocabulary| grid. */
+    * 100 TB shape: ONE corpus-scale token aggregate; the ordered limit is
+    * TakeOrderedAndProject; the rank self-join and band fold run on the
+    * max(band)-row grid — constants, not |vocabulary|. */
   val textVocabCoverage: Q = (s, d) => {
     val counts = T.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = counts
-      .join(broadcast(counts.select(col("c").as("bc"), col("tok").as("bt"))),
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(16)
+    val ranked = top
+      .join(broadcast(top.select(col("c").as("bc"), col("tok").as("bt"))),
         col("bc") > col("c")
           || (col("bc") === col("c") && col("bt") < col("tok")), "left")
       .groupBy(col("tok"), col("c")).agg((count(col("bt")) + 1L).as("rnk"))
@@ -753,9 +758,10 @@ object Curation {
         |  SELECT tok, COUNT(*) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY tok),
+        |top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 16),
         |ranked AS (
         |  SELECT a.tok, a.c, CAST(COUNT(b.tok) + 1 AS BIGINT) AS rnk
-        |  FROM counts a LEFT JOIN counts b
+        |  FROM top a LEFT JOIN top b
         |    ON b.c > a.c OR (b.c = a.c AND b.tok < a.tok)
         |  GROUP BY a.tok, a.c),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,

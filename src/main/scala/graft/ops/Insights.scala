@@ -880,8 +880,11 @@ object Insights {
           .as("ss"))
       .select(col("event_type"), col("n_hours"),
         round(mean, 6).as("mean_rate"),
-        round(vr / mean, 6).as("fano"),
-        round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6).as("burstiness"))
+        // sample variance divides by n-1: a type seen in a SINGLE hour has
+        // no dispersion estimate — null, not a 0/0 NaN (ADVICE r9)
+        when(col("n_hours") > 1, round(vr / mean, 6)).as("fano"),
+        when(col("n_hours") > 1,
+          round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6)).as("burstiness"))
       .orderBy(col("event_type"))
   }
 
@@ -1016,9 +1019,11 @@ object Insights {
         |  FROM m)
         |SELECT event_type, n_hours,
         |  CAST(round(mean, 6) AS DOUBLE) AS mean_rate,
-        |  CAST(round(vr / mean, 6) AS DOUBLE) AS fano,
-        |  CAST(round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6) AS DOUBLE)
-        |    AS burstiness
+        |  CAST(CASE WHEN n_hours > 1 THEN round(vr / mean, 6) END AS DOUBLE)
+        |    AS fano,
+        |  CAST(CASE WHEN n_hours > 1
+        |    THEN round((sqrt(vr) - mean) / (sqrt(vr) + mean), 6) END
+        |    AS DOUBLE) AS burstiness
         |FROM v ORDER BY event_type""".stripMargin,
 
     // distinct (type, user) + user-keyed pair join; ANSI dual-dialect

@@ -256,12 +256,16 @@ object Stats {
     * association ([[aggChi2]] reports the χ² statistic, which grows with
     * n and says nothing about STRENGTH; V = √(χ²/(n·min(r−1, c−1))) is
     * the number two tables of different sizes can be compared on):
-    * event type × user-parity segment contingency grid, the same exact
+    * event type × user-id-mod-4 segment contingency grid, the same exact
     * DECIMAL(38,0) cross-product χ² contributions as agg_chi2, one
-    * double tail for V. Output is the one-row table summary.
+    * double tail for V. Output is the one-row table summary. The grid is
+    * COMPLETED before the fold (row margins × column margins, observed
+    * count zero-filled — the text_jsd_drift pattern): an empty cell still
+    * owes its expected-count contribution (0·n − r·c)²/(r·c·n) = r·c/n,
+    * and dropping it understates χ² on sparse tables (ADVICE r9).
     *
-    * 100 TB shape: ONE conditional hash fold to the r×c grid; margins,
-    * χ² and V are all model-sized. */
+    * 100 TB shape: ONE conditional hash fold to the r×c grid; the grid
+    * completion is margins × margins — model-sized; χ² and V too. */
   val aggCramersV: Q = (s, d) => {
     val cells = T.events(s, d)
       .groupBy(col("event_type").as("rk"), (col("user_id") % 4).as("ck"))
@@ -271,9 +275,9 @@ object Stats {
     val nTot = cells.agg(sum(col("o")).as("n"))
     val dims = cells.agg(countDistinct(col("rk")).as("nr"),
       countDistinct(col("ck")).as("nc"))
-    val t = cells
-      .join(broadcast(rTot), "rk")
-      .join(broadcast(cTot), "ck")
+    val t = rTot.crossJoin(broadcast(cTot))
+      .join(cells, Seq("rk", "ck"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(nTot))
       .withColumn("num",
         col("o").cast("decimal(38,0)") * col("n")
@@ -1244,9 +1248,10 @@ object Stats {
         |ct AS (SELECT ck, SUM(o) AS c FROM cells GROUP BY ck),
         |nt AS (SELECT SUM(o) AS n FROM cells),
         |t AS (
-        |  SELECT cells.rk, cells.ck, o, r, c, n
-        |  FROM cells JOIN rt ON cells.rk = rt.rk
-        |  JOIN ct ON cells.ck = ct.ck CROSS JOIN nt),
+        |  SELECT rt.rk, ct.ck, COALESCE(cells.o, 0) AS o, r, c, n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.rk = rt.rk AND cells.ck = ct.ck
+        |  CROSS JOIN nt),
         |nums AS (
         |  SELECT rk, ck, o, r, c, n,
         |    CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))

@@ -286,6 +286,48 @@ class PropertySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sketch bounds hold at the bench scale factor too (sf0.1)") {
+    // VERDICT r9 #6: the 1/4/32 sweep pins merge-order invariance at
+    // sf0.001 — but HLL's rsd tightens with n, so a small-n-only check
+    // could hide a regression that appears at realistic cardinalities.
+    // Run the three oracle-less keys' bound assertions ONCE at the bench
+    // scale factor (sf0.1 — the same data BENCH_r{N} measures).
+    val sf01 = "/root/testdata/sf0.1"
+    val ev = T.events(spark, sf01)
+    val li = T.lineitem(spark, sf01)
+    val exactByType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val declared = graft.ops.Relational.aggApproxDistinct(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactByType.foreach { case (t, nd) =>
+      assert(math.abs(declared(t) - nd).toDouble / nd <= 0.06,
+        s"sf0.1 type $t: agg_approx_distinct ${declared(t)} vs exact $nd")
+    }
+    val exactParts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hll = graft.ops.Advanced.aggHllSketch(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactParts.foreach { case (flag, nd) =>
+      assert(math.abs(hll(flag) - nd).toDouble / nd <= 0.10,
+        s"sf0.1 flag $flag: HLL ${hll(flag)} vs exact $nd")
+    }
+    val exactPcts = graft.ops.Advanced.aggPercentile(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val q = graft.ops.Advanced.aggApproxQuantile(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exactPcts.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = q(k)
+      assert(math.abs(a50 - p50) / (math.abs(p50) + 1) <= 0.05,
+        s"sf0.1 $k p50: approx=$a50 exact=$p50")
+      assert(math.abs(a95 - p95) / (math.abs(p95) + 1) <= 0.05,
+        s"sf0.1 $k p95: approx=$a95 exact=$p95")
+    }
+  }
+
   test("dsum is partition-order independent") {
     val s = spark
     import s.implicits._
