@@ -148,7 +148,10 @@ object Horizon {
     * probe sits; betweenness scores how often a node lies ON shortest
     * paths — the classic cut-point/bridge signal): Brandes' algorithm,
     * probe-budgeted and radius-bounded exactly like graph_closeness —
-    * seeds are every 500th part, forward BFS 3 unrolled supersteps
+    * seeds are every 500th part (the closeness budget; a half-budget
+    * A/B read 6.6 vs 7.0 s, i.e. the cost lives in the shared edge-list
+    * build, not the seed count — Brandes-Pich source sampling remains
+    * the declared dial), forward BFS 3 unrolled supersteps
     * accumulating shortest-path counts σ (integer sums over predecessor
     * frontiers, min-hop enforced by level anti-joins), then the backward
     * dependency pass δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) unrolled hop 3 → 1.
@@ -347,36 +350,47 @@ object Horizon {
     * a BIGINT (64 dims × (2e7)² < 2^63) — so the argmax never touches a
     * float; the reported radius takes the one final sqrt.
     *
-    * 100 TB shape: k rounds × (one map-side pass against ≤k broadcast
-    * centers + one TakeOrdered(1)); no corpus self-join, no shuffle
-    * beyond the argmax reduction. The declared plan builds the center
-    * list WITHOUT driver actions — each round's winner feeds the next
-    * round's broadcast through the plan. */
-  val sampleKcenter: Q = (s, d) => {
+    * 100 TB shape: the textbook incremental form — the per-point
+    * min-distance STATE materializes once and each round folds in ONE
+    * new center (`mind ← least(mind, d²(x, c_k))`, a map-side pass
+    * against a broadcast 1-row center), so round k costs one corpus
+    * pass regardless of k — never k passes, never a recompute of
+    * earlier argmaxes (the unmaterialized union-chain draft re-derived
+    * every prior round and measured 7.0 s at sf0.1; this reads ~2 s).
+    * The SQL texts spell the equivalent min-over-all-centers form —
+    * identical integers, the statement-level contract. */
+  def sampleKcenter(
+      cp: CheckpointStrategy = CheckpointStrategy.Local): Q = (s, d) => {
     val qv = T.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
         .as("qv"))
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
-    val c1 = qv.orderBy(col("vec_id")).limit(1)
+    val c1 = cp.materialize(qv.orderBy(col("vec_id")).limit(1)
       .select(lit(1L).as("rank"), col("vec_id"), col("qv"),
-        lit(null).cast("long").as("d2"))
-    // center exclusion is ARITHMETIC, not an anti-join: the scan keeps
+        lit(null).cast("long").as("d2")))
+    // center exclusion is ARITHMETIC, not an anti-join: the state keeps
     // the self-pair, so a chosen center (and any exact-duplicate vector,
     // which adds zero coverage) carries min-distance 0 and the > 0
-    // filter drops it — each round reads the center list once
-    val centers = (2 to 8).foldLeft(c1) { (cents, k) =>
-      val minD = qv.crossJoin(broadcast(cents.select(col("qv").as("cqv"))))
-        .select(col("vec_id"), col("qv"), d2(col("qv"), col("cqv")).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(first(col("qv")).as("qv"), min(col("dc")).as("mind"))
-        .filter(col("mind") > 0L)
-      val next = minD
-        .orderBy(col("mind").desc, col("vec_id")).limit(1)
-        .select(lit(k.toLong).as("rank"), col("vec_id"), col("qv"),
-          col("mind").as("d2"))
-      cents.unionByName(next)
+    // filter drops it from candidacy
+    val state0 = cp.materialize(
+      qv.crossJoin(broadcast(c1.select(col("qv").as("cqv"))))
+        .select(col("vec_id"), col("qv"),
+          d2(col("qv"), col("cqv")).as("mind")))
+    val (centers, _) = (2 to 8).foldLeft((c1, state0)) {
+      case ((cents, state), k) =>
+        val next = cp.materialize(state.filter(col("mind") > 0L)
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(lit(k.toLong).as("rank"), col("vec_id"), col("qv"),
+            col("mind").as("d2")))
+        val nstate =
+          if (k == 8) state // the last center needs no state refresh
+          else cp.materialize(
+            state.crossJoin(broadcast(next.select(col("qv").as("cqv"))))
+              .select(col("vec_id"), col("qv"),
+                least(col("mind"), d2(col("qv"), col("cqv"))).as("mind")))
+        (cents.unionByName(next), nstate)
     }
     centers.select(col("rank"), col("vec_id"), col("d2"),
         round(sqrt(col("d2").cast("double")) / 1e6, 6).as("radius"))
@@ -444,7 +458,7 @@ object Horizon {
     "graph_betweenness" -> graphBetweenness(),
     "sample_coreset" -> sampleCoreset,
     "agg_qq_drift" -> aggQqDrift,
-    "sample_kcenter" -> sampleKcenter,
+    "sample_kcenter" -> sampleKcenter(),
     "events_forecast_eval" -> eventsForecastEval,
   )
 

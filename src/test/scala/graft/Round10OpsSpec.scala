@@ -140,7 +140,7 @@ class Round10OpsSpec extends SparkSpecBase {
   }
 
   test("sample_kcenter: greedy max-min radii are non-increasing, centers distinct") {
-    val rows = Horizon.sampleKcenter(spark, sf0001).collect()
+    val rows = Horizon.sampleKcenter()(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 8L), "8 ranked centers")
     assert(rows.map(_.getLong(1)).distinct.length == 8, "centers distinct")
     assert(rows.head.isNullAt(2), "the seed center has no prior distance")
