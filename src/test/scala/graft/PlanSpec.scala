@@ -887,4 +887,74 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"),
       "bit-block LSH degenerated to an all-pairs product")
   }
+
+  test("agg_holt and events_forecast_eval are pure folds — zero joins") {
+    // the Holt recursion is a per-group HOF over collected arrays: the
+    // whole plan must be aggregate chains (and, for the backtest, one
+    // generator) — any Join node means the recursion leaked into a
+    // self-join shape
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("agg_holt" -> graft.ops.Horizon.aggHolt(spark, sf0001),
+        "events_forecast_eval" ->
+          graft.ops.Horizon.eventsForecastEval(spark, sf0001))
+      .foreach { case (k, df) =>
+        val joins = df.queryExecution.optimizedPlan.collect {
+          case j: Join => j
+        }
+        assert(joins.isEmpty, s"$k plans ${joins.size} joins")
+      }
+  }
+
+  test("events_ltv_forecast joins are all equi-joins (no product anywhere)") {
+    val p = planString(graft.ops.Horizon.eventsLtvForecast(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the cohort grid must build from user/cohort equi-joins only")
+  }
+
+  test("graph_betweenness supersteps run against materialized barriers") {
+    // edges and each frontier level checkpoint before reuse: the final
+    // plan must read them as existing RDD scans, not re-derive the
+    // basket self-join per consumer
+    val o = graft.ops.Horizon.graphBetweenness()(spark, sf0001)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.execution.LogicalRDD
+    val rdds = o.collect { case r: LogicalRDD => r }
+    assert(rdds.nonEmpty,
+      "no materialization barrier found — every backward join would " +
+        "re-derive the full forward expansion")
+    val p = planString(graft.ops.Horizon.graphBetweenness()(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "dependency accumulation degenerated to a product")
+  }
+
+  test("sample_coreset probes broadcast models — no shuffled joins") {
+    val p = planString(graft.ops.Horizon.sampleCoreset(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the (label, dim) sums must broadcast back to the member stream")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a corpus-side shuffled join crept into the sensitivity pass")
+  }
+
+  test("sample_kcenter's declared frame is pre-resolved scans — the rounds ran at build") {
+    // every greedy round materializes its center pick and min-distance
+    // state; the returned frame must therefore contain NO joins at all —
+    // just the union of 8 materialized 1-row centers
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val o = graft.ops.Horizon.sampleKcenter()(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val joins = o.collect { case j: Join => j }
+    assert(joins.isEmpty,
+      s"kcenter output re-derives rounds at read time (${joins.size} joins)")
+  }
+
+  test("agg_qq_drift ranks once per cohort and picks via the broadcast decile grid") {
+    val p = planString(graft.ops.Horizon.aggQqDrift(spark, sf0001))
+    // the 9-row decile table joins on an OR-of-rank condition: a bounded
+    // broadcast nested loop is the DECLARED shape; a full product is not
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the decile pick must ride a broadcast of the 9-row grid")
+    assert(!p.contains("CartesianProduct"),
+      "decile pick degenerated to a product")
+  }
 }
