@@ -61,9 +61,9 @@ object Bench {
     "sample_dsir", "text_gopher_rules", "sim_topk_bq",
     "dedup_downweight", "agg_cuped", "graph_bfs", "text_jsd_drift",
     // round-10 flagships
-    "agg_holt", "events_ltv_forecast", "graph_betweenness",
-    "sample_coreset", "sample_kcenter", "agg_qq_drift",
-    "events_forecast_eval")
+    "agg_holt", "agg_holt_winters", "events_ltv_forecast",
+    "graph_betweenness", "sample_coreset", "sample_kcenter",
+    "agg_qq_drift", "events_forecast_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

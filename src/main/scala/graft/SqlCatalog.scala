@@ -382,6 +382,34 @@ object SqlCatalog {
          |  CAST(round(st.l + CAST(7 AS DOUBLE) * st.b, 6) AS DOUBLE) AS fc_7
          |FROM f ORDER BY event_type""".stripMargin,
 
+    // Holt-Winters: the same HOF device with the (l, b, s[7]) state
+    "agg_holt_winters" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ys
+         |  FROM daily GROUP BY event_type),
+         |f AS (
+         |  SELECT event_type, CAST(size(ys) AS BIGINT) AS n_days,
+         |    ${graft.ops.Horizon.hwFoldSql} AS st
+         |  FROM ser WHERE size(ys) >= 15),
+         |e AS (
+         |  SELECT event_type, n_days, st, h
+         |  FROM f LATERAL VIEW explode(sequence(1, 7)) t AS h)
+         |SELECT event_type, n_days, CAST(h AS BIGINT) AS h,
+         |  CAST(round(st.l, 6) AS DOUBLE) AS level,
+         |  CAST(round(st.b, 6) AS DOUBLE) AS trend,
+         |  CAST(round(element_at(st.s,
+         |    CAST(pmod(n_days + h - 1, 7) + 1 AS INT)), 6) AS DOUBLE)
+         |    AS seasonal,
+         |  CAST(round(st.l + CAST(h AS DOUBLE) * st.b + element_at(st.s,
+         |    CAST(pmod(n_days + h - 1, 7) + 1 AS INT)), 6) AS DOUBLE) AS fc
+         |FROM e ORDER BY event_type, h""".stripMargin,
+
     // cohort-LTV projection: events_ltv's cum grid + the Holt HOF fold
     "events_ltv_forecast" ->
       s"""WITH firsts AS (

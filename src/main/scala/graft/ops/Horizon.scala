@@ -93,6 +93,96 @@ object Horizon {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------------------ agg_holt_winters
+
+  /** HOLT-WINTERS ADDITIVE SMOOTHING (triple exponential, weekly m=7) —
+    * the complete seasonal forecaster ([[aggHolt]] carries level+trend;
+    * this adds the per-phase seasonal component, which is what makes a
+    * weekly-cyclic series forecastable more than a day or two out):
+    * per type, the daily series folds through
+    *   lₜ = α(yₜ − sₜ₋₇) + (1−α)(lₜ₋₁+bₜ₋₁)
+    *   bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    *   sₜ = γ(yₜ − lₜ) + (1−γ)sₜ₋₇
+    * with α=1/2, β=1/4, γ=1/4 (exact binary fractions) and the classical
+    * init l = mean(week 1), b = (mean(week 2) − mean(week 1))/7,
+    * sᵢ = yᵢ − l for the first week. The state is (l, b, s[7]) carried
+    * by ONE aggregate() HOF over (index, value) pairs — positional
+    * awareness comes from zipping the value slice with its day indexes,
+    * since a fold has no loop counter. Output: per type and horizon
+    * h ∈ 1..7, the forecast l + h·b + s[(n+h) mod 7] and the seasonal
+    * term it used. Types shorter than 15 days (two full weeks + one
+    * step) drop (declared).
+    *
+    * 100 TB shape: identical to agg_holt — the corpus folds map-side to
+    * the (type × day) grid and the recursion is one bounded per-type
+    * fold; the horizon explode is 7 rows per type. */
+  private[graft] val hwFoldSql: String =
+    """aggregate(
+      |  zip_with(sequence(8, size(ys)), slice(ys, 8, size(ys) - 7),
+      |    (i, y) -> named_struct('i', i, 'y', y)),
+      |  named_struct(
+      |    'l', CAST((((((element_at(ys, 1) + element_at(ys, 2))
+      |           + element_at(ys, 3)) + element_at(ys, 4))
+      |           + element_at(ys, 5)) + element_at(ys, 6)
+      |           + element_at(ys, 7)) / CAST(7 AS DOUBLE) AS DOUBLE),
+      |    'b', CAST(((((((element_at(ys, 8) + element_at(ys, 9))
+      |           + element_at(ys, 10)) + element_at(ys, 11))
+      |           + element_at(ys, 12)) + element_at(ys, 13)
+      |           + element_at(ys, 14)) / CAST(7 AS DOUBLE)
+      |          - (((((element_at(ys, 1) + element_at(ys, 2))
+      |           + element_at(ys, 3)) + element_at(ys, 4))
+      |           + element_at(ys, 5)) + element_at(ys, 6)
+      |           + element_at(ys, 7)) / CAST(7 AS DOUBLE))
+      |          / CAST(7 AS DOUBLE) AS DOUBLE),
+      |    's', transform(sequence(1, 7), k ->
+      |      CAST(element_at(ys, k)
+      |        - (((((element_at(ys, 1) + element_at(ys, 2))
+      |           + element_at(ys, 3)) + element_at(ys, 4))
+      |           + element_at(ys, 5)) + element_at(ys, 6)
+      |           + element_at(ys, 7)) / CAST(7 AS DOUBLE) AS DOUBLE))),
+      |  (acc, e) -> named_struct(
+      |    'l', CAST(0.5 AS DOUBLE) * (e.y
+      |           - element_at(acc.s, CAST(pmod(e.i - 1, 7) + 1 AS INT)))
+      |         + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+      |    'b', CAST(0.25 AS DOUBLE)
+      |           * ((CAST(0.5 AS DOUBLE) * (e.y
+      |               - element_at(acc.s, CAST(pmod(e.i - 1, 7) + 1 AS INT)))
+      |              + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+      |         + CAST(0.75 AS DOUBLE) * acc.b,
+      |    's', transform(sequence(1, 7), k ->
+      |      IF(k = CAST(pmod(e.i - 1, 7) + 1 AS INT),
+      |        CAST(0.25 AS DOUBLE) * (e.y
+      |          - (CAST(0.5 AS DOUBLE) * (e.y
+      |              - element_at(acc.s, CAST(pmod(e.i - 1, 7) + 1 AS INT)))
+      |             + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)))
+      |        + CAST(0.75 AS DOUBLE) * element_at(acc.s, k),
+      |        element_at(acc.s, k)))))""".stripMargin
+
+  val aggHoltWinters: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("sr"))
+      .select(col("event_type"),
+        expr("transform(sr, x -> x.rev)").as("ys"))
+      .filter(size(col("ys")) >= 15)
+    val idx = (pmod(col("n") + col("h") - 1L, lit(7L)) + 1L).cast("int")
+    ser.withColumn("st", expr(hwFoldSql))
+      .withColumn("n", size(col("ys")).cast("long"))
+      .select(col("event_type"), col("n"), col("st"),
+        posexplode(expr("sequence(1, 7)")).as(Seq("hx", "h")))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("h").cast("long").as("h"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(element_at(col("st.s"), idx), 6).as("seasonal"),
+        // fc composes the UNROUNDED state (one final rounding only)
+        round(col("st.l") + col("h").cast("double") * col("st.b")
+          + element_at(col("st.s"), idx), 6).as("fc"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   // -------------------------------------------------- events_ltv_forecast
 
   /** COHORT-LTV PROJECTION — [[Advanced.eventsLtv]]'s cumulative-value
@@ -454,6 +544,7 @@ object Horizon {
 
   val queries: Map[String, Q] = Map(
     "agg_holt" -> aggHolt,
+    "agg_holt_winters" -> aggHoltWinters,
     "events_ltv_forecast" -> eventsLtvForecast,
     "graph_betweenness" -> graphBetweenness(),
     "sample_coreset" -> sampleCoreset,
@@ -619,7 +710,76 @@ object Horizon {
       |FROM un GROUP BY node
       |ORDER BY bc DESC, node LIMIT 20""".stripMargin
 
+  /** agg_holt_winters oracle: the (l, b, s₁..s₇) state as a RECURSIVE
+    * CTE with one column per seasonal phase — each step updates exactly
+    * the active phase's column via CASE; every arithmetic expression is
+    * spelled in the fold's IEEE op order. */
+  private def holtWintersOracle: String = {
+    val w1 = "(y1 + y2 + y3 + y4 + y5 + y6 + y7) / CAST(7 AS DOUBLE)"
+    val w2 = "(y8 + y9 + y10 + y11 + y12 + y13 + y14) / CAST(7 AS DOUBLE)"
+    val ys = (1 to 14).map(k =>
+      s"MAX(CASE WHEN rn = $k THEN rev END) AS y$k").mkString(",\n    ")
+    val sInit = (1 to 7).map(k => s"CAST(y$k - $w1 AS DOUBLE) AS s$k")
+      .mkString(",\n    ")
+    val sp = "CASE CAST((d.rn - 1) % 7 + 1 AS BIGINT) " +
+      (1 to 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END"
+    val lNew = s"CAST(0.5 AS DOUBLE) * (d.rev - ($sp)) " +
+      "+ CAST(0.5 AS DOUBLE) * (r.l + r.b)"
+    val bNew = s"CAST(0.25 AS DOUBLE) * (($lNew) - r.l) " +
+      "+ CAST(0.75 AS DOUBLE) * r.b"
+    val sNew = (1 to 7).map { k =>
+      s"""CASE WHEN CAST((d.rn - 1) % 7 + 1 AS BIGINT) = $k
+         |      THEN CAST(0.25 AS DOUBLE) * (d.rev - ($lNew))
+         |           + CAST(0.75 AS DOUBLE) * r.s$k
+         |      ELSE r.s$k END""".stripMargin
+    }.mkString(",\n    ")
+    val fcPhase = "CAST((f.n_days + h.h - 1) % 7 + 1 AS BIGINT)"
+    val fcS = s"CASE $fcPhase " +
+      (1 to 7).map(k => s"WHEN $k THEN f.s$k").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    ${dsumSql("value")} AS rev
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+       |idx AS (
+       |  SELECT event_type, rev,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |       FROM idx GROUP BY event_type HAVING COUNT(*) >= 15),
+       |w AS (
+       |  SELECT idx.event_type,
+       |    $ys
+       |  FROM idx JOIN nd ON idx.event_type = nd.event_type
+       |  GROUP BY idx.event_type),
+       |rec AS (
+       |  SELECT event_type, CAST(7 AS BIGINT) AS t,
+       |    CAST($w1 AS DOUBLE) AS l,
+       |    CAST(($w2 - $w1) / CAST(7 AS DOUBLE) AS DOUBLE) AS b,
+       |    $sInit
+       |  FROM w
+       |  UNION ALL
+       |  SELECT r.event_type, r.t + 1,
+       |    $lNew,
+       |    $bNew,
+       |    $sNew
+       |  FROM rec r JOIN idx d
+       |    ON d.event_type = r.event_type AND d.rn = r.t + 1),
+       |fin AS (
+       |  SELECT rec.*, nd.n_days
+       |  FROM rec JOIN nd ON rec.event_type = nd.event_type
+       |  WHERE rec.t = nd.n_days)
+       |SELECT f.event_type, f.n_days, CAST(h.h AS BIGINT) AS h,
+       |  CAST(round(f.l, 6) AS DOUBLE) AS level,
+       |  CAST(round(f.b, 6) AS DOUBLE) AS trend,
+       |  CAST(round($fcS, 6) AS DOUBLE) AS seasonal,
+       |  CAST(round(f.l + CAST(h.h AS DOUBLE) * f.b + ($fcS), 6) AS DOUBLE)
+       |    AS fc
+       |FROM fin f CROSS JOIN range(1, 8) h(h)
+       |ORDER BY f.event_type, h""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_holt_winters" -> holtWintersOracle,
     // Holt recursion replayed as a RECURSIVE CTE: identical init (l₂=y₂,
     // b₂=y₂−y₁) and identical IEEE op order per step — the doubles agree
     // bit-for-bit with the aggregate() fold

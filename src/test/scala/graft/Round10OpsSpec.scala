@@ -44,6 +44,51 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(rows.length == daily.count(_._2.length >= 2))
   }
 
+  /** Local replay of the Holt-Winters fold (α=1/2, β=1/4, γ=1/4, m=7,
+    * classical two-week init) in the declared op order. */
+  private def hwLocal(ys: Seq[Double]): (Double, Double, Array[Double]) = {
+    val m1 = (ys(0) + ys(1) + ys(2) + ys(3) + ys(4) + ys(5) + ys(6)) / 7.0
+    val m2 = (ys(7) + ys(8) + ys(9) + ys(10) + ys(11) + ys(12) + ys(13)) / 7.0
+    var l = m1
+    var b = (m2 - m1) / 7.0
+    val s = Array.tabulate(7)(k => ys(k) - m1)
+    for (i <- 8 to ys.length) { // 1-based day index
+      val y = ys(i - 1)
+      val p = (i - 1) % 7
+      val nl = 0.5 * (y - s(p)) + 0.5 * (l + b)
+      val nb = 0.25 * (nl - l) + 0.75 * b
+      s(p) = 0.25 * (y - nl) + 0.75 * s(p)
+      l = nl; b = nb
+    }
+    (l, b, s)
+  }
+
+  test("agg_holt_winters: matches a local replay of the seasonal recursion") {
+    val daily = T.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.core.Numeric.dsum(col("value")).as("rev"))
+      .orderBy(col("event_type"), col("day")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getDate(1).toString).map(_.getDouble(2)).toSeq)
+      .toMap
+    val rows = Horizon.aggHoltWinters(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val ys = daily(tpe)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 7L), "7 horizons")
+      val (l, b, s) = hwLocal(ys)
+      rs.foreach { r =>
+        val h = r.getLong(2).toInt
+        assert(math.abs(r.getDouble(3) - l) < 1e-6, s"level vs $l")
+        assert(math.abs(r.getDouble(4) - b) < 1e-6, s"trend vs $b")
+        val sUsed = s(((ys.length + h - 1) % 7).toInt)
+        assert(math.abs(r.getDouble(5) - sUsed) < 1e-6, s"seasonal h=$h")
+        assert(math.abs(r.getDouble(6) - (l + h * b + sUsed)) < 1e-5,
+          s"fc h=$h")
+      }
+    }
+  }
+
   test("events_ltv_forecast: projection is anchored on the observed curve") {
     val rows = Horizon.eventsLtvForecast(spark, sf0001).collect()
     assert(rows.nonEmpty)
