@@ -61,7 +61,8 @@ object Bench {
     "sample_dsir", "text_gopher_rules", "sim_topk_bq",
     "dedup_downweight", "agg_cuped", "graph_bfs", "text_jsd_drift",
     // round-10 flagships
-    "agg_holt", "agg_holt_winters", "events_ltv_forecast",
+    "agg_holt", "agg_holt_winters", "events_ewma_chart",
+    "events_ltv_forecast",
     "graph_betweenness", "sample_coreset", "sample_kcenter",
     "agg_qq_drift", "events_forecast_eval")
 

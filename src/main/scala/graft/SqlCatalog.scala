@@ -382,6 +382,60 @@ object SqlCatalog {
          |  CAST(round(st.l + CAST(7 AS DOUBLE) * st.b, 6) AS DOUBLE) AS fc_7
          |FROM f ORDER BY event_type""".stripMargin,
 
+    // EWMA control chart: the z recursion as a HOF fold that carries the
+    // whole series; exact-decimal moment folds for mu/sigma
+    "events_ewma_chart" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    array_sort(collect_list(struct(day, rev))) AS sr,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ys
+         |  FROM daily GROUP BY event_type),
+         |mo AS (
+         |  SELECT event_type, sr, ys, CAST(size(ys) AS BIGINT) AS n,
+         |    aggregate(ys, CAST(0 AS DECIMAL(28,8)),
+         |      (a, y) -> CAST(a + CAST(y AS DECIMAL(20,8))
+         |        AS DECIMAL(28,8))) AS sy,
+         |    aggregate(ys, CAST(0 AS DECIMAL(38,8)),
+         |      (a, y) -> CAST(a + CAST(CAST(y AS DECIMAL(20,8))
+         |        * CAST(y AS DECIMAL(20,8)) AS DECIMAL(38,8))
+         |        AS DECIMAL(38,8))) AS syy
+         |  FROM ser WHERE size(ys) >= 2),
+         |lims AS (
+         |  SELECT event_type, sr, ys,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(3 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         |      * sqrt(CAST(1 AS DOUBLE) / CAST(7 AS DOUBLE)) AS lim
+         |  FROM mo),
+         |zz AS (
+         |  SELECT event_type, sr, mu, lim,
+         |    aggregate(ys,
+         |      named_struct('z', mu, 'arr', CAST(array() AS ARRAY<DOUBLE>)),
+         |      (acc, y) -> named_struct(
+         |        'z', CAST(0.25 AS DOUBLE) * y
+         |          + CAST(0.75 AS DOUBLE) * acc.z,
+         |        'arr', concat(acc.arr, array(CAST(0.25 AS DOUBLE) * y
+         |          + CAST(0.75 AS DOUBLE) * acc.z)))).arr AS zs
+         |  FROM lims),
+         |e AS (
+         |  SELECT event_type, mu, lim, x.day AS day, x.rev AS rev, x.z AS z
+         |  FROM zz LATERAL VIEW explode(zip_with(sr, zs,
+         |    (a, z) -> named_struct('day', a.day, 'rev', a.rev, 'z', z)))
+         |    t AS x)
+         |SELECT event_type, day, rev,
+         |  CAST(round(z, 6) AS DOUBLE) AS ewma,
+         |  CAST(round(mu + lim, 6) AS DOUBLE) AS ucl,
+         |  CAST(round(mu - lim, 6) AS DOUBLE) AS lcl,
+         |  (abs(z - mu) > lim) AS breach
+         |FROM e ORDER BY event_type, day""".stripMargin,
+
     // Holt-Winters: the same HOF device with the (l, b, s[7]) state
     "agg_holt_winters" ->
       s"""WITH daily AS (

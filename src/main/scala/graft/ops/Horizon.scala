@@ -93,6 +93,73 @@ object Horizon {
       .orderBy(col("event_type"))
   }
 
+  // ----------------------------------------------------- events_ewma_chart
+
+  /** EWMA CONTROL CHART (Roberts 1959 — the SPC monitor that catches
+    * small sustained shifts a 3σ Shewhart chart misses, and the alarm
+    * layer on top of the smoothing family: [[aggHolt]] forecasts,
+    * [[Advanced.eventsAnomaly]] flags single-point z-outliers, this
+    * flags DRIFT): per type, the daily series folds through
+    * zₜ = λyₜ + (1−λ)zₜ₋₁ with λ = 1/4 and z₀ = the series mean μ;
+    * a day breaches when |zₜ − μ| exceeds the steady-state limit
+    * 3σ·√(λ/(2−λ)) (= 3σ/√7 at λ=1/4). μ and σ come from exact
+    * DECIMAL moments (the agg_stats device — the daily values are exact
+    * 2-decimal dsums, so the moment sums are order-free); the recursion
+    * is one IEEE fold in fixed order; the limit takes one sqrt each
+    * side of the same spelling. Types with a single day drop (no σ).
+    *
+    * 100 TB shape: the same (type × day) map-side fold as agg_holt; the
+    * fold carries the full zₜ series (bounded by the day span) so every
+    * day's reading and flag come back as model-sized rows. */
+  val eventsEwmaChart: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("sr"))
+      .select(col("event_type"), col("sr"),
+        expr("transform(sr, x -> x.rev)").as("ys"))
+      .filter(size(col("ys")) >= 2)
+      .withColumn("n", size(col("ys")).cast("long"))
+      // exact decimal moment folds (the accumulator type is closed under
+      // the step cast, which is lossless at these magnitudes)
+      .withColumn("sy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(28,8)), " +
+          "(a, y) -> CAST(a + CAST(y AS DECIMAL(20,8)) AS DECIMAL(28,8)))"))
+      .withColumn("syy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(38,8)), (a, y) -> " +
+          "CAST(a + CAST(CAST(y AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8)) " +
+          "AS DECIMAL(38,8)) AS DECIMAL(38,8)))"))
+      .withColumn("mu",
+        col("sy").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1.0))))
+      .withColumn("lim",
+        lit(3.0) * col("sigma")
+          * sqrt(lit(1.0) / lit(7.0)))
+    val zs = ser.withColumn("zs",
+      expr("""aggregate(ys,
+        |  named_struct('z', mu, 'arr', CAST(array() AS ARRAY<DOUBLE>)),
+        |  (acc, y) -> named_struct(
+        |    'z', CAST(0.25 AS DOUBLE) * y + CAST(0.75 AS DOUBLE) * acc.z,
+        |    'arr', concat(acc.arr, array(
+        |      CAST(0.25 AS DOUBLE) * y
+        |        + CAST(0.75 AS DOUBLE) * acc.z)))).arr""".stripMargin))
+    zs.select(col("event_type"), col("mu"), col("lim"),
+        posexplode(expr(
+          "zip_with(sr, zs, (a, z) -> named_struct(" +
+            "'day', a.day, 'rev', a.rev, 'z', z))")).as(Seq("i", "e")))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.rev").as("rev"),
+        round(col("e.z"), 6).as("ewma"),
+        round(col("mu") + col("lim"), 6).as("ucl"),
+        round(col("mu") - col("lim"), 6).as("lcl"),
+        (abs(col("e.z") - col("mu")) > col("lim")).as("breach"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // ------------------------------------------------------ agg_holt_winters
 
   /** HOLT-WINTERS ADDITIVE SMOOTHING (triple exponential, weekly m=7) —
@@ -545,6 +612,7 @@ object Horizon {
   val queries: Map[String, Q] = Map(
     "agg_holt" -> aggHolt,
     "agg_holt_winters" -> aggHoltWinters,
+    "events_ewma_chart" -> eventsEwmaChart,
     "events_ltv_forecast" -> eventsLtvForecast,
     "graph_betweenness" -> graphBetweenness(),
     "sample_coreset" -> sampleCoreset,
@@ -780,6 +848,53 @@ object Horizon {
 
   val oracles: Map[String, String] = Map(
     "agg_holt_winters" -> holtWintersOracle,
+
+    // z recursion replayed per day-rank; moments as plain exact-decimal
+    // SUMs (order-free — identical values to the fold's closed casts)
+    "events_ewma_chart" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |idx AS (
+         |  SELECT event_type, day, rev,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(rev AS DECIMAL(20,8))) AS sy,
+         |    SUM(CAST(CAST(rev AS DECIMAL(20,8))
+         |      * CAST(rev AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS syy
+         |  FROM idx GROUP BY event_type HAVING COUNT(*) >= 2),
+         |lims AS (
+         |  SELECT event_type,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(3 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         |      * sqrt(CAST(1 AS DOUBLE) / CAST(7 AS DOUBLE)) AS lim
+         |  FROM m),
+         |rec AS (
+         |  SELECT idx.event_type, CAST(1 AS BIGINT) AS t,
+         |    CAST(0.25 AS DOUBLE) * idx.rev
+         |      + CAST(0.75 AS DOUBLE) * l0.mu AS z
+         |  FROM idx JOIN lims l0 ON idx.event_type = l0.event_type
+         |  WHERE idx.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1,
+         |    CAST(0.25 AS DOUBLE) * d.rev + CAST(0.75 AS DOUBLE) * r.z
+         |  FROM rec r JOIN idx d
+         |    ON d.event_type = r.event_type AND d.rn = r.t + 1)
+         |SELECT idx.event_type, idx.day, idx.rev,
+         |  CAST(round(rec.z, 6) AS DOUBLE) AS ewma,
+         |  CAST(round(lims.mu + lims.lim, 6) AS DOUBLE) AS ucl,
+         |  CAST(round(lims.mu - lims.lim, 6) AS DOUBLE) AS lcl,
+         |  (abs(rec.z - lims.mu) > lims.lim) AS breach
+         |FROM idx
+         |JOIN rec ON idx.event_type = rec.event_type AND idx.rn = rec.t
+         |JOIN lims ON idx.event_type = lims.event_type
+         |ORDER BY idx.event_type, idx.day""".stripMargin,
     // Holt recursion replayed as a RECURSIVE CTE: identical init (l₂=y₂,
     // b₂=y₂−y₁) and identical IEEE op order per step — the doubles agree
     // bit-for-bit with the aggregate() fold

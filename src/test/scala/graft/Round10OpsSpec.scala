@@ -89,6 +89,36 @@ class Round10OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("events_ewma_chart: matches a local replay; limits bracket the mean") {
+    val daily = T.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.core.Numeric.dsum(col("value")).as("rev"))
+      .orderBy(col("event_type"), col("day")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getDate(1).toString).map(_.getDouble(2)).toSeq)
+      .toMap
+    val rows = Horizon.eventsEwmaChart(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val ys = daily(tpe)
+      assert(rs.length == ys.length, "one chart row per observed day")
+      val n = ys.length.toDouble
+      val mu = ys.sum / n
+      val sigma = math.sqrt(ys.map(y => (y - mu) * (y - mu)).sum / (n - 1))
+      val lim = 3.0 * sigma * math.sqrt(1.0 / 7.0)
+      var z = mu
+      rs.sortBy(_.getDate(1).toString).zip(ys).foreach { case (r, y) =>
+        z = 0.25 * y + 0.75 * z
+        assert(math.abs(r.getDouble(3) - z) < 1e-4, s"ewma vs $z")
+        assert(math.abs(r.getDouble(4) - (mu + lim)) < 1e-3, "ucl")
+        assert(math.abs(r.getDouble(5) - (mu - lim)) < 1e-3, "lcl")
+        assert(r.getBoolean(6) == (math.abs(z - mu) > lim - 1e-9)
+          || math.abs(math.abs(z - mu) - lim) < 1e-6,
+          "breach flag must agree with the limit comparison")
+      }
+    }
+  }
+
   test("events_ltv_forecast: projection is anchored on the observed curve") {
     val rows = Horizon.eventsLtvForecast(spark, sf0001).collect()
     assert(rows.nonEmpty)
