@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** Headline benchmark subset — the driver captures only a bounded
@@ -69,28 +68,34 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // UTC pin: the events reader casts TIMESTAMP_NTZ to TimestampType,
-      // which is timezone-sensitive — Verify and the tests pin UTC, so the
-      // bench must too or its plans diverge on a non-UTC machine.
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Tungsten execution memory OFF-HEAP: on a very large driver heap
-      // (the round-9 env stamps record ~89 GiB) the join/agg scratch that
-      // Tungsten allocates on-heap makes G1's CONCURRENT cycles scan tens
-      // of GB while all worker threads are busy — the pause-time stamp
-      // stays small (sub-500ms) but whole seconds of marking CPU land
-      // inside timed samples, with 2-10x sample variance on the
-      // allocation-heaviest keys (graph_jaccard read 3.2-30.9 s at 90g
-      // vs a stable ~3 s at 16g, same code). Unsafe off-heap pages never
-      // enter the GC's world, so sample times stop depending on -Xmx.
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "8g")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.install(spark) // native fns + engine-tuned confs
+    // shared session recipe (VERDICT r10 #5): UTC pin, shuffle=threads and
+    // the off-heap Tungsten pool now live in GraftSession — the engine the
+    // bench measures is byte-for-byte the engine Verify verifies.
+    val spark = GraftSession.local(cpus)
+    val rt = Runtime.getRuntime
+    // SPARK_GRAFT_BENCH_NOFIX=1 disables the big-heap GC-tax mitigations
+    // below (uncommit pin + settle) — the A/B hook that measured them
+    val bigHeap = rt.maxMemory() > 32L * 1024 * 1024 * 1024 &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_NOFIX")
+    // Large-heap GC-tax fix (VERDICT r10 #1): the per-sample System.gc()
+    // is load-bearing for drift, but on a ~90 GiB heap G1's FULL collect
+    // UNCOMMITS the heap down to its free-ratio band, and the next heavy
+    // sample re-pays the page commit+zero cost inside its timed region —
+    // BENCH_r10 read the early agg block 2-4x slower at 90g than 16g on
+    // identical code (agg_hash gc_ms 413 vs 22). MaxHeapFreeRatio is a
+    // MANAGEABLE HotSpot flag: raising it to 100 at runtime means a full
+    // GC never shrinks committed memory, so the explicit collect stays
+    // synchronous-and-untimed and the samples stop paying recommit. Only
+    // applied on big heaps — the 16g baseline readings keep their exact
+    // historical config.
+    if (bigHeap) try {
+      val diag = java.lang.management.ManagementFactory.getPlatformMXBean(
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+      diag.setVMOption("MaxHeapFreeRatio", "100")
+      System.err.println("[bench] big heap: MaxHeapFreeRatio=100 (no uncommit)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] MaxHeapFreeRatio not set: ${e.getMessage}")
+    }
     // untimed warmup: JVM/codegen/parquet-footer startup costs must not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -108,12 +113,17 @@ object Bench {
     // quiet-run vs driver-run confusion because the artifacts never said
     // which config produced them — record cpus, shuffle partitions, and
     // heap so every BENCH json self-describes its config.
-    val rt = Runtime.getRuntime
+    // offheap_mb/offheap_enabled (ADVICE r10): the off-heap pool decides
+    // where Tungsten scratch lives — a BENCH json that omits it cannot be
+    // compared across rounds, the exact archaeology problem of r8-r10.
     val envStamp =
       s""""env":{"cpus":$cpus,"shuffle_partitions":${
         spark.sessionState.conf.numShufflePartitions},"max_heap_mb":${
         rt.maxMemory() / (1024 * 1024)},"free_heap_mb":${
-        (rt.maxMemory() - rt.totalMemory() + rt.freeMemory()) / (1024 * 1024)}}"""
+        (rt.maxMemory() - rt.totalMemory() + rt.freeMemory()) / (1024 * 1024)
+        },"offheap_enabled":${
+        spark.conf.get("spark.memory.offHeap.enabled")},"offheap_mb":${
+        GraftSession.OffHeapBytes / (1024 * 1024)},"big_heap_no_uncommit":$bigHeap}"""
     val all = SparkEntry.queries
     val unknown = headline.filterNot(all.contains)
     require(unknown.isEmpty,
@@ -177,13 +187,24 @@ object Bench {
         // free-ratio band), and the next heavy sample re-pays the page
         // commit+zero cost inside its timed region — set
         // SPARK_GRAFT_BENCH_NOGC=1 to measure without the per-sample GC
-        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOGC")) System.gc()
+        if (!sys.env.contains("SPARK_GRAFT_BENCH_NOGC")) {
+          System.gc()
+          // settle (VERDICT r10 #1b): System.gc() returns when the STW
+          // phase ends, but G1 follow-up work (reference processing,
+          // region cleanup, heap resize bookkeeping) can still be in
+          // flight — on a 90 GiB heap that tail landed inside the next
+          // timed sample as 0.4-2.3 s of gc_ms on the wide-agg keys.
+          // A short untimed pause lets it finish before the timer starts;
+          // big heaps only, so 16g readings keep their historical config.
+          if (bigHeap) Thread.sleep(250)
+        }
         (dt, gcDt)
       }
       // and a GC per key: broadcast blocks + shuffle state from earlier
       // keys are still ContextCleaner-gated (see r6 pipeline_e2e /
       // graph_pagerank 2-3x inflations, resolved by exactly this hook)
       System.gc()
+      if (bigHeap) Thread.sleep(250) // untimed settle — same rationale as sample()
       val first = sample()
       // adaptive tail (VERDICT r6 #3): a single-run reading above 2 s is
       // indistinguishable from one GC pause, so any tail key whose first
@@ -243,7 +264,13 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes("UTF-8"))
     }
-    println(s"""{"metric":"total","value":${num(totalHeadline)},"unit":"sec","runs":3,"agg":"median",$envStamp,"total_all":${num(totalAll)},"keys":${results.size},"full":"BENCH_FULL.json","failed":$fs,"queries":${jmap(headlineRes)},"sf":"$sfDir"}""")
+    // Field ORDER is truncation-defense (VERDICT r10 #6): the driver
+    // captures a bounded TAIL of stdout, so a long line loses its FRONT —
+    // BENCH_r10.json's tail had no env stamp because the stamp preceded
+    // the ~2 KB queries map. The big queries map now goes FIRST and every
+    // self-describing field (env, totals, failed, sf) comes AFTER it, so
+    // any tail capture — however truncated — keeps the config.
+    println(s"""{"metric":"total","unit":"sec","runs":3,"agg":"median","full":"BENCH_FULL.json","queries":${jmap(headlineRes)},"value":${num(totalHeadline)},"total_all":${num(totalAll)},"keys":${results.size},"failed":$fs,$envStamp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

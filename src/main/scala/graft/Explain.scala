@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection harness: `runMain graft.Explain <key> [sfDir]` prints the
   * formatted plan of one `SparkEntry.queries` entry, executes it, then
@@ -10,14 +9,7 @@ object Explain {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.install(spark)
+    val spark = GraftSession.local(cpus) // shared recipe (VERDICT r10 #5)
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()

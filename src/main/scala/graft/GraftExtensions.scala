@@ -134,6 +134,30 @@ object GraftExtensions {
       graft.expr.BloomFilterAgg(children.head, children(1), children(2))
     })
 
+  private val kllAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_sketch_agg"),
+    new ExpressionInfo(classOf[graft.expr.KllDoublesAgg].getName, "kll_sketch_agg"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "kll_sketch_agg(v) takes exactly 1 argument")
+      graft.expr.KllDoublesAgg(children.head)
+    })
+
+  private val kllQuantileDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_quantile"),
+    new ExpressionInfo(classOf[graft.expr.KllQuantile].getName, "kll_quantile"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "kll_quantile(sk, q) takes exactly 2 arguments")
+      graft.expr.KllQuantile(children.head, children(1))
+    })
+
+  private val kllNDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_n"),
+    new ExpressionInfo(classOf[graft.expr.KllN].getName, "kll_n"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "kll_n(sk) takes exactly 1 argument")
+      graft.expr.KllN(children.head)
+    })
+
   private val bloomContainsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bloom_contains"),
     new ExpressionInfo(classOf[graft.expr.BloomMightContain].getName, "bloom_contains"),
@@ -166,7 +190,8 @@ object GraftExtensions {
       gramHashDescriptor, shingleXxDescriptor, minhashSigDescriptor,
       simhash48Descriptor, thetaAggDescriptor, thetaEstimateDescriptor,
       thetaIntersectDescriptor, misraGriesDescriptor, countMinDescriptor,
-      bloomAggDescriptor, bloomContainsDescriptor)
+      bloomAggDescriptor, bloomContainsDescriptor,
+      kllAggDescriptor, kllQuantileDescriptor, kllNDescriptor)
 
   /** Idempotently register the engine functions on a live session and
     * apply [[recommendedConfs]]. */

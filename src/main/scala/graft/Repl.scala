@@ -144,7 +144,12 @@ object Repl {
           }
         }
       }
-    } finally scala.util.Try(flush())
+    } finally scala.util.Try(flush()).failed.foreach { e =>
+      // a session that died abnormally AND whose safety-net flush failed
+      // must say so — silently dropping the failure would let the user
+      // believe their inserts persisted when they did not (ADVICE r10)
+      out.println(s"Error: flush failed: ${e.getMessage}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -156,14 +161,9 @@ object Repl {
     val dbPath = args(0)
     val sfDir = args.lift(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    GraftExtensions.install(spark)
+    // shared session recipe (VERDICT r10 #5) — same engine config as
+    // Bench/Verify; ERROR level keeps the interactive prompt clean
+    val spark = GraftSession.local(cpus, logLevel = "ERROR")
     try loop(spark, dbPath, sfDir, scala.io.Source.stdin.getLines(), Console.out)
     finally spark.stop()
   }

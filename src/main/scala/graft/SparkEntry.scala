@@ -173,7 +173,7 @@ object SparkEntry {
     "corpus_card"       -> Curation.corpusCard,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries ++
-    Selection.queries ++ Horizon.queries
+    Selection.queries ++ Horizon.queries ++ Frontier.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -205,5 +205,5 @@ object SparkEntry {
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
       Curation.oracles ++ Stats.oracles ++ Selection.oracles ++
-      Horizon.oracles
+      Horizon.oracles ++ Frontier.oracles
 }

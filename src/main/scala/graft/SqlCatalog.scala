@@ -40,16 +40,22 @@ import graft.ops.{Composite, RelationalOracles}
   * closest possible mirror of the reference's actual interface: a REPL
   * consuming a sequence of statements (`db.cpp:549-598`).
   *
-  * The DataFrame-only keys are `dedup_cluster`, `dedup_semantic`,
-  * `dedup_report` (which composes `dedup_cluster`) and `dedup_downweight`
-  * (the cluster-size reweighting over the same components): connected
-  * components needs either an iterative fixpoint or a recursive closure
-  * with cross-iteration dedup, and Spark 4.1's recursive CTEs reject
-  * UNION (distinct) inside the recursion
+  * The connected-components keys (`dedup_cluster`, `dedup_semantic`,
+  * `dedup_report`, `dedup_downweight`) cannot be a single SELECT:
+  * connected components needs either an iterative fixpoint or a recursive
+  * closure with cross-iteration dedup, and Spark 4.1's recursive CTEs
+  * reject UNION (distinct) inside the recursion
   * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — UNION ALL alone cannot
-  * terminate on the cyclic symmetrized pair graph). The DataFrame API's
-  * pointer-doubling loop is the right tool, and the DuckDB oracles'
-  * `WITH RECURSIVE ... UNION` pins the semantics.
+  * terminate on the cyclic symmetrized pair graph). They ARE statement
+  * scripts (VERDICT r10 #3): [[ccRoundStatements]] expands the fixpoint
+  * into a BOUNDED number of min-label + pointer-doubling rounds, each a
+  * pure INSERT OVERWRITE DIRECTORY statement reading the previous round's
+  * parquet — the statement-level analogue of the DataFrame loop's
+  * per-round checkpoint barrier. The DataFrame path stays the production
+  * plan (it detects convergence and THROWS if the round budget is too
+  * small; a fixed script cannot), and SqlEntrySpec pins script ≡
+  * DataFrame row-for-row. The only key with no statement text at all is
+  * `meta_vacuum` — a physical file DELETE, which SQL has no statement for.
   */
 object SqlCatalog {
 
@@ -112,14 +118,17 @@ object SqlCatalog {
     "agg_period_growth",
     "agg_spearman", "agg_cramers_v",
     // round-10 keys whose oracle SQL is already ANSI
-    "graph_betweenness")
+    "graph_betweenness",
+    // round-11 keys whose oracle SQL is already ANSI
+    "graph_louvain_pass")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
       graft.ops.Streaming.oracles ++ graft.ops.Functions.oracles ++
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
-      graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles)(k)
+      graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles ++
+      graft.ops.Frontier.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -2333,6 +2342,85 @@ object SqlCatalog {
     "dedup_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
 
+    // train-vs-eval benchmark decontamination (round 11): one-sided
+    // 8-gram containment, integer ppm arithmetic — Spark dialect of the
+    // Frontier oracle (list primitives differ; the math is identical)
+    "dedup_decontaminate" ->
+      s"""WITH $corpusSql,
+         |train AS (SELECT doc_id AS train_id,
+         |            split(lower(trim(text)), ' ') AS l FROM corpus),
+         |bench AS (SELECT doc_id AS eval_id,
+         |            split(lower(trim(text)), ' ') AS l
+         |          FROM documents WHERE doc_id % 7 = 0),
+         |tg AS (SELECT DISTINCT train_id, md5_48(g) AS hv FROM (
+         |  SELECT train_id, explode(transform(sequence(1, size(l) - 7),
+         |    i -> array_join(slice(l, i, 8), ' '))) AS g
+         |  FROM train WHERE size(l) >= 8)),
+         |bg AS (SELECT DISTINCT eval_id, md5_48(g) AS hv FROM (
+         |  SELECT eval_id, explode(transform(sequence(1, size(l) - 7),
+         |    i -> array_join(slice(l, i, 8), ' '))) AS g
+         |  FROM bench WHERE size(l) >= 8)),
+         |bs AS (SELECT eval_id, COUNT(*) AS n_eval_grams FROM bg GROUP BY eval_id),
+         |hits AS (SELECT t.train_id, b.eval_id, COUNT(*) AS n_shared
+         |  FROM tg t JOIN bg b ON t.hv = b.hv
+         |  GROUP BY t.train_id, b.eval_id)
+         |SELECT train_id, eval_id, n_shared, n_eval_grams,
+         |  n_shared * 1000000L DIV n_eval_grams AS ppm,
+         |  CAST(n_shared * 1000000L DIV n_eval_grams AS DOUBLE) / 1000000.0D
+         |    AS containment
+         |FROM hits JOIN bs USING (eval_id)
+         |WHERE n_shared * 1000000L DIV n_eval_grams >= 500000
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    // mergeable KLL quantile rollup (round 11): two-level sketch build +
+    // merge via the native kll_* functions — deterministic compaction is
+    // what lets this text pin row-for-row against the DataFrame path
+    // (a randomized sketch could not be a statement-level contract)
+    "agg_kll" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    kll_sketch_agg(CAST(l_extendedprice AS DOUBLE)) AS sk
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n_cells,
+        |        kll_sketch_agg(sk) AS sk
+        |      FROM cells GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_cells, kll_n(sk) AS n,
+        |  round(kll_quantile(sk, 0.1D), 2) AS q10,
+        |  round(kll_quantile(sk, 0.5D), 2) AS q50,
+        |  round(kll_quantile(sk, 0.9D), 2) AS q90,
+        |  round(kll_quantile(sk, 0.99D), 2) AS q99
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // BM25 top-3 terms per doc (round 11): same grid as text_tfidf, the
+    // score expression spelled with the identical literals/associativity
+    // as the DuckDB oracle (ln/round are dual-dialect)
+    "text_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+        |dfc AS (SELECT term, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |scal AS (SELECT
+        |    (SELECT COUNT(*) FROM documents) AS n_total,
+        |    CAST((SELECT COUNT(*) FROM terms) AS DOUBLE)
+        |      / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df, dl.dl,
+        |    round(ln((CAST(scal.n_total AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+        |            / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / scal.avgdl)),
+        |      6) AS score
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN scal),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, dl, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, dl, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "dedup_embed" ->
       s"""WITH $vecCorpusSql,
          |cents AS (
@@ -4008,12 +4096,157 @@ object SqlCatalog {
   private val bktLiTable = s"graft_li_bkt_sql_$scriptTag"
   private val bktOTable = s"graft_o_bkt_sql_$scriptTag"
 
+  // ------------------------------- connected components as a statement script
+
+  /** Bounded-round connected components as pure SQL statements (VERDICT
+    * r10 #3). Input: a statement that wrote symmetrized edges (x, y) to
+    * `cc_<tag>_edges`. Each round materializes the label table after one
+    * neighbor-min propagation + one pointer-doubling hop — the exact
+    * per-round algebra of [[graft.api.TextDedup.connectedComponents]],
+    * with INSERT OVERWRITE DIRECTORY as the statement-level analogue of
+    * the DataFrame loop's checkpoint barrier (materializing each round is
+    * also what keeps the plan LINEAR in rounds: the doubling step
+    * references the propagated labels twice, so chained temp VIEWS would
+    * re-expand the upstream plan 2^rounds times under inlining — the same
+    * exponential-CTE lesson as sample_kcenter's oracle).
+    *
+    * Round budget: doubling halves the remaining pointer depth while the
+    * neighbor-min hop extends coverage, so `rounds` rounds converge for
+    * any component of diameter ≲ 2^rounds. The script is the STATEMENT
+    * CONTRACT at test scale (SqlEntrySpec pins script ≡ DataFrame at
+    * sf0.001, where the planted variant⇆base graph has star-shaped
+    * components of diameter ≤ ~4); the DataFrame loop remains the
+    * production plan — it detects convergence via the label-sum invariant
+    * and throws rather than return unconverged labels. */
+  private def ccLblDir(tag: String, r: Int): String = ioDir(s"cc_${tag}_lbl$r")
+
+  private def ccRoundStatements(tag: String, rounds: Int): Seq[String] = {
+    val edges = ioDir(s"cc_${tag}_edges")
+    val init =
+      s"""INSERT OVERWRITE DIRECTORY '${ccLblDir(tag, 0)}' USING parquet
+         |SELECT DISTINCT x AS id, x AS component FROM parquet.`$edges`""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      // one round = neighbor-min then pointer doubling; `prop` is inlined
+      // twice, each copy a cheap re-read of the materialized previous round
+      val prop =
+        s"""SELECT l.id,
+           |      least(l.component, coalesce(m.nmin, l.component)) AS component
+           |    FROM parquet.`${ccLblDir(tag, r - 1)}` l LEFT JOIN (
+           |      SELECT e.x AS id, min(ly.component) AS nmin
+           |      FROM parquet.`$edges` e
+           |      JOIN parquet.`${ccLblDir(tag, r - 1)}` ly ON e.y = ly.id
+           |      GROUP BY e.x) m ON l.id = m.id""".stripMargin
+      s"""INSERT OVERWRITE DIRECTORY '${ccLblDir(tag, r)}' USING parquet
+         |SELECT p.id, coalesce(pp.component, p.component) AS component
+         |FROM ($prop) p LEFT JOIN ($prop) pp ON p.component = pp.id""".stripMargin
+    }
+    init +: steps
+  }
+
+  /** Rounds for the planted-corpus graphs: star-shaped components around
+    * base docs (diameter ≤ ~4); 6 doubling rounds cover diameter ~2^6. */
+  private val CcRounds = 6
+
+  /** Symmetrized near-dup candidate edges (the dedup_cluster pair graph)
+    * → `cc_jacc_edges`: the exact-Jaccard threshold join of the planted
+    * corpus, variants × base — the same pairs as [[dedupNearSql]]. */
+  private val jaccEdgesStmt: String =
+    s"""INSERT OVERWRITE DIRECTORY '${ioDir("cc_jacc_edges")}' USING parquet
+       |WITH $corpusSql,
+       |$shingleSetsSql,
+       |pairs AS (
+       |  SELECT sa.doc_id AS a, sb.doc_id AS b
+       |  FROM ssets sa JOIN ssets sb
+       |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+       |  WHERE $jaccSql >= 0.7)
+       |SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs""".stripMargin
+
+  /** Symmetrized semantic kNN edges (cosine ≥ 0.999 over the IVF-blocked
+    * kNN graph — the statement form of [[graft.api.VectorSearch.knnJoin]]
+    * with k=3, nprobe=3) → `cc_sem_edges`. */
+  private val semEdgesStmt: String =
+    s"""INSERT OVERWRITE DIRECTORY '${ioDir("cc_sem_edges")}' USING parquet
+       |WITH $vecCorpusSql,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, cell, crnk FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosFd("e.embedding", "c.cent")}, 6) DESC,
+       |          c.cent_id) AS crnk
+       |    FROM vcorpus e CROSS JOIN cents c)
+       |  WHERE crnk <= 3),
+       |cells AS (SELECT vec_id AS cand_id, embedding AS ce, cell
+       |          FROM ranked_cells WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cell
+       |           FROM ranked_cells),
+       |scored AS (
+       |  SELECT p.probe_id, s.cand_id,
+       |    round(${cosFd("p.pe", "s.ce")}, 6) AS cos
+       |  FROM probes p JOIN cells s ON p.cell = s.cell
+       |  WHERE s.cand_id <> p.probe_id),
+       |knn AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cos DESC, cand_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= 3 AND cos >= 0.999)
+       |SELECT probe_id AS x, cand_id AS y FROM knn
+       |UNION SELECT cand_id AS x, probe_id AS y FROM knn""".stripMargin
+
+  private val jaccCcStmts: Seq[String] =
+    jaccEdgesStmt +: ccRoundStatements("jacc", CcRounds)
+  private val semCcStmts: Seq[String] =
+    semEdgesStmt +: ccRoundStatements("sem", CcRounds)
+  private val jaccLblFinal = ccLblDir("jacc", CcRounds)
+  private val semLblFinal = ccLblDir("sem", CcRounds)
+
   /** Statement SCRIPTS for the declared queries whose semantics include a
     * write: each entry is an ordered statement sequence (the reference
     * REPL's interface, `db.cpp:549-598`) whose last statement produces the
     * declared result. Runnable via [[runScript]]; SqlEntrySpec asserts
     * script ≡ DataFrame row-for-row. */
   val queriesScript: Map[String, Seq[String]] = Map(
+    // connected-components keys (VERDICT r10 #3): shared edge build +
+    // bounded label rounds, then each key's own readback aggregate
+    "dedup_cluster" -> (jaccCcStmts :+
+      s"""SELECT id AS doc_id, component AS cluster_root
+         |FROM parquet.`$jaccLblFinal` ORDER BY doc_id""".stripMargin),
+
+    "dedup_report" -> (jaccCcStmts :+
+      s"""WITH $corpusSql,
+         |sizes AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |          FROM corpus),
+         |j AS (SELECT l.id AS doc_id, l.component AS cluster_root, s.n_chars
+         |      FROM parquet.`$jaccLblFinal` l JOIN sizes s ON l.id = s.doc_id)
+         |SELECT cluster_root, COUNT(*) AS n_docs,
+         |  COUNT(*) - 1L AS n_dropped,
+         |  SUM(CASE WHEN doc_id <> cluster_root THEN n_chars ELSE 0L END)
+         |    AS bytes_dropped,
+         |  SUM(n_chars) AS bytes_total,
+         |  round(CAST(SUM(CASE WHEN doc_id <> cluster_root THEN n_chars
+         |                 ELSE 0L END) AS DOUBLE)
+         |    / CAST(SUM(n_chars) AS DOUBLE), 6) AS savings_pct
+         |FROM j GROUP BY cluster_root ORDER BY cluster_root""".stripMargin),
+
+    "dedup_downweight" -> (jaccCcStmts :+
+      s"""WITH sizes AS (SELECT component, COUNT(*) AS csize
+         |               FROM parquet.`$jaccLblFinal` GROUP BY component)
+         |SELECT l.id AS doc_id, l.component AS cluster_root, s.csize,
+         |  round(CAST(1.0 AS DOUBLE) / CAST(s.csize AS DOUBLE), 6) AS weight,
+         |  (l.id = l.component) AS is_rep
+         |FROM parquet.`$jaccLblFinal` l
+         |JOIN sizes s ON l.component = s.component
+         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_semantic" -> (semCcStmts :+
+      s"""SELECT id AS vec_id, component AS cluster_root,
+         |  (id = component) AS is_rep
+         |FROM parquet.`$semLblFinal` ORDER BY vec_id""".stripMargin),
+
     "merge_idempotent" -> Seq(
       s"""INSERT OVERWRITE DIRECTORY '${ioDir("merge_idempotent_base")}'
          |USING parquet

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,14 +6,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.install(spark) // native fns + engine-tuned confs
+    // shared session recipe (VERDICT r10 #5): the verified engine runs the
+    // exact config the bench measures — off-heap Tungsten included
+    val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     // Dev loop: SPARK_GRAFT_ONLY=k1,k2 restricts the dump (and the dumped
     // oracle set) to those keys. Unset for the driver's full gate.

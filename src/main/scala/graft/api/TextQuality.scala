@@ -132,6 +132,10 @@ object TextQuality {
   def vocabCoverage(df: DataFrame, textCol: String,
       bands: Seq[Long] = Seq(4L, 8L, 16L)): DataFrame = {
     require(bands.nonEmpty, "bands must be non-empty")
+    // bands.max.toInt below feeds limit(); a band above Int.MaxValue would
+    // silently wrap negative — fail loudly instead (ADVICE r10)
+    require(bands.max <= Int.MaxValue.toLong,
+      s"band ${bands.max} exceeds Int.MaxValue — limit() takes an Int")
     val counts = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))

@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+
+/** Round-11 operator batch (VERDICT r10 #4): benchmark decontamination,
+  * BM25 lexical scoring, and a bounded Louvain modularity pass — each the
+  * next step a production user of the existing surface would reach for
+  * (the dedup family lacked the train-vs-eval containment gate; text_tfidf
+  * lacked its retrieval-scoring sibling; graph_modularity scores a given
+  * partition but nothing yet PROPOSES one).
+  *
+  * Reference semantics anchor: statements over scanned tables with
+  * engine-invariant arithmetic (`/root/reference/db.cpp:487-502`
+  * executeSelect discipline — every declared result is a deterministic
+  * function of the stored rows).
+  */
+object Frontier {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------- dedup_decontaminate
+
+  /** TRAIN-vs-EVAL DECONTAMINATION — the benchmark-leakage gate every
+    * LLM training pipeline runs before a data release (the GPT-3 /
+    * Llama recipe: drop training documents that CONTAIN benchmark
+    * content, measured as one-sided n-gram containment). Differs from
+    * `dedup_contaminate` (which only counts gram hits per shard doc) by
+    * producing the pair-level DECISION: for every (train, eval) pair,
+    * what fraction of the eval doc's 8-gram set the train doc covers,
+    * thresholded at 50% — the actionable drop list.
+    *
+    * Arithmetic discipline: containment is pure INTEGER math —
+    * `ppm = n_shared * 1e6 DIV n_eval_grams` (bigint floor division,
+    * engine-exact) and the reported double is `ppm / 1e6` (one IEEE
+    * division of integers — bit-identical across engines, no rounding
+    * step to disagree on; the r10 decimal-half lesson applied by
+    * construction).
+    *
+    * 100 TB shape: candidates meet through an equi-join on the gram
+    * hash with the EVAL side broadcast (a benchmark is small by nature
+    * — that asymmetry is the whole point of one-sided containment);
+    * the train corpus never self-joins and never shuffles except its
+    * matching gram rows. Planted truth: every eval doc (doc_id%7=0)
+    * has its base copy (containment 1.0) and its −2-token variant
+    * (+200000, containment (G−2)/G) in the corpus. */
+  val dedupDecontaminate: Q = (s, d) => {
+    val n = 8
+    val norm = (df: DataFrame) => df.withColumn("text", lower(trim(col("text"))))
+    val h48 = (c: org.apache.spark.sql.Column) => graft.expr.Md5Prefix48.md548(c)
+    val train = norm(LlmPipeline.corpus(s, d))
+    val eval_ = norm(T.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("eval_id"), col("text")))
+    val trainGrams = graft.api.TextDedup.shingleRows(train, "doc_id", "text", n)
+      .select(col("doc_id").as("train_id"), h48(col("sh")).as("hv")).distinct()
+    val evalGrams = graft.api.TextDedup.shingleRows(eval_, "eval_id", "text", n)
+      .select(col("eval_id"), h48(col("sh")).as("hv")).distinct()
+    val evalSizes = evalGrams.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+    trainGrams.join(broadcast(evalGrams), "hv")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evalSizes), "eval_id")
+      .withColumn("ppm",
+        expr("n_shared * 1000000L DIV n_eval_grams"))
+      .filter(col("ppm") >= 500000L)
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("n_eval_grams"), col("ppm"),
+        (col("ppm").cast("double") / lit(1000000.0)).as("containment"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  // ------------------------------------------------------------ text_bm25
+
+  /** BM25 TERM SCORING — the lexical-retrieval sibling of `text_tfidf`
+    * (Robertson/Sparck-Jones with the Lucene +1 idf floor): per (doc,
+    * term), `idf(df) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))` with
+    * k1=1.2, b=0.75, reported as each doc's top-3 terms. tf-idf ranks
+    * what's DISTINCTIVE in a doc; BM25 adds the saturation (tf stops
+    * paying linearly) and length normalization every retrieval stack
+    * expects — side by side the two keys show exactly what the extra
+    * machinery buys.
+    *
+    * Float discipline: tf/df/dl/N are integers; avgdl is ONE double
+    * division of two corpus integers; the score is a fixed IEEE op
+    * sequence written identically in both dialects (same literals, same
+    * associativity), rounded at 6 — transcendental-fed like text_tfidf,
+    * never a decimal-terminating half.
+    *
+    * 100 TB shape: identical to text_tfidf — one (doc,term) hash
+    * aggregate, a bounded term-df aggregate, the 1-row corpus scalars
+    * broadcast, and the top-3 window rides the doc_id partitioning. */
+  val textBm25: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfC = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scal = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(
+        terms.agg(count(lit(1)).as("n_tok"))))
+      .select(col("n_total"),
+        (col("n_tok").cast("double") / col("n_total").cast("double"))
+          .as("avgdl"))
+    val idf = log(
+      (col("n_total").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val score = round(
+      idf * (col("tf").cast("double") * lit(2.2))
+        / (col("tf").cast("double")
+           + lit(1.2) * (lit(0.25)
+             + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfC, "term").join(dl, "doc_id").crossJoin(broadcast(scal))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"), col("dl"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // --------------------------------------------------- graph_louvain_pass
+
+  /** ONE LOUVAIN MODULARITY PASS over the co-purchase graph —
+    * `graph_modularity` scores a GIVEN partition; this key runs the move
+    * step that PROPOSES one: from singleton communities, every node
+    * simultaneously evaluates joining each neighbor's community and
+    * takes the best positive-modularity-gain move (the synchronous
+    * first-superstep of every distributed Louvain/Leiden
+    * implementation; full Louvain iterates passes + graph coarsening —
+    * one pass is the bounded, oracle-checkable unit).
+    *
+    * From singletons the gain of i joining {j} collapses to
+    * `ΔQ = 1/m − k_i·k_j/(2m²) = (2m − k_i·k_j) / (2m²)` — argmax over
+    * neighbors is simply the MINIMUM-DEGREE neighbor (ties → smallest
+    * id), and the move happens iff the integer numerator `2m − k_i·k_j`
+    * is positive. Everything is integer-exact except the one reported
+    * IEEE division (num/2m², engine-invariant, deliberately UNROUNDED —
+    * with m arbitrary, 2m² can be a 2^a5^b decimal-terminating
+    * denominator, exactly the r10 half-rounding trap).
+    *
+    * 100 TB shape: the basket self-join is the only corpus-scale stage
+    * (the shared graph cost class); degrees are one aggregate; the
+    * argmin rides a window partitioned by node over the edge list —
+    * model-sized, no iteration, no checkpoint. */
+  val graphLouvainPass: Q = (s, d) => {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val dir = edges.select(col("pa").as("i"), col("pb").as("j"))
+      .unionAll(edges.select(col("pb").as("i"), col("pa").as("j")))
+    val deg = dir.groupBy(col("i").as("p")).agg(count(lit(1)).as("deg"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("i")).orderBy(col("kj").asc, col("j").asc)
+    dir
+      .join(deg.select(col("p").as("i"), col("deg").as("ki")), "i")
+      .join(deg.select(col("p").as("j"), col("deg").as("kj")), "j")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .crossJoin(broadcast(m))
+      .withColumn("gain_num", lit(2L) * col("m") - col("ki") * col("kj"))
+      .select(col("i").as("node"), col("ki").as("deg"),
+        col("j").as("best_nbr"),
+        (col("gain_num") > 0L).as("moved"),
+        when(col("gain_num") > 0L, col("j")).otherwise(col("i"))
+          .as("community"),
+        (col("gain_num").cast("double")
+          / (lit(2L) * col("m") * col("m")).cast("double")).as("delta_q"))
+      .orderBy(col("node"))
+  }
+
+  // -------------------------------------------------------------- agg_kll
+
+  /** MERGEABLE QUANTILE SKETCH ROLLUP — the rank twin of
+    * `agg_sketch_rollup`'s HLLs: per (returnflag, linestatus) cell a
+    * [[graft.expr.DetKllSketch]] over extended price (deterministic
+    * alternating-compaction KLL — see the expression's scaladoc for why
+    * RNG-free), then the binary sketches MERGE up to returnflag — the
+    * store-per-shard / union-at-query pattern that exact `agg_percentile`
+    * cannot do (an exact median is not re-aggregable; a KLL union is).
+    * Reports exact n (preamble) and q10/q50/q90/q99 estimates.
+    *
+    * Sketch-key discipline (`agg_approx_distinct` class): estimates are
+    * not DuckDB-expressible → declared NO-ORACLE; PropertySpec pins the
+    * H/k worst-case rank-error bound at sf0.001 AND sf0.1 across a
+    * 1/4/32 partition sweep, and exactness at n ≤ k. */
+  val aggKll: Q = (s, d) => {
+    val K = graft.expr.KllQuantiles
+    val cells = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(K.sketchAgg(col("l_extendedprice").cast("double")).as("sk"))
+    cells.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_cells"), K.sketchAgg(col("sk")).as("sk"))
+      .select(col("l_returnflag"), col("n_cells"),
+        K.n(col("sk")).as("n"),
+        round(K.quantile(col("sk"), lit(0.1)), 2).as("q10"),
+        round(K.quantile(col("sk"), lit(0.5)), 2).as("q50"),
+        round(K.quantile(col("sk"), lit(0.9)), 2).as("q90"),
+        round(K.quantile(col("sk"), lit(0.99)), 2).as("q99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "dedup_decontaminate" -> dedupDecontaminate,
+    "text_bm25" -> textBm25,
+    "graph_louvain_pass" -> graphLouvainPass,
+    "agg_kll" -> aggKll,
+  )
+
+  /** DuckDB oracle texts. graph_louvain_pass is dual-dialect ANSI (listed
+    * in SqlCatalog.ansiKeys); the two text keys tokenize, so each dialect
+    * spells its own list primitives. */
+  val oracles: Map[String, String] = Map(
+    "dedup_decontaminate" -> {
+      val h = LlmPipeline.h48Sql("g")
+      s"""WITH ${LlmPipeline.corpusSql},
+         |train AS (SELECT doc_id AS train_id,
+         |            string_split(lower(trim(text)), ' ') AS l FROM corpus),
+         |bench AS (SELECT doc_id AS eval_id,
+         |            string_split(lower(trim(text)), ' ') AS l
+         |          FROM documents WHERE doc_id % 7 = 0),
+         |tg AS (SELECT DISTINCT train_id, $h AS hv FROM (
+         |  SELECT train_id, unnest(list_transform(range(1, len(l) - 6),
+         |    i -> array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' '))) AS g
+         |  FROM train WHERE len(l) >= 8)),
+         |bg AS (SELECT DISTINCT eval_id, $h AS hv FROM (
+         |  SELECT eval_id, unnest(list_transform(range(1, len(l) - 6),
+         |    i -> array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 7], ' '))) AS g
+         |  FROM bench WHERE len(l) >= 8)),
+         |bs AS (SELECT eval_id, COUNT(*) AS n_eval_grams FROM bg GROUP BY eval_id),
+         |hits AS (SELECT t.train_id, b.eval_id, COUNT(*) AS n_shared
+         |  FROM tg t JOIN bg b ON t.hv = b.hv
+         |  GROUP BY t.train_id, b.eval_id)
+         |SELECT train_id, eval_id, n_shared, n_eval_grams,
+         |  n_shared * 1000000 // n_eval_grams AS ppm,
+         |  CAST(n_shared * 1000000 // n_eval_grams AS DOUBLE) / 1000000.0
+         |    AS containment
+         |FROM hits JOIN bs USING (eval_id)
+         |WHERE n_shared * 1000000 // n_eval_grams >= 500000
+         |ORDER BY train_id, eval_id""".stripMargin
+    },
+
+    "text_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+        |dfc AS (SELECT term, COUNT(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |scal AS (SELECT
+        |    (SELECT COUNT(*) FROM documents) AS n_total,
+        |    CAST((SELECT COUNT(*) FROM terms) AS DOUBLE)
+        |      / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df, dl.dl,
+        |    round(ln((CAST(scal.n_total AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+        |            / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / scal.avgdl)),
+        |      6) AS score
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN scal),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, dl, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, dl, score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "graph_louvain_pass" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 5 = 0),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |dir AS (SELECT pa AS i, pb AS j FROM edges
+        |        UNION ALL SELECT pb AS i, pa AS j FROM edges),
+        |deg AS (SELECT i AS p, COUNT(*) AS deg FROM dir GROUP BY i),
+        |m AS (SELECT COUNT(*) AS m FROM edges),
+        |best AS (
+        |  SELECT i, ki, j, kj FROM (
+        |    SELECT dir.i, di.deg AS ki, dir.j, dj.deg AS kj,
+        |      ROW_NUMBER() OVER (PARTITION BY dir.i
+        |        ORDER BY dj.deg ASC, dir.j ASC) AS rnk
+        |    FROM dir
+        |    JOIN deg di ON di.p = dir.i
+        |    JOIN deg dj ON dj.p = dir.j)
+        |  WHERE rnk = 1)
+        |SELECT i AS node, ki AS deg, j AS best_nbr,
+        |  (2 * m.m - ki * kj > 0) AS moved,
+        |  CASE WHEN 2 * m.m - ki * kj > 0 THEN j ELSE i END AS community,
+        |  CAST(2 * m.m - ki * kj AS DOUBLE) / CAST(2 * m.m * m.m AS DOUBLE)
+        |    AS delta_q
+        |FROM best CROSS JOIN m
+        |ORDER BY node""".stripMargin,
+  )
+}

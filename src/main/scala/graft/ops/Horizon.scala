@@ -583,8 +583,10 @@ object Horizon {
     // each error term divides by n_test BEFORE summing (round-8 decimal
     // shares), and the reported means round in DECIMAL space: a
     // sum-then-divide would land exactly on a 6th-decimal HALF whenever
-    // n_test is a power of 10 (it is: 10 here), which a double-space
-    // round resolves differently per engine
+    // n_test divides a decimal-terminating sum evenly (n_test = n_days -
+    // trainN varies per type — only >= 2 is guaranteed by the filter
+    // above), which a double-space round resolves differently per engine;
+    // the per-term share discipline is safe for ANY n_test (ADVICE r10)
     def share(c: Column): Column =
       round(round(c, 6) / col("n_test").cast("double"), 8)
         .cast("decimal(20,8)")

@@ -49,13 +49,30 @@ class SqlEntrySpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
     // statement-text coverage: single SELECTs + scripts must reach every
-    // declared key except the documented iterative connected-components
-    // keys (Spark 4.1 recursive CTEs reject UNION-distinct recursion) and
-    // meta_vacuum (a physical file DELETE — SQL has no statement for it)
+    // declared key except meta_vacuum (a physical file DELETE — SQL has
+    // no statement for it). The connected-components keys joined the
+    // script surface in round 11 via bounded-round expansion
+    // (SqlCatalog.ccRoundStatements) — Spark 4.1 recursive CTEs still
+    // reject the UNION-distinct recursion a single SELECT would need.
     val covered = SqlCatalog.queriesSql.keySet ++ SqlCatalog.queriesScript.keySet
     val uncovered = SparkEntry.queries.keySet -- covered
-    assert(uncovered == Set("dedup_cluster", "dedup_semantic", "dedup_report",
-        "dedup_downweight", "meta_vacuum"),
+    assert(uncovered == Set("meta_vacuum"),
       s"keys without any statement-text path: ${uncovered.toSeq.sorted}")
+  }
+
+  test("upstream limitation pinned: recursive CTE rejects UNION-distinct") {
+    // WHY connected components is a statement SCRIPT and not one SELECT:
+    // the closure needs cross-iteration dedup (UNION distinct) to
+    // terminate on the cyclic symmetrized graph, and Spark 4.1's
+    // recursive CTE accepts only UNION ALL recursion — pinned here so the
+    // day Spark lifts it, this test fails and the single-SELECT rewrite
+    // becomes possible.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("WITH RECURSIVE r(n) AS (SELECT 1 UNION " +
+        "SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r").collect()
+    }
+    val cond = Option(e.getCondition).getOrElse("")
+    assert(cond.contains("RECURSI") || e.getMessage.contains("RECURSI"),
+      s"unexpected failure shape: cond=$cond msg=${e.getMessage.take(300)}")
   }
 }
