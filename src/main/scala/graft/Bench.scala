@@ -63,7 +63,9 @@ object Bench {
     "agg_holt", "agg_holt_winters", "events_ewma_chart",
     "events_ltv_forecast",
     "graph_betweenness", "sample_coreset", "sample_kcenter",
-    "agg_qq_drift", "events_forecast_eval")
+    "agg_qq_drift", "events_forecast_eval",
+    // round-11 flagships
+    "dedup_decontaminate", "text_bm25", "graph_louvain_pass", "agg_kll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

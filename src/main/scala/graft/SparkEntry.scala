@@ -185,11 +185,12 @@ object SparkEntry {
   def sql(name: String): (SparkSession, String) => DataFrame =
     SqlCatalog.sql(name)
 
-  /** Multi-statement scripts for the write-roundtrip queries — the
-    * reference REPL's statement-sequence interface
-    * (`/root/reference/db.cpp:549-598`). With [[queriesSql]] this gives
-    * every declared key except the iterative `dedup_cluster` a
-    * statement-text path (SqlEntrySpec pins script ≡ DataFrame). */
+  /** Multi-statement scripts for the write-roundtrip queries AND the
+    * bounded-round connected-components keys — the reference REPL's
+    * statement-sequence interface (`/root/reference/db.cpp:549-598`).
+    * With [[queriesSql]] this gives every declared key except
+    * `meta_vacuum` (a physical file DELETE) a statement-text path
+    * (SqlEntrySpec pins script ≡ DataFrame). */
   def queriesScript: Map[String, Seq[String]] = SqlCatalog.queriesScript
 
   /** Execute a declared query's statement script; returns the last

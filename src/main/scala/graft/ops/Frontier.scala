@@ -147,17 +147,22 @@ object Frontier {
     * denominator, exactly the r10 half-rounding trap).
     *
     * 100 TB shape: the basket self-join is the only corpus-scale stage
-    * (the shared graph cost class); degrees are one aggregate; the
-    * argmin rides a window partitioned by node over the edge list —
-    * model-sized, no iteration, no checkpoint. */
-  val graphLouvainPass: Q = (s, d) => {
+    * (the shared graph cost class), materialized ONCE — four consumers
+    * (both directions of `dir`, the degree aggregate, the edge count)
+    * would otherwise each re-run it (the graph_jaccard lesson:
+    * ReuseExchange does not collapse logical subtrees); degrees are one
+    * aggregate; the argmin rides a window partitioned by node over the
+    * edge list — model-sized, no iteration. */
+  def graphLouvainPass(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => {
     val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val edges = a.join(b, Seq("l_orderkey"))
+    val edges = cp.materialize(a.join(b, Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
+      .select(col("pa"), col("pb")).distinct())
     val dir = edges.select(col("pa").as("i"), col("pb").as("j"))
       .unionAll(edges.select(col("pb").as("i"), col("pa").as("j")))
     val deg = dir.groupBy(col("i").as("p")).agg(count(lit(1)).as("deg"))
@@ -216,7 +221,7 @@ object Frontier {
   val queries: Map[String, Q] = Map(
     "dedup_decontaminate" -> dedupDecontaminate,
     "text_bm25" -> textBm25,
-    "graph_louvain_pass" -> graphLouvainPass,
+    "graph_louvain_pass" -> graphLouvainPass(),
     "agg_kll" -> aggKll,
   )
 

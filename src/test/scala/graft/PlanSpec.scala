@@ -959,4 +959,61 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       "decile pick degenerated to a product")
   }
+
+  // ------------------------------------------------------ round-11 shapes
+
+  test("dedup_decontaminate broadcasts the eval gram set (train corpus never shuffles for candidates)") {
+    val p = planString(graft.ops.Frontier.dedupDecontaminate(spark, sf0001))
+    // the benchmark side is the small side BY NATURE — the candidate join
+    // and the per-eval gram-count join must both ride broadcasts
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 2,
+      s"eval gram set / eval sizes not broadcast (got $nBroadcast broadcast joins)")
+    assert(!p.contains("CartesianProduct"),
+      "containment join degenerated to a product")
+  }
+
+  test("text_bm25 plans like text_tfidf: hash aggs + broadcast scalars, no shuffled scalar join") {
+    val p = planString(graft.ops.Frontier.textBm25(spark, sf0001))
+    assert(p.contains("HashAggregate"), "tf/df/dl not hash aggregates")
+    // the 1-row (n_total, avgdl) model rides a broadcast nested loop —
+    // bounded by construction; a CartesianProduct is not
+    assert(!p.contains("CartesianProduct"),
+      "corpus scalar join degenerated to a product")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join crept into the per-term grid (all joins are " +
+        "hash-shuffle on term/doc_id or broadcast)")
+  }
+
+  test("graph_louvain_pass: one argmin window over the MATERIALIZED edge list") {
+    val df = graft.ops.Frontier.graphLouvainPass()(spark, sf0001)
+    val p = planString(df)
+    // the move step is single-pass: degree joins are equi, the 1-row m
+    // broadcasts, and the per-node argmin is one partitioned window
+    assert(!p.contains("CartesianProduct"),
+      "edge/degree join degenerated to a product")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 1, "argmin window missing")
+    // the basket self-join ran at build time behind the materialize
+    // barrier: the returned frame's joins are the 2 degree equi-joins +
+    // the broadcast 1-row m — NOT 4 re-derivations of the edge build
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size <= 3,
+      s"louvain pass should need ≤3 joins (2 degree equi + m), got ${joins.size}")
+  }
+
+  test("agg_kll is a two-level object hash aggregate (build cells, merge binaries) — no sort, no join") {
+    val p = planString(graft.ops.Frontier.aggKll(spark, sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      "kll_sketch_agg did not plan as an object hash aggregate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      "the sketch rollup should need no join at all")
+    assert(!p.contains("Window"),
+      "quantile rollup fell back to a window sort")
+    // both aggregation levels are present: value-mode then merge-mode
+    val nKll = "kll_sketch_agg".r.findAllIn(p).size
+    assert(nKll >= 2, s"expected both sketch levels in the plan, got $nKll")
+  }
 }

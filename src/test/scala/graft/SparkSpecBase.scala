@@ -12,17 +12,9 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpecBase {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    // the engine's declared entry ritual — registers native SQL functions
-    // and applies recommendedConfs (nanos-as-long reads, agg thresholds)
-    GraftExtensions.install(s)
-    s
-  }
+  // the shared engine recipe (GraftSession — VERDICT r10 #5): the session
+  // under test is config-identical to the one Bench measures and Verify
+  // verifies (incl. the off-heap Tungsten pool); GraftExtensions.install
+  // runs inside it (native SQL functions + recommendedConfs)
+  lazy val session: SparkSession = GraftSession.local("4")
 }
