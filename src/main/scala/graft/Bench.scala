@@ -65,7 +65,8 @@ object Bench {
     "graph_betweenness", "sample_coreset", "sample_kcenter",
     "agg_qq_drift", "events_forecast_eval",
     // round-11 flagships
-    "dedup_decontaminate", "text_bm25", "graph_louvain_pass", "agg_kll")
+    "dedup_decontaminate", "text_bm25", "graph_louvain_pass", "agg_kll",
+    "events_cusum_chart")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -445,6 +445,67 @@ object SqlCatalog {
          |  (abs(z - mu) > lim) AS breach
          |FROM e ORDER BY event_type, day""".stripMargin,
 
+    // CUSUM control chart: the (s+, s-) recursion as a HOF fold carrying
+    // both series; same exact-decimal moment folds as the EWMA chart
+    "events_cusum_chart" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    array_sort(collect_list(struct(day, rev))) AS sr,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ys
+         |  FROM daily GROUP BY event_type),
+         |mo AS (
+         |  SELECT event_type, sr, ys, CAST(size(ys) AS BIGINT) AS n,
+         |    aggregate(ys, CAST(0 AS DECIMAL(28,8)),
+         |      (a, y) -> CAST(a + CAST(y AS DECIMAL(20,8))
+         |        AS DECIMAL(28,8))) AS sy,
+         |    aggregate(ys, CAST(0 AS DECIMAL(38,8)),
+         |      (a, y) -> CAST(a + CAST(CAST(y AS DECIMAL(20,8))
+         |        * CAST(y AS DECIMAL(20,8)) AS DECIMAL(38,8))
+         |        AS DECIMAL(38,8))) AS syy
+         |  FROM ser WHERE size(ys) >= 2),
+         |lims AS (
+         |  SELECT event_type, sr, ys,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(0.5 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS kk,
+         |    CAST(4 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS hh
+         |  FROM mo),
+         |cc AS (
+         |  SELECT event_type, sr, hh,
+         |    aggregate(ys,
+         |      named_struct('sp', CAST(0 AS DOUBLE), 'sn', CAST(0 AS DOUBLE),
+         |        'arr', CAST(array() AS ARRAY<STRUCT<sp: DOUBLE, sn: DOUBLE>>)),
+         |      (acc, y) -> named_struct(
+         |        'sp', greatest(CAST(0 AS DOUBLE), acc.sp + (y - mu - kk)),
+         |        'sn', greatest(CAST(0 AS DOUBLE), acc.sn + (mu - y - kk)),
+         |        'arr', concat(acc.arr, array(named_struct(
+         |          'sp', greatest(CAST(0 AS DOUBLE), acc.sp + (y - mu - kk)),
+         |          'sn', greatest(CAST(0 AS DOUBLE),
+         |            acc.sn + (mu - y - kk))))))).arr AS cs
+         |  FROM lims),
+         |e AS (
+         |  SELECT event_type, hh, x.day AS day, x.rev AS rev,
+         |    x.sp AS sp, x.sn AS sn
+         |  FROM cc LATERAL VIEW explode(zip_with(sr, cs,
+         |    (a, c) -> named_struct('day', a.day, 'rev', a.rev,
+         |      'sp', c.sp, 'sn', c.sn))) t AS x)
+         |SELECT event_type, day, rev,
+         |  CAST(round(sp, 6) AS DOUBLE) AS cusum_hi,
+         |  CAST(round(sn, 6) AS DOUBLE) AS cusum_lo,
+         |  CAST(round(hh, 6) AS DOUBLE) AS h_limit,
+         |  (sp > hh OR sn > hh) AS breach
+         |FROM e ORDER BY event_type, day""".stripMargin,
+
     // Holt-Winters: the same HOF device with the (l, b, s[7]) state
     "agg_holt_winters" ->
       s"""WITH daily AS (

@@ -185,6 +185,79 @@ object Frontier {
       .orderBy(col("node"))
   }
 
+  // ---------------------------------------------------- events_cusum_chart
+
+  /** CUSUM CONTROL CHART (Page 1954, tabular two-sided) — the drift
+    * detector that complements `events_ewma_chart`: EWMA weights recent
+    * points geometrically; CUSUM ACCUMULATES deviations beyond an
+    * allowance k, so it is the faster detector for small persistent
+    * shifts (the SPC pairing every monitoring stack runs together).
+    * Per type, over the daily dsum series:
+    *   s⁺ₜ = max(0, s⁺ₜ₋₁ + (yₜ − μ − k)),
+    *   s⁻ₜ = max(0, s⁻ₜ₋₁ + (μ − yₜ − k)),
+    * k = σ/2 (detect one-σ shifts), decision interval h = 4σ — the
+    * textbook (k, h) = (δσ/2, 4σ) design. μ/σ come from the same exact
+    * DECIMAL moment folds as the EWMA chart; each CUSUM step is one
+    * fixed IEEE op sequence carried by an aggregate() HOF whose state
+    * brings the whole (s⁺, s⁻) series back out; the DuckDB oracle
+    * replays it as a RECURSIVE CTE with the identical op order.
+    * Breach compares the UNROUNDED accumulators to h (display values
+    * round at 6).
+    *
+    * 100 TB shape: identical to agg_holt/events_ewma_chart — corpus
+    * folds map-side onto the (type × day) grid, the recursion is one
+    * bounded per-type fold, output lives on the day grid. */
+  val eventsCusumChart: Q = (s, d) => {
+    import graft.core.Numeric.dsum
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("sr"))
+      .select(col("event_type"), col("sr"),
+        expr("transform(sr, x -> x.rev)").as("ys"))
+      .filter(size(col("ys")) >= 2)
+      .withColumn("n", size(col("ys")).cast("long"))
+      .withColumn("sy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(28,8)), " +
+          "(a, y) -> CAST(a + CAST(y AS DECIMAL(20,8)) AS DECIMAL(28,8)))"))
+      .withColumn("syy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(38,8)), (a, y) -> " +
+          "CAST(a + CAST(CAST(y AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8)) " +
+          "AS DECIMAL(38,8)) AS DECIMAL(38,8)))"))
+      .withColumn("mu",
+        col("sy").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1.0))))
+      .withColumn("kk", lit(0.5) * col("sigma"))
+      .withColumn("hh", lit(4.0) * col("sigma"))
+    val cs = ser.withColumn("cs",
+      expr("""aggregate(ys,
+        |  named_struct('sp', CAST(0 AS DOUBLE), 'sn', CAST(0 AS DOUBLE),
+        |    'arr', CAST(array() AS ARRAY<STRUCT<sp: DOUBLE, sn: DOUBLE>>)),
+        |  (acc, y) -> named_struct(
+        |    'sp', greatest(CAST(0 AS DOUBLE), acc.sp + (y - mu - kk)),
+        |    'sn', greatest(CAST(0 AS DOUBLE), acc.sn + (mu - y - kk)),
+        |    'arr', concat(acc.arr, array(named_struct(
+        |      'sp', greatest(CAST(0 AS DOUBLE), acc.sp + (y - mu - kk)),
+        |      'sn', greatest(CAST(0 AS DOUBLE),
+        |        acc.sn + (mu - y - kk))))))).arr""".stripMargin))
+    cs.select(col("event_type"), col("mu"), col("hh"),
+        posexplode(expr(
+          "zip_with(sr, cs, (a, c) -> named_struct(" +
+            "'day', a.day, 'rev', a.rev, 'sp', c.sp, 'sn', c.sn))"))
+          .as(Seq("i", "e")))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.rev").as("rev"),
+        round(col("e.sp"), 6).as("cusum_hi"),
+        round(col("e.sn"), 6).as("cusum_lo"),
+        round(col("hh"), 6).as("h_limit"),
+        (col("e.sp") > col("hh") || col("e.sn") > col("hh")).as("breach"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // -------------------------------------------------------------- agg_kll
 
   /** MERGEABLE QUANTILE SKETCH ROLLUP — the rank twin of
@@ -222,6 +295,7 @@ object Frontier {
     "dedup_decontaminate" -> dedupDecontaminate,
     "text_bm25" -> textBm25,
     "graph_louvain_pass" -> graphLouvainPass(),
+    "events_cusum_chart" -> eventsCusumChart,
     "agg_kll" -> aggKll,
   )
 
@@ -284,6 +358,62 @@ object Frontier {
         |  FROM scored)
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, dl, score
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // CUSUM recursion replayed as a RECURSIVE CTE — identical zero init
+    // and identical IEEE op order per step (the EWMA-chart device)
+    "events_cusum_chart" -> {
+      val dsumSql = graft.core.Numeric.dsumSql _
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |idx AS (
+         |  SELECT event_type, day, rev,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(rev AS DECIMAL(20,8))) AS sy,
+         |    SUM(CAST(CAST(rev AS DECIMAL(20,8))
+         |      * CAST(rev AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS syy
+         |  FROM idx GROUP BY event_type HAVING COUNT(*) >= 2),
+         |lims AS (
+         |  SELECT event_type,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(0.5 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS kk,
+         |    CAST(4 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS hh
+         |  FROM m),
+         |rec AS (
+         |  SELECT idx.event_type, CAST(1 AS BIGINT) AS t,
+         |    greatest(CAST(0 AS DOUBLE),
+         |      CAST(0 AS DOUBLE) + (idx.rev - l0.mu - l0.kk)) AS sp,
+         |    greatest(CAST(0 AS DOUBLE),
+         |      CAST(0 AS DOUBLE) + (l0.mu - idx.rev - l0.kk)) AS sn
+         |  FROM idx JOIN lims l0 ON idx.event_type = l0.event_type
+         |  WHERE idx.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1,
+         |    greatest(CAST(0 AS DOUBLE), r.sp + (d.rev - l.mu - l.kk)),
+         |    greatest(CAST(0 AS DOUBLE), r.sn + (l.mu - d.rev - l.kk))
+         |  FROM rec r
+         |  JOIN idx d ON d.event_type = r.event_type AND d.rn = r.t + 1
+         |  JOIN lims l ON l.event_type = r.event_type)
+         |SELECT idx.event_type, idx.day, idx.rev,
+         |  CAST(round(rec.sp, 6) AS DOUBLE) AS cusum_hi,
+         |  CAST(round(rec.sn, 6) AS DOUBLE) AS cusum_lo,
+         |  CAST(round(lims.hh, 6) AS DOUBLE) AS h_limit,
+         |  (rec.sp > lims.hh OR rec.sn > lims.hh) AS breach
+         |FROM idx
+         |JOIN rec ON idx.event_type = rec.event_type AND idx.rn = rec.t
+         |JOIN lims ON idx.event_type = lims.event_type
+         |ORDER BY idx.event_type, idx.day""".stripMargin
+    },
 
     "graph_louvain_pass" ->
       """WITH li AS (

@@ -897,6 +897,7 @@ class PlanSpec extends SparkSpecBase {
     Seq("agg_holt" -> graft.ops.Horizon.aggHolt(spark, sf0001),
         "agg_holt_winters" -> graft.ops.Horizon.aggHoltWinters(spark, sf0001),
         "events_ewma_chart" -> graft.ops.Horizon.eventsEwmaChart(spark, sf0001),
+        "events_cusum_chart" -> graft.ops.Frontier.eventsCusumChart(spark, sf0001),
         "events_forecast_eval" ->
           graft.ops.Horizon.eventsForecastEval(spark, sf0001))
       .foreach { case (k, df) =>
