@@ -120,7 +120,7 @@ object SqlCatalog {
     // round-10 keys whose oracle SQL is already ANSI
     "graph_betweenness",
     // round-11 keys whose oracle SQL is already ANSI
-    "graph_louvain_pass")
+    "graph_louvain_pass", "graph_louvain_coarsen")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -505,6 +505,75 @@ object SqlCatalog {
          |  CAST(round(hh, 6) AS DOUBLE) AS h_limit,
          |  (sp > hh OR sn > hh) AS breach
          |FROM e ORDER BY event_type, day""".stripMargin,
+
+    // Page-Hinkley: the (t, mean, m, min m, u, max u) recursion as a HOF
+    // fold; the running mean inlines into the m/u steps per reference
+    "events_page_hinkley" -> {
+      val meanP = "(acc.mean + (y - acc.mean) / CAST(acc.t + 1 AS DOUBLE))"
+      val mP = s"(acc.m + (y - $meanP - dd))"
+      val uP = s"(acc.u + (y - $meanP + dd))"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |ser AS (
+         |  SELECT event_type,
+         |    array_sort(collect_list(struct(day, rev))) AS sr,
+         |    transform(array_sort(collect_list(struct(day, rev))),
+         |      x -> x.rev) AS ys
+         |  FROM daily GROUP BY event_type),
+         |mo AS (
+         |  SELECT event_type, sr, ys, CAST(size(ys) AS BIGINT) AS n,
+         |    aggregate(ys, CAST(0 AS DECIMAL(28,8)),
+         |      (a, y) -> CAST(a + CAST(y AS DECIMAL(20,8))
+         |        AS DECIMAL(28,8))) AS sy,
+         |    aggregate(ys, CAST(0 AS DECIMAL(38,8)),
+         |      (a, y) -> CAST(a + CAST(CAST(y AS DECIMAL(20,8))
+         |        * CAST(y AS DECIMAL(20,8)) AS DECIMAL(38,8))
+         |        AS DECIMAL(38,8))) AS syy
+         |  FROM ser WHERE size(ys) >= 2),
+         |lims AS (
+         |  SELECT event_type, sr, ys,
+         |    CAST(0.05 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS dd,
+         |    CAST(3 AS DOUBLE)
+         |      * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS lam
+         |  FROM mo),
+         |pp AS (
+         |  SELECT event_type, sr, lam,
+         |    aggregate(ys,
+         |      named_struct('t', CAST(0 AS BIGINT), 'mean', CAST(0 AS DOUBLE),
+         |        'm', CAST(0 AS DOUBLE), 'mmin', CAST(0 AS DOUBLE),
+         |        'u', CAST(0 AS DOUBLE), 'umax', CAST(0 AS DOUBLE),
+         |        'arr', CAST(array() AS ARRAY<STRUCT<pi: DOUBLE, pd: DOUBLE>>)),
+         |      (acc, y) -> named_struct(
+         |        't', acc.t + 1,
+         |        'mean', $meanP,
+         |        'm', $mP,
+         |        'mmin', least(acc.mmin, $mP),
+         |        'u', $uP,
+         |        'umax', greatest(acc.umax, $uP),
+         |        'arr', concat(acc.arr, array(named_struct(
+         |          'pi', $mP - least(acc.mmin, $mP),
+         |          'pd', greatest(acc.umax, $uP) - $uP))))).arr AS ph
+         |  FROM lims),
+         |e AS (
+         |  SELECT event_type, lam, x.day AS day, x.rev AS rev,
+         |    x.pi AS pi, x.pd AS pd
+         |  FROM pp LATERAL VIEW explode(zip_with(sr, ph,
+         |    (a, p) -> named_struct('day', a.day, 'rev', a.rev,
+         |      'pi', p.pi, 'pd', p.pd))) t AS x)
+         |SELECT event_type, day, rev,
+         |  CAST(round(pi, 6) AS DOUBLE) AS ph_up,
+         |  CAST(round(pd, 6) AS DOUBLE) AS ph_down,
+         |  CAST(round(lam, 6) AS DOUBLE) AS lambda,
+         |  (pi > lam OR pd > lam) AS breach
+         |FROM e ORDER BY event_type, day""".stripMargin
+    },
 
     // Holt-Winters: the same HOF device with the (l, b, s[7]) state
     "agg_holt_winters" ->

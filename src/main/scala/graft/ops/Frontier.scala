@@ -153,9 +153,13 @@ object Frontier {
     * ReuseExchange does not collapse logical subtrees); degrees are one
     * aggregate; the argmin rides a window partitioned by node over the
     * edge list — model-sized, no iteration. */
-  def graphLouvainPass(
-      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
-    (s, d) => {
+  /** Shared louvain-move machinery: the materialized edge list and the
+    * per-node move decision (node, deg, best_nbr, moved, community,
+    * delta_q) — consumed by [[graphLouvainPass]] (the declared per-node
+    * view) and [[graphLouvainCoarsen]] (the level-2 graph built on the
+    * resulting partition). */
+  private def louvainCore(cp: graft.api.CheckpointStrategy)(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -168,7 +172,7 @@ object Frontier {
     val deg = dir.groupBy(col("i").as("p")).agg(count(lit(1)).as("deg"))
     val m = edges.agg(count(lit(1)).as("m"))
     val w = Window.partitionBy(col("i")).orderBy(col("kj").asc, col("j").asc)
-    dir
+    val moves = dir
       .join(deg.select(col("p").as("i"), col("deg").as("ki")), "i")
       .join(deg.select(col("p").as("j"), col("deg").as("kj")), "j")
       .withColumn("rnk", row_number().over(w))
@@ -182,7 +186,43 @@ object Frontier {
           .as("community"),
         (col("gain_num").cast("double")
           / (lit(2L) * col("m") * col("m")).cast("double")).as("delta_q"))
-      .orderBy(col("node"))
+    (edges, moves)
+  }
+
+  def graphLouvainPass(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => louvainCore(cp)(s, d)._2.orderBy(col("node"))
+
+  /** LOUVAIN COARSENING — the second half of a Louvain LEVEL (the move
+    * step [[graphLouvainPass]] proposes the partition; this builds the
+    * SUPER-GRAPH the next level runs on): every original edge maps its
+    * endpoints through the community assignment and the coarse edge
+    * (ca ≤ cb) carries the count of original edges it absorbs — the
+    * self-pair (ca = cb) rows are the intra-community edge mass that
+    * becomes the next level's self-loops. Together the two keys are one
+    * full Louvain level expressed as bounded relational units: full
+    * Louvain is a driver-side composition (level k+1 = the same pair on
+    * a strictly smaller graph).
+    *
+    * 100 TB shape: one node-keyed equi-join per endpoint (the community
+    * map is node-count-sized — at cluster scale a shuffle-hash join on
+    * the node key, never a product) and ONE (ca, cb) aggregate whose
+    * output is the coarse graph — strictly smaller than the input by
+    * the move step's merges. All counts integer-exact. */
+  def graphLouvainCoarsen(
+      cp: graft.api.CheckpointStrategy = graft.api.CheckpointStrategy.Local): Q =
+    (s, d) => {
+    val (edges, moves) = louvainCore(cp)(s, d)
+    val comm = moves.select(col("node"), col("community"))
+    edges
+      .join(comm.select(col("node").as("pa"), col("community").as("x")), "pa")
+      .join(comm.select(col("node").as("pb"), col("community").as("y")), "pb")
+      .groupBy(least(col("x"), col("y")).as("ca"),
+        greatest(col("x"), col("y")).as("cb"))
+      .agg(count(lit(1)).as("n_edges"))
+      .select(col("ca"), col("cb"), col("n_edges"),
+        (col("ca") === col("cb")).as("is_self"))
+      .orderBy(col("ca"), col("cb"))
   }
 
   // ---------------------------------------------------- events_cusum_chart
@@ -258,6 +298,87 @@ object Frontier {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // -------------------------------------------------- events_page_hinkley
+
+  /** PAGE-HINKLEY TEST (Page 1954; the sequential mean-shift detector
+    * standard in stream-drift monitoring, e.g. the MOA/river default) —
+    * the third SPC device next to `events_ewma_chart` and
+    * `events_cusum_chart`, and the one with an ADAPTIVE baseline: CUSUM
+    * measures deviation from the FIXED global μ; Page-Hinkley deviates
+    * from the RUNNING mean x̄ₜ, so it keeps working when the "normal"
+    * level itself wanders. Per type, day order:
+    *   x̄ₜ = x̄ₜ₋₁ + (yₜ − x̄ₜ₋₁)/t,
+    *   mₜ = mₜ₋₁ + (yₜ − x̄ₜ − δ),  PH⁺ₜ = mₜ − min_{i≤t} mᵢ   (up-shift)
+    *   uₜ = uₜ₋₁ + (yₜ − x̄ₜ + δ),  PH⁻ₜ = max_{i≤t} uᵢ − uₜ   (down-shift)
+    * with δ = 0.05σ and alarm threshold λ = 3σ (σ from the shared exact
+    * DECIMAL moment folds). One HOF fold carries (t, x̄, m, min m, u,
+    * max u) and emits the PH series; the oracle replays it as a
+    * RECURSIVE CTE with the identical inlined-expression op order
+    * (x̄ₜ is recomputed textually inside mₜ/uₜ exactly like the lambda
+    * inlines it — same IEEE sequence, bit-equal doubles). Breach
+    * compares UNROUNDED PH values to λ.
+    *
+    * 100 TB shape: the agg_holt class — map-side fold to the
+    * (type × day) grid, one bounded per-type recursion. */
+  val eventsPageHinkley: Q = (s, d) => {
+    import graft.core.Numeric.dsum
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("rev"))
+    val ser = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("rev")))).as("sr"))
+      .select(col("event_type"), col("sr"),
+        expr("transform(sr, x -> x.rev)").as("ys"))
+      .filter(size(col("ys")) >= 2)
+      .withColumn("n", size(col("ys")).cast("long"))
+      .withColumn("sy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(28,8)), " +
+          "(a, y) -> CAST(a + CAST(y AS DECIMAL(20,8)) AS DECIMAL(28,8)))"))
+      .withColumn("syy",
+        expr("aggregate(ys, CAST(0 AS DECIMAL(38,8)), (a, y) -> " +
+          "CAST(a + CAST(CAST(y AS DECIMAL(20,8)) * CAST(y AS DECIMAL(20,8)) " +
+          "AS DECIMAL(38,8)) AS DECIMAL(38,8)))"))
+      .withColumn("sigma",
+        sqrt((col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1.0))))
+      .withColumn("dd", lit(0.05) * col("sigma"))
+      .withColumn("lam", lit(3.0) * col("sigma"))
+    // mean'/m'/u' are INLINED per reference (a lambda has no lets) — the
+    // oracle spells the identical inlined text, so the op order matches
+    val meanP = "(acc.mean + (y - acc.mean) / CAST(acc.t + 1 AS DOUBLE))"
+    val mP = s"(acc.m + (y - $meanP - dd))"
+    val uP = s"(acc.u + (y - $meanP + dd))"
+    val ph = ser.withColumn("ph",
+      expr(s"""aggregate(ys,
+        |  named_struct('t', CAST(0 AS BIGINT), 'mean', CAST(0 AS DOUBLE),
+        |    'm', CAST(0 AS DOUBLE), 'mmin', CAST(0 AS DOUBLE),
+        |    'u', CAST(0 AS DOUBLE), 'umax', CAST(0 AS DOUBLE),
+        |    'arr', CAST(array() AS ARRAY<STRUCT<pi: DOUBLE, pd: DOUBLE>>)),
+        |  (acc, y) -> named_struct(
+        |    't', acc.t + 1,
+        |    'mean', $meanP,
+        |    'm', $mP,
+        |    'mmin', least(acc.mmin, $mP),
+        |    'u', $uP,
+        |    'umax', greatest(acc.umax, $uP),
+        |    'arr', concat(acc.arr, array(named_struct(
+        |      'pi', $mP - least(acc.mmin, $mP),
+        |      'pd', greatest(acc.umax, $uP) - $uP))))).arr""".stripMargin))
+    ph.select(col("event_type"), col("lam"),
+        posexplode(expr(
+          "zip_with(sr, ph, (a, p) -> named_struct(" +
+            "'day', a.day, 'rev', a.rev, 'pi', p.pi, 'pd', p.pd))"))
+          .as(Seq("i", "e")))
+      .select(col("event_type"), col("e.day").as("day"),
+        col("e.rev").as("rev"),
+        round(col("e.pi"), 6).as("ph_up"),
+        round(col("e.pd"), 6).as("ph_down"),
+        round(col("lam"), 6).as("lambda"),
+        (col("e.pi") > col("lam") || col("e.pd") > col("lam")).as("breach"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // -------------------------------------------------------------- agg_kll
 
   /** MERGEABLE QUANTILE SKETCH ROLLUP — the rank twin of
@@ -295,9 +416,35 @@ object Frontier {
     "dedup_decontaminate" -> dedupDecontaminate,
     "text_bm25" -> textBm25,
     "graph_louvain_pass" -> graphLouvainPass(),
+    "graph_louvain_coarsen" -> graphLouvainCoarsen(),
     "events_cusum_chart" -> eventsCusumChart,
+    "events_page_hinkley" -> eventsPageHinkley,
     "agg_kll" -> aggKll,
   )
+
+  /** Shared ANSI CTE chain for the louvain keys: edge build, degrees,
+    * edge count, best positive-gain move per node. */
+  private val louvainCoreSql: String =
+    """li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 5 = 0),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey),
+      |dir AS (SELECT pa AS i, pb AS j FROM edges
+      |        UNION ALL SELECT pb AS i, pa AS j FROM edges),
+      |deg AS (SELECT i AS p, COUNT(*) AS deg FROM dir GROUP BY i),
+      |m AS (SELECT COUNT(*) AS m FROM edges),
+      |best AS (
+      |  SELECT i, ki, j, kj FROM (
+      |    SELECT dir.i, di.deg AS ki, dir.j, dj.deg AS kj,
+      |      ROW_NUMBER() OVER (PARTITION BY dir.i
+      |        ORDER BY dj.deg ASC, dir.j ASC) AS rnk
+      |    FROM dir
+      |    JOIN deg di ON di.p = dir.i
+      |    JOIN deg dj ON dj.p = dir.j)
+      |  WHERE rnk = 1)""".stripMargin
 
   /** DuckDB oracle texts. graph_louvain_pass is dual-dialect ANSI (listed
     * in SqlCatalog.ansiKeys); the two text keys tokenize, so each dialect
@@ -416,32 +563,93 @@ object Frontier {
     },
 
     "graph_louvain_pass" ->
-      """WITH li AS (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_orderkey % 5 = 0),
-        |edges AS (
-        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey < b.l_partkey),
-        |dir AS (SELECT pa AS i, pb AS j FROM edges
-        |        UNION ALL SELECT pb AS i, pa AS j FROM edges),
-        |deg AS (SELECT i AS p, COUNT(*) AS deg FROM dir GROUP BY i),
-        |m AS (SELECT COUNT(*) AS m FROM edges),
-        |best AS (
-        |  SELECT i, ki, j, kj FROM (
-        |    SELECT dir.i, di.deg AS ki, dir.j, dj.deg AS kj,
-        |      ROW_NUMBER() OVER (PARTITION BY dir.i
-        |        ORDER BY dj.deg ASC, dir.j ASC) AS rnk
-        |    FROM dir
-        |    JOIN deg di ON di.p = dir.i
-        |    JOIN deg dj ON dj.p = dir.j)
-        |  WHERE rnk = 1)
-        |SELECT i AS node, ki AS deg, j AS best_nbr,
-        |  (2 * m.m - ki * kj > 0) AS moved,
-        |  CASE WHEN 2 * m.m - ki * kj > 0 THEN j ELSE i END AS community,
-        |  CAST(2 * m.m - ki * kj AS DOUBLE) / CAST(2 * m.m * m.m AS DOUBLE)
-        |    AS delta_q
-        |FROM best CROSS JOIN m
-        |ORDER BY node""".stripMargin,
+      s"""WITH $louvainCoreSql
+         |SELECT i AS node, ki AS deg, j AS best_nbr,
+         |  (2 * m.m - ki * kj > 0) AS moved,
+         |  CASE WHEN 2 * m.m - ki * kj > 0 THEN j ELSE i END AS community,
+         |  CAST(2 * m.m - ki * kj AS DOUBLE) / CAST(2 * m.m * m.m AS DOUBLE)
+         |    AS delta_q
+         |FROM best CROSS JOIN m
+         |ORDER BY node""".stripMargin,
+
+    "graph_louvain_coarsen" ->
+      s"""WITH $louvainCoreSql,
+         |comm AS (
+         |  SELECT i AS node,
+         |    CASE WHEN 2 * m.m - ki * kj > 0 THEN j ELSE i END AS c
+         |  FROM best CROSS JOIN m)
+         |SELECT LEAST(x.c, y.c) AS ca, GREATEST(x.c, y.c) AS cb,
+         |  COUNT(*) AS n_edges,
+         |  (LEAST(x.c, y.c) = GREATEST(x.c, y.c)) AS is_self
+         |FROM edges e
+         |JOIN comm x ON e.pa = x.node
+         |JOIN comm y ON e.pb = y.node
+         |GROUP BY LEAST(x.c, y.c), GREATEST(x.c, y.c)
+         |ORDER BY ca, cb""".stripMargin,
+
+    // Page-Hinkley recursion replayed as a RECURSIVE CTE: the running
+    // mean is INLINED into the m/u steps exactly as the fold's lambda
+    // inlines it — identical IEEE op order, bit-equal doubles
+    "events_page_hinkley" -> {
+      val dsumSql = graft.core.Numeric.dsumSql _
+      val sig =
+        """sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+          |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))""".stripMargin
+      val mean1 = "(CAST(0 AS DOUBLE) + (idx.rev - CAST(0 AS DOUBLE)) / CAST(1 AS DOUBLE))"
+      val m1 = s"(CAST(0 AS DOUBLE) + (idx.rev - $mean1 - l0.dd))"
+      val u1 = s"(CAST(0 AS DOUBLE) + (idx.rev - $mean1 + l0.dd))"
+      val meanS = "(r.mean + (d.rev - r.mean) / CAST(r.t + 1 AS DOUBLE))"
+      val mS = s"(r.m + (d.rev - $meanS - l.dd))"
+      val uS = s"(r.u + (d.rev - $meanS + l.dd))"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |idx AS (
+         |  SELECT event_type, day, rev,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |mo AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(rev AS DECIMAL(20,8))) AS sy,
+         |    SUM(CAST(CAST(rev AS DECIMAL(20,8))
+         |      * CAST(rev AS DECIMAL(20,8)) AS DECIMAL(38,8))) AS syy
+         |  FROM idx GROUP BY event_type HAVING COUNT(*) >= 2),
+         |lims AS (
+         |  SELECT event_type,
+         |    CAST(0.05 AS DOUBLE) * $sig AS dd,
+         |    CAST(3 AS DOUBLE) * $sig AS lam
+         |  FROM mo),
+         |rec AS (
+         |  SELECT idx.event_type, CAST(1 AS BIGINT) AS t,
+         |    $mean1 AS mean,
+         |    $m1 AS m,
+         |    least(CAST(0 AS DOUBLE), $m1) AS mmin,
+         |    $u1 AS u,
+         |    greatest(CAST(0 AS DOUBLE), $u1) AS umax
+         |  FROM idx JOIN lims l0 ON idx.event_type = l0.event_type
+         |  WHERE idx.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1,
+         |    $meanS,
+         |    $mS,
+         |    least(r.mmin, $mS),
+         |    $uS,
+         |    greatest(r.umax, $uS)
+         |  FROM rec r
+         |  JOIN idx d ON d.event_type = r.event_type AND d.rn = r.t + 1
+         |  JOIN lims l ON l.event_type = r.event_type)
+         |SELECT idx.event_type, idx.day, idx.rev,
+         |  CAST(round(rec.m - rec.mmin, 6) AS DOUBLE) AS ph_up,
+         |  CAST(round(rec.umax - rec.u, 6) AS DOUBLE) AS ph_down,
+         |  CAST(round(lims.lam, 6) AS DOUBLE) AS lambda,
+         |  (rec.m - rec.mmin > lims.lam OR rec.umax - rec.u > lims.lam)
+         |    AS breach
+         |FROM idx
+         |JOIN rec ON idx.event_type = rec.event_type AND idx.rn = rec.t
+         |JOIN lims ON idx.event_type = lims.event_type
+         |ORDER BY idx.event_type, idx.day""".stripMargin
+    },
   )
 }

@@ -898,6 +898,7 @@ class PlanSpec extends SparkSpecBase {
         "agg_holt_winters" -> graft.ops.Horizon.aggHoltWinters(spark, sf0001),
         "events_ewma_chart" -> graft.ops.Horizon.eventsEwmaChart(spark, sf0001),
         "events_cusum_chart" -> graft.ops.Frontier.eventsCusumChart(spark, sf0001),
+        "events_page_hinkley" -> graft.ops.Frontier.eventsPageHinkley(spark, sf0001),
         "events_forecast_eval" ->
           graft.ops.Horizon.eventsForecastEval(spark, sf0001))
       .foreach { case (k, df) =>
@@ -1002,6 +1003,15 @@ class PlanSpec extends SparkSpecBase {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.size <= 3,
       s"louvain pass should need ≤3 joins (2 degree equi + m), got ${joins.size}")
+  }
+
+  test("graph_louvain_coarsen: two node-keyed equi-joins over the materialized edges, no product") {
+    val df = graft.ops.Frontier.graphLouvainCoarsen()(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      "community-map join degenerated to a product")
+    // the coarse aggregate is one hash aggregate on (ca, cb)
+    assert(p.contains("HashAggregate"), "coarse edge count not a hash aggregate")
   }
 
   test("agg_kll is a two-level object hash aggregate (build cells, merge binaries) — no sort, no join") {
