@@ -66,7 +66,8 @@ object Bench {
     "agg_qq_drift", "events_forecast_eval",
     // round-11 flagships
     "dedup_decontaminate", "text_bm25", "graph_louvain_pass", "agg_kll",
-    "events_cusum_chart", "graph_louvain_coarsen", "events_page_hinkley")
+    "events_cusum_chart", "graph_louvain_coarsen", "events_page_hinkley",
+    "dedup_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2472,6 +2472,31 @@ object SqlCatalog {
     "dedup_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
 
+    // threshold sweep over the semantic (quadratic) pair form — same rows
+    // as the prefix-filtered DataFrame plan, then the 5-point grid
+    "dedup_threshold_sweep" ->
+      s"""WITH $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT a, b, round(jacc, 6) AS jr FROM (
+         |    SELECT sa.doc_id AS a, sb.doc_id AS b, $jaccSql AS jacc
+         |    FROM ssets sa JOIN ssets sb
+         |      ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |  WHERE jacc >= 0.5),
+         |g AS (SELECT CAST(t AS DOUBLE) AS t
+         |      FROM VALUES (0.5), (0.6), (0.7), (0.8), (0.9) AS v(t)),
+         |agg AS (
+         |  SELECT g.t, COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT pairs.a) AS n_vars,
+         |    COUNT(DISTINCT pairs.b) AS n_bases
+         |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t)
+         |SELECT g.t AS threshold,
+         |  COALESCE(agg.n_pairs, 0L) AS n_pairs,
+         |  COALESCE(agg.n_vars, 0L) AS n_vars,
+         |  COALESCE(agg.n_bases, 0L) AS n_bases
+         |FROM g LEFT JOIN agg ON agg.t = g.t
+         |ORDER BY threshold""".stripMargin,
+
     // train-vs-eval benchmark decontamination (round 11): one-sided
     // 8-gram containment, integer ppm arithmetic — Spark dialect of the
     // Frontier oracle (list primitives differ; the math is identical)

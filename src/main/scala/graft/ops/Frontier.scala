@@ -225,6 +225,44 @@ object Frontier {
       .orderBy(col("ca"), col("cb"))
   }
 
+  // --------------------------------------------------- dedup_threshold_sweep
+
+  /** DEDUP THRESHOLD SWEEP — the tuning curve every dedup deployment
+    * reads before picking its Jaccard cutoff: ONE candidate generation
+    * at the loosest threshold (0.5), then pair/doc counts at each
+    * candidate cutoff 0.5…0.9 from the same pair set. Sweeping by
+    * re-running the join per threshold would multiply the corpus-scale
+    * stage by the grid size; sweeping the MATERIALIZED pair set is a
+    * model-sized grid aggregate — the same reuse shape as
+    * `agg_sketch_rollup`. Thresholds compare against the ROUNDED jacc
+    * (the declared pair-output value, identical in both engines); grid
+    * rows with zero survivors are kept and zero-filled (the cramers_v
+    * grid-completion rule).
+    *
+    * 100 TB shape: candidate generation is the one corpus-scale stage
+    * (prefix-filtered, bucket-shuffled — the dedup_near plan); the
+    * sweep itself is |pairs| × 5 map-side, one 5-row aggregate out. */
+  val dedupThresholdSweep: Q = (s, d) => {
+    val c = LlmPipeline.corpus(s, d)
+    val pairs = graft.api.TextDedup.jaccardJoin(
+      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      "doc_id", "text", 0.5)
+    val grid = s.range(5, 10)
+      .select((col("id").cast("double") / lit(10.0)).as("t"))
+    val agg = pairs.crossJoin(broadcast(grid))
+      .filter(col("jacc") >= col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("left_id")).as("n_vars"),
+        countDistinct(col("right_id")).as("n_bases"))
+    grid.join(agg, Seq("t"), "left")
+      .select(col("t").as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vars"), lit(0L)).as("n_vars"),
+        coalesce(col("n_bases"), lit(0L)).as("n_bases"))
+      .orderBy(col("threshold"))
+  }
+
   // ---------------------------------------------------- events_cusum_chart
 
   /** CUSUM CONTROL CHART (Page 1954, tabular two-sided) — the drift
@@ -419,6 +457,7 @@ object Frontier {
     "graph_louvain_coarsen" -> graphLouvainCoarsen(),
     "events_cusum_chart" -> eventsCusumChart,
     "events_page_hinkley" -> eventsPageHinkley,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "agg_kll" -> aggKll,
   )
 
@@ -586,6 +625,32 @@ object Frontier {
          |JOIN comm y ON e.pb = y.node
          |GROUP BY LEAST(x.c, y.c), GREATEST(x.c, y.c)
          |ORDER BY ca, cb""".stripMargin,
+
+    // threshold sweep over ONE materialized candidate set; grid rows with
+    // zero survivors zero-fill (cramers_v grid-completion rule)
+    "dedup_threshold_sweep" -> {
+      import LlmPipeline.{corpusSql, shingleSetsSql, jaccSql}
+      s"""WITH $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b, round($jaccSql, 6) AS jr
+         |  FROM ssets sa JOIN ssets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= 0.5),
+         |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.5), (0.6),
+         |  (0.7), (0.8), (0.9)) v(t)),
+         |agg AS (
+         |  SELECT g.t, COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT pairs.a) AS n_vars,
+         |    COUNT(DISTINCT pairs.b) AS n_bases
+         |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t)
+         |SELECT g.t AS threshold,
+         |  COALESCE(agg.n_pairs, 0) AS n_pairs,
+         |  COALESCE(agg.n_vars, 0) AS n_vars,
+         |  COALESCE(agg.n_bases, 0) AS n_bases
+         |FROM g LEFT JOIN agg ON agg.t = g.t
+         |ORDER BY threshold""".stripMargin
+    },
 
     // Page-Hinkley recursion replayed as a RECURSIVE CTE: the running
     // mean is INLINED into the m/u steps exactly as the fold's lambda

@@ -1014,6 +1014,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), "coarse edge count not a hash aggregate")
   }
 
+  test("dedup_threshold_sweep: one candidate join, broadcast 5-row grid, no product") {
+    val p = planString(graft.ops.Frontier.dedupThresholdSweep(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "threshold grid degenerated to a product")
+    // the grid rides a bounded broadcast; candidate generation is the
+    // dedup_near prefix-filter plan (pinned by its own tests)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "5-row threshold grid is not broadcast")
+  }
+
   test("agg_kll is a two-level object hash aggregate (build cells, merge binaries) — no sort, no join") {
     val p = planString(graft.ops.Frontier.aggKll(spark, sf0001))
     assert(p.contains("ObjectHashAggregate"),
