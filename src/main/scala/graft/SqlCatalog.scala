@@ -2482,9 +2482,9 @@ object SqlCatalog {
          |    SELECT sa.doc_id AS a, sb.doc_id AS b, $jaccSql AS jacc
          |    FROM ssets sa JOIN ssets sb
          |      ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
-         |  WHERE jacc >= 0.5),
+         |  WHERE jacc >= 0.7),
          |g AS (SELECT CAST(t AS DOUBLE) AS t
-         |      FROM VALUES (0.5), (0.6), (0.7), (0.8), (0.9) AS v(t)),
+         |      FROM VALUES (0.7), (0.75), (0.8), (0.85), (0.9) AS v(t)),
          |agg AS (
          |  SELECT g.t, COUNT(*) AS n_pairs,
          |    COUNT(DISTINCT pairs.a) AS n_vars,

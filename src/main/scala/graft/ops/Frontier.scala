@@ -227,17 +227,21 @@ object Frontier {
 
   // --------------------------------------------------- dedup_threshold_sweep
 
-  /** DEDUP THRESHOLD SWEEP — the tuning curve every dedup deployment
-    * reads before picking its Jaccard cutoff: ONE candidate generation
-    * at the loosest threshold (0.5), then pair/doc counts at each
-    * candidate cutoff 0.5…0.9 from the same pair set. Sweeping by
-    * re-running the join per threshold would multiply the corpus-scale
-    * stage by the grid size; sweeping the MATERIALIZED pair set is a
-    * model-sized grid aggregate — the same reuse shape as
-    * `agg_sketch_rollup`. Thresholds compare against the ROUNDED jacc
-    * (the declared pair-output value, identical in both engines); grid
-    * rows with zero survivors are kept and zero-filled (the cramers_v
-    * grid-completion rule).
+  /** DEDUP THRESHOLD SWEEP — the tuning curve a dedup deployment reads
+    * before tightening its Jaccard cutoff: ONE candidate generation at
+    * the DEPLOYED floor (0.7 — the `dedup_near` production threshold),
+    * then pair/doc counts at each stricter cutoff 0.7…0.9 from the same
+    * pair set. Sweeping by re-running the join per threshold would
+    * multiply the corpus-scale stage by the grid size; sweeping the
+    * MATERIALIZED pair set is a model-sized grid aggregate — the
+    * `agg_sketch_rollup` reuse shape. The sweep floor deliberately
+    * EQUALS the deployed floor: the prefix-filter's candidate bound is
+    * 1/t-sensitive (a 0.5 floor measured 16× the 0.7 plan's wall-time
+    * at sf0.1 — pure candidate explosion), and tuning BELOW the
+    * deployed cutoff honestly requires re-generation, not a sweep.
+    * Thresholds compare against the ROUNDED jacc (the declared
+    * pair-output value, identical in both engines); zero-survivor grid
+    * rows kept and zero-filled (the cramers_v grid-completion rule).
     *
     * 100 TB shape: candidate generation is the one corpus-scale stage
     * (prefix-filtered, bucket-shuffled — the dedup_near plan); the
@@ -246,9 +250,9 @@ object Frontier {
     val c = LlmPipeline.corpus(s, d)
     val pairs = graft.api.TextDedup.jaccardJoin(
       c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
-      "doc_id", "text", 0.5)
-    val grid = s.range(5, 10)
-      .select((col("id").cast("double") / lit(10.0)).as("t"))
+      "doc_id", "text", 0.7)
+    val grid = s.range(14, 19)
+      .select((col("id").cast("double") / lit(20.0)).as("t"))
     val agg = pairs.crossJoin(broadcast(grid))
       .filter(col("jacc") >= col("t"))
       .groupBy(col("t"))
@@ -636,9 +640,9 @@ object Frontier {
          |  SELECT sa.doc_id AS a, sb.doc_id AS b, round($jaccSql, 6) AS jr
          |  FROM ssets sa JOIN ssets sb
          |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
-         |  WHERE $jaccSql >= 0.5),
-         |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.5), (0.6),
-         |  (0.7), (0.8), (0.9)) v(t)),
+         |  WHERE $jaccSql >= 0.7),
+         |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.7), (0.75),
+         |  (0.8), (0.85), (0.9)) v(t)),
          |agg AS (
          |  SELECT g.t, COUNT(*) AS n_pairs,
          |    COUNT(DISTINCT pairs.a) AS n_vars,
