@@ -67,7 +67,9 @@ object Bench {
     // round-11 flagships
     "dedup_decontaminate", "text_bm25", "graph_louvain_pass", "agg_kll",
     "events_cusum_chart", "graph_louvain_coarsen", "events_page_hinkley",
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // round-11b flagships
+    "text_feature_hash", "graph_hits", "events_its", "text_ppl_bucket")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,7 +173,8 @@ object SparkEntry {
     "corpus_card"       -> Curation.corpusCard,
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries ++
-    Selection.queries ++ Horizon.queries ++ Frontier.queries
+    Selection.queries ++ Horizon.queries ++ Frontier.queries ++
+    Frontier2.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -206,5 +207,5 @@ object SparkEntry {
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
       Curation.oracles ++ Stats.oracles ++ Selection.oracles ++
-      Horizon.oracles ++ Frontier.oracles
+      Horizon.oracles ++ Frontier.oracles ++ Frontier2.oracles
 }

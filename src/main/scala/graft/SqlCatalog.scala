@@ -120,7 +120,7 @@ object SqlCatalog {
     // round-10 keys whose oracle SQL is already ANSI
     "graph_betweenness",
     // round-11 keys whose oracle SQL is already ANSI
-    "graph_louvain_pass", "graph_louvain_coarsen")
+    "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -128,7 +128,7 @@ object SqlCatalog {
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles ++
-      graft.ops.Frontier.oracles)(k)
+      graft.ops.Frontier.oracles ++ graft.ops.Frontier2.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -142,6 +142,49 @@ object SqlCatalog {
       |  SELECT doc_id + 200000,
       |         array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shared per-doc perplexity CTE chain (Spark dialect), ending at the
+    * `ppl` CTE `(doc_id, n_tok, ppl)` — the statement body of
+    * `text_perplexity`, reused by `text_ppl_bucket`. */
+  private val pplCoreSparkSql: String =
+    """raw AS (
+      |  SELECT doc_id, pos, tok
+      |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+      |        FROM documents)),
+      |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
+      |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
+      |t AS (SELECT doc_id, pos, mtok,
+      |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      |  FROM (SELECT r.doc_id, r.pos,
+      |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+      |    FROM raw r LEFT JOIN vocab v ON r.tok = v.tok)),
+      |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
+      |    SUM(c.c) AS c
+      |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
+      |nt AS (SELECT SUM(c) AS nt FROM counts),
+      |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM t
+      |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
+      |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+      |scored AS (SELECT t.doc_id,
+      |    round(ln(CASE WHEN t.w1 IS NULL
+      |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+      |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+      |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+      |      AS lp
+      |  FROM t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
+      |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
+      |  LEFT JOIN c1t c ON t.w1 = c.w1),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+      |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+      |  FROM scored GROUP BY doc_id),
+      |mm AS (SELECT doc_id, n_tok,
+      |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+      |         ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END AS micro
+      |  FROM agg),
+      |ppl AS (SELECT doc_id, n_tok,
+      |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+      |      AS ppl
+      |  FROM mm)""".stripMargin
 
   /** Word 3-gram shingles of a token-array column `l` (Spark HOFs). */
   private val shingles =
@@ -2085,46 +2128,30 @@ object SqlCatalog {
     // interpolated-LM perplexity gate (posexplode + DIV dialect of the
     // DuckDB oracle; same IEEE expression shapes)
     "text_perplexity" ->
-      """WITH raw AS (
-        |  SELECT doc_id, pos, tok
-        |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
-        |        FROM documents)),
-        |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
-        |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
-        |t AS (SELECT doc_id, pos, mtok,
-        |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-        |  FROM (SELECT r.doc_id, r.pos,
-        |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
-        |    FROM raw r LEFT JOIN vocab v ON r.tok = v.tok)),
-        |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
-        |    SUM(c.c) AS c
-        |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
-        |nt AS (SELECT SUM(c) AS nt FROM counts),
-        |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM t
-        |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
-        |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
-        |scored AS (SELECT t.doc_id,
-        |    round(ln(CASE WHEN t.w1 IS NULL
-        |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
-        |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
-        |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
-        |      AS lp
-        |  FROM t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
-        |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
-        |  LEFT JOIN c1t c ON t.w1 = c.w1),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
-        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
-        |  FROM scored GROUP BY doc_id),
-        |mm AS (SELECT doc_id, n_tok,
-        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
-        |         ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END AS micro
-        |  FROM agg),
-        |ppl AS (SELECT doc_id, n_tok,
-        |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
-        |      AS ppl
-        |  FROM mm)
-        |SELECT doc_id, n_tok, ppl, ppl <= 21.1 AS keep
-        |FROM ppl ORDER BY doc_id""".stripMargin,
+      s"""WITH $pplCoreSparkSql
+         |SELECT doc_id, n_tok, ppl, ppl <= 21.1 AS keep
+         |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style per-language perplexity tertiles over the SAME per-doc
+    // ppl chain as text_perplexity (integer-micro bucket mean)
+    "text_ppl_bucket" ->
+      s"""WITH $pplCoreSparkSql,
+         |b AS (
+         |  SELECT d.lang, p.doc_id, p.n_tok, p.ppl,
+         |    NTILE(3) OVER (PARTITION BY d.lang
+         |      ORDER BY p.ppl ASC, p.doc_id ASC) AS bucket
+         |  FROM ppl p JOIN documents d USING (doc_id)),
+         |g AS (
+         |  SELECT lang, bucket, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl,
+         |    CAST(SUM(CAST(ppl AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS s6
+         |  FROM b GROUP BY lang, bucket)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+         |  min_ppl, max_ppl,
+         |  CAST((s6 * 2 + n_docs) DIV (n_docs * 2) AS DOUBLE) / 1000000.0
+         |    AS mean_ppl
+         |FROM g ORDER BY lang, bucket""".stripMargin,
 
     // 10-token segment dedup (transform/slice dialect; md5_48 native)
     "dedup_para" ->
@@ -2549,6 +2576,82 @@ object SqlCatalog {
     // BM25 top-3 terms per doc (round 11): same grid as text_tfidf, the
     // score expression spelled with the identical literals/associativity
     // as the DuckDB oracle (ln/round are dual-dialect)
+    // feature hashing (round 11b): native md5_48 buckets, complete 64-row
+    // grid, three bounded aggregates — the DataFrame plan's statement twin
+    "text_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |h AS (SELECT doc_id, term, md5_48(term) % 64 AS bucket FROM toks),
+        |bt AS (SELECT bucket, COUNT(*) AS n_tokens FROM h GROUP BY bucket),
+        |tm AS (SELECT md5_48(term) % 64 AS bucket, COUNT(*) AS n_terms
+        |       FROM (SELECT DISTINCT term FROM toks) GROUP BY 1),
+        |bd AS (SELECT bucket, COUNT(DISTINCT doc_id) AS n_docs
+        |       FROM h GROUP BY bucket),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        |g AS (SELECT CAST(b AS BIGINT) AS bucket
+        |      FROM (SELECT explode(sequence(0, 63)) AS b))
+        |SELECT g.bucket,
+        |  COALESCE(bt.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(tm.n_terms, CAST(0 AS BIGINT)) AS n_terms,
+        |  COALESCE(bd.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+        |  CAST(COALESCE(bt.n_tokens, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / CAST(tot.n_total AS DOUBLE) AS mass_share
+        |FROM g
+        |LEFT JOIN bt ON bt.bucket = g.bucket
+        |LEFT JOIN tm ON tm.bucket = g.bucket
+        |LEFT JOIN bd ON bd.bucket = g.bucket
+        |CROSS JOIN tot
+        |ORDER BY g.bucket""".stripMargin,
+
+    // interrupted time series (round 11b): Spark date functions, DIV
+    // integer division — the identical IEEE fit expressions as the oracle
+    "events_its" -> {
+      val fit = (n: String, sx: String, sy: String, sxy: String, sxx: String) => {
+        val nd = s"CAST($n AS DOUBLE)"; val sxd = s"CAST($sx AS DOUBLE)"
+        val syd = s"CAST($sy AS DOUBLE)"; val sxyd = s"CAST($sxy AS DOUBLE)"
+        val sxxd = s"CAST($sxx AS DOUBLE)"
+        val slope100 = s"(($nd * $sxyd - $sxd * $syd) / ($nd * $sxxd - $sxd * $sxd))"
+        (s"($slope100 / 100.0)",
+          s"((($syd - $slope100 * $sxd) / $nd) / 100.0)")
+      }
+      val (s0, i0) = fit("n0", "sx0", "sy0", "sxy0", "sxx0")
+      val (s1, i1) = fit("n1", "sx1", "sy1", "sxy1", "sxx1")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS rev
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |cutoff AS (
+         |  SELECT date_add(CAST(MIN(ts) AS DATE),
+         |    CAST(datediff(CAST(MAX(ts) AS DATE), CAST(MIN(ts) AS DATE)) DIV 2
+         |      AS INT)) AS cut
+         |  FROM events),
+         |base AS (
+         |  SELECT event_type,
+         |    CAST(datediff(day, cut) AS BIGINT) AS x,
+         |    CAST(ROUND(CAST(rev AS DECIMAL(28,8)), 2) * 100 AS BIGINT) AS y100
+         |  FROM daily CROSS JOIN cutoff),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN x < 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         |    CAST(SUM(CASE WHEN x >= 0 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         |    CAST(SUM(CASE WHEN x < 0 THEN y100 ELSE 0 END) AS BIGINT) AS sy0,
+         |    CAST(SUM(CASE WHEN x >= 0 THEN y100 ELSE 0 END) AS BIGINT) AS sy1,
+         |    CAST(SUM(CASE WHEN x < 0 THEN x * y100 ELSE 0 END) AS BIGINT) AS sxy0,
+         |    CAST(SUM(CASE WHEN x >= 0 THEN x * y100 ELSE 0 END) AS BIGINT) AS sxy1,
+         |    CAST(SUM(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
+         |    CAST(SUM(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1
+         |  FROM base GROUP BY event_type
+         |  HAVING SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) >= 2
+         |     AND SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) >= 2)
+         |SELECT event_type, n0 AS n_pre, n1 AS n_post,
+         |  $s0 AS slope_pre, $i0 AS intercept_pre,
+         |  $s1 AS slope_post, $i1 AS intercept_post,
+         |  ($s1 - $s0) AS slope_change, ($i1 - $i0) AS level_shift
+         |FROM m ORDER BY event_type""".stripMargin
+    },
+
     "text_bm25" ->
       """WITH terms AS (
         |  SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),

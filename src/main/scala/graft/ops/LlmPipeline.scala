@@ -1593,6 +1593,50 @@ object LlmPipeline {
     * `<unk>` path. */
   private val PplVocab = 24
 
+  /** Shared per-doc perplexity CTE chain (DuckDB dialect), ending at the
+    * `ppl` CTE `(doc_id, n_tok, ppl)` — the oracle body of
+    * [[textPerplexity]], reused verbatim by `text_ppl_bucket`
+    * ([[Frontier2]]) so the bucketed scores are BY CONSTRUCTION the same
+    * numbers the perplexity gate reports. */
+  private[ops] val pplCoreSql: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |raw AS (SELECT doc_id, i AS pos, l[i] AS tok
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+       |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
+       |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT $PplVocab),
+       |t AS (SELECT doc_id, pos, mtok,
+       |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |  FROM (SELECT r.doc_id, r.pos,
+       |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+       |    FROM raw r LEFT JOIN vocab v ON r.tok = v.tok)),
+       |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
+       |    SUM(c.c) AS c
+       |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
+       |nt AS (SELECT SUM(c) AS nt FROM counts),
+       |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM t
+       |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
+       |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+       |scored AS (SELECT t.doc_id,
+       |    round(ln(CASE WHEN t.w1 IS NULL
+       |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+       |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+       |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+       |      AS lp
+       |  FROM t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
+       |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
+       |  LEFT JOIN c1t c ON t.w1 = c.w1),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+       |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+       |  FROM scored GROUP BY doc_id),
+       |mm AS (SELECT doc_id, n_tok,
+       |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
+       |         ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS micro
+       |  FROM agg),
+       |ppl AS (SELECT doc_id, n_tok,
+       |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+       |      AS ppl
+       |  FROM mm)""".stripMargin
+
   /** Perplexity filter — the KenLM-style quality gate of a training
     * pipeline: per-doc perplexity under a Jelinek-Mercer INTERPOLATED
     * bigram model (λ·P_bigram + (1−λ)·P_unigram, λ=0.7) over a BOUNDED
@@ -1977,43 +2021,7 @@ object LlmPipeline {
     // log-probs round to 8 before the decimal sum, the mean rounds in
     // integer micro-units, exp of the bit-identical mean rounds to 6
     "text_perplexity" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         |raw AS (SELECT doc_id, i AS pos, l[i] AS tok
-         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
-         |counts AS (SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok),
-         |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT $PplVocab),
-         |t AS (SELECT doc_id, pos, mtok,
-         |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-         |  FROM (SELECT r.doc_id, r.pos,
-         |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
-         |    FROM raw r LEFT JOIN vocab v ON r.tok = v.tok)),
-         |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
-         |    SUM(c.c) AS c
-         |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
-         |nt AS (SELECT SUM(c) AS nt FROM counts),
-         |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM t
-         |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
-         |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
-         |scored AS (SELECT t.doc_id,
-         |    round(ln(CASE WHEN t.w1 IS NULL
-         |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
-         |      ELSE 0.7 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
-         |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
-         |      AS lp
-         |  FROM t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
-         |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
-         |  LEFT JOIN c1t c ON t.w1 = c.w1),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
-         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
-         |  FROM scored GROUP BY doc_id),
-         |mm AS (SELECT doc_id, n_tok,
-         |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
-         |         ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS micro
-         |  FROM agg),
-         |ppl AS (SELECT doc_id, n_tok,
-         |    CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
-         |      AS ppl
-         |  FROM mm)
+      s"""WITH $pplCoreSql
          |SELECT doc_id, n_tok, ppl, ppl <= $PplCutoff AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
 

@@ -1037,4 +1037,58 @@ class PlanSpec extends SparkSpecBase {
     val nKll = "kll_sketch_agg".r.findAllIn(p).size
     assert(nKll >= 2, s"expected both sketch levels in the plan, got $nKll")
   }
+
+  // ----------------------------------------------------- round-11b shapes
+
+  test("text_feature_hash: three bounded hash aggregates, no Expand, grid joins broadcast") {
+    val p = planString(graft.ops.Frontier2.textFeatureHash(spark, sf0001))
+    assert(p.contains("HashAggregate"), "bucket census not a hash aggregate")
+    // the collision census aggregates the DISTINCT TERM table and doc
+    // coverage distincts (doc, bucket) — never a multi-distinct Expand
+    // (which would triple the token stream map-side)
+    assert(!p.contains("Expand"),
+      "a multi-count-distinct Expand crept into the token stream")
+    assert(!p.contains("CartesianProduct"),
+      "the 64-row grid or 1-row total degenerated to a product")
+    assert(!p.contains("SortMergeJoin"),
+      "the bounded 64-row grid joins must broadcast, not sort-merge")
+  }
+
+  test("graph_hits: bounded level joins + TakeOrderedAndProject top-10, no product, no global sort") {
+    val df = graft.ops.Frontier2.graphHits(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      "a HITS level join degenerated to a product")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrderedAndProject, not a global Sort+Limit")
+    // the rank window runs on the 10 surviving rows only — the plan has
+    // windows, but each is downstream of a limit
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "HITS level sums are not hash aggregates")
+  }
+
+  test("events_its: ONE conditional-moment hash aggregate, broadcast 1-row cutoff, no second pass") {
+    val df = graft.ops.Frontier2.eventsIts(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row intervention cutoff degenerated to a product")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join crept into the segmented regression")
+    // both segments' moments ride the SAME aggregate — exactly one
+    // aggregate at the event_type grain above the daily fold
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.size <= 3,
+      s"ITS should need <=3 aggregates (daily fold, cutoff, moments), got ${aggs.size}")
+  }
+
+  test("text_ppl_bucket: perplexity's broadcast LM tables + one lang-partitioned ntile window") {
+    val p = planString(graft.ops.Frontier2.textPplBucket(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row corpus scalar degenerated to a product")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 2,
+      s"expected the perplexity lag window AND the ntile window, got $nWindows")
+    assert(p.contains("HashAggregate"), "bucket datasheet not a hash aggregate")
+  }
 }
