@@ -120,7 +120,8 @@ object SqlCatalog {
     // round-10 keys whose oracle SQL is already ANSI
     "graph_betweenness",
     // round-11 keys whose oracle SQL is already ANSI
-    "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits")
+    "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits",
+    "meta_lineage")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -2132,6 +2133,63 @@ object SqlCatalog {
          |SELECT doc_id, n_tok, ppl, ppl <= 21.1 AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
 
+    // held-out perplexity (round 11b): train/val split gates over the
+    // perplexity chain, unseen-context/bigram fallbacks spelled explicitly
+    "text_ppl_holdout" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |    md5_48('split:' || CAST(doc_id AS STRING)) % 100 AS bkt
+        |  FROM documents),
+        |traw AS (
+        |  SELECT doc_id, pos, tok
+        |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+        |        FROM docs WHERE bkt >= 2)),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM traw GROUP BY tok),
+        |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
+        |tt AS (SELECT doc_id, pos, mtok,
+        |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM (SELECT r.doc_id, r.pos,
+        |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+        |    FROM traw r LEFT JOIN vocab v ON r.tok = v.tok)),
+        |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
+        |    SUM(c.c) AS c
+        |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
+        |nt AS (SELECT SUM(c) AS nt FROM counts),
+        |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM tt
+        |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
+        |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+        |vraw AS (
+        |  SELECT doc_id, pos, tok
+        |  FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+        |        FROM docs WHERE bkt = 0)),
+        |vm AS (SELECT doc_id, pos, mtok,
+        |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM (SELECT r.doc_id, r.pos,
+        |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+        |    FROM vraw r LEFT JOIN vocab v ON r.tok = v.tok)),
+        |scored AS (SELECT t.doc_id,
+        |    round(ln(CASE WHEN t.w1 IS NULL
+        |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+        |      ELSE 0.7 * (CASE WHEN c.c1 IS NULL THEN CAST(0.0 AS DOUBLE)
+        |          ELSE CAST(COALESCE(b.c12, 0) AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+        |          END)
+        |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+        |      AS lp
+        |  FROM vm t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
+        |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
+        |  LEFT JOIN c1t c ON t.w1 = c.w1),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+        |  FROM scored GROUP BY doc_id),
+        |mm AS (SELECT doc_id, n_tok,
+        |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+        |         ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END AS micro
+        |  FROM agg)
+        |SELECT doc_id, n_tok,
+        |  CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+        |    AS ppl_holdout
+        |FROM mm ORDER BY doc_id""".stripMargin,
+
     // CCNet-style per-language perplexity tertiles over the SAME per-doc
     // ppl chain as text_perplexity (integer-micro bucket mean)
     "text_ppl_bucket" ->
@@ -2523,6 +2581,99 @@ object SqlCatalog {
          |  COALESCE(agg.n_bases, 0L) AS n_bases
          |FROM g LEFT JOIN agg ON agg.t = g.t
          |ORDER BY threshold""".stripMargin,
+
+    // dedup PR curve vs planted truth (round 11b): same candidate set as
+    // the threshold sweep, integer-ppm precision/recall/F1
+    "dedup_eval" ->
+      s"""WITH $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT a, b, round(jacc, 6) AS jr FROM (
+         |    SELECT sa.doc_id AS a, sb.doc_id AS b, $jaccSql AS jacc
+         |    FROM ssets sa JOIN ssets sb
+         |      ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |  WHERE jacc >= 0.7),
+         |g AS (SELECT CAST(t AS DOUBLE) AS t
+         |      FROM VALUES (0.7), (0.75), (0.8), (0.85), (0.9) AS v(t)),
+         |agg AS (
+         |  SELECT g.t, COUNT(*) AS n_detected,
+         |    CAST(SUM(CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |    COUNT(DISTINCT CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |      THEN pairs.a END) AS n_vars_matched
+         |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t),
+         |expected AS (
+         |  SELECT COUNT(*) AS n_expected FROM documents WHERE doc_id % 7 = 0),
+         |filled AS (
+         |  SELECT g.t AS threshold, expected.n_expected,
+         |    COALESCE(agg.n_detected, 0L) AS n_detected,
+         |    COALESCE(agg.n_true, 0L) AS n_true,
+         |    COALESCE(agg.n_vars_matched, 0L) AS n_vars_matched
+         |  FROM g LEFT JOIN agg ON agg.t = g.t CROSS JOIN expected),
+         |ppm AS (
+         |  SELECT threshold, n_expected, n_detected, n_true, n_vars_matched,
+         |    CASE WHEN n_detected > 0
+         |      THEN n_true * 1000000 DIV n_detected ELSE 0L END AS p_ppm,
+         |    n_vars_matched * 1000000 DIV n_expected AS r_ppm
+         |  FROM filled)
+         |SELECT threshold, n_expected, n_detected, n_true, n_vars_matched,
+         |  CAST(p_ppm AS DOUBLE) / 1000000.0 AS precision,
+         |  CAST(r_ppm AS DOUBLE) / 1000000.0 AS recall,
+         |  CAST(CASE WHEN p_ppm + r_ppm > 0
+         |    THEN 2 * p_ppm * r_ppm DIV (p_ppm + r_ppm) ELSE 0L END AS DOUBLE)
+         |    / 1000000.0 AS f1
+         |FROM ppm ORDER BY threshold""".stripMargin,
+
+    // PSI drift over fixed-width integer-cent bins (round 11b): add-one
+    // smoothed ppm shares, ln-fed terms rounded 8 into decimal sums
+    "agg_psi" ->
+      """WITH v AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS v100
+        |  FROM orders),
+        |scal AS (
+        |  SELECT date_add(MIN(day),
+        |      CAST(datediff(MAX(day), MIN(day)) DIV 2 AS INT)) AS cut,
+        |    MIN(v100) AS min100, MAX(v100) AS max100
+        |  FROM v),
+        |binned AS (
+        |  SELECT (v100 - min100) * 10 DIV (max100 - min100 + 1) AS bin,
+        |    CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_curr
+        |  FROM v CROSS JOIN scal
+        |  GROUP BY (v100 - min100) * 10 DIV (max100 - min100 + 1)),
+        |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+        |               CAST(SUM(n_curr) AS BIGINT) AS nc FROM binned),
+        |g AS (SELECT CAST(b AS BIGINT) AS bin
+        |      FROM (SELECT explode(sequence(0, 9)) AS b)),
+        |grid AS (
+        |  SELECT g.bin,
+        |    COALESCE(binned.n_base, 0L) AS n_base,
+        |    COALESCE(binned.n_curr, 0L) AS n_curr,
+        |    tot.nb, tot.nc
+        |  FROM g LEFT JOIN binned ON binned.bin = g.bin CROSS JOIN tot),
+        |terms AS (
+        |  SELECT bin, n_base, n_curr,
+        |    (n_base + 1) * 1000000 DIV (nb + 10) AS base_ppm,
+        |    (n_curr + 1) * 1000000 DIV (nc + 10) AS curr_ppm,
+        |    CAST(round(
+        |      (CAST(n_base + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)
+        |        - CAST(n_curr + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |      * ln((CAST(n_base + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |          / (CAST(n_curr + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))),
+        |      8) AS DECIMAL(20,8)) AS term8
+        |  FROM grid),
+        |total AS (SELECT SUM(term8) AS psi8 FROM terms)
+        |SELECT bin, n_base, n_curr,
+        |  CAST(base_ppm AS BIGINT) AS base_ppm,
+        |  CAST(curr_ppm AS BIGINT) AS curr_ppm,
+        |  CAST(term8 AS DOUBLE) AS psi_term,
+        |  CAST(psi8 AS DOUBLE) AS psi_total
+        |FROM terms CROSS JOIN total
+        |ORDER BY bin""".stripMargin,
 
     // train-vs-eval benchmark decontamination (round 11): one-sided
     // 8-gram containment, integer ppm arithmetic — Spark dialect of the
@@ -3539,6 +3690,76 @@ object SqlCatalog {
          |FROM brute b LEFT JOIN ivf i
          |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
+
+    // nDCG@5 of the IVF ranking vs the brute-force truth (round 11b):
+    // natural-log discount, per-term round 8 into decimal sums
+    "sim_ndcg" ->
+      s"""WITH en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(float_dot(embedding, embedding)) AS norm
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(float_dot(p.embedding, c.embedding) / (p.norm * c.norm), 6) AS cos
+         |  FROM en p JOIN en c ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |brute AS (
+         |  SELECT probe_id, cand_id, ernk FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, cand_id) AS ernk
+         |    FROM bscored) WHERE ernk <= 5),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosFd("e.embedding", "c.cent")}, 6) DESC,
+         |          c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |icells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.cent")}, 6) DESC,
+         |          c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |iscored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cosFd("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN icells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ivf AS (
+         |  SELECT probe_id, cand_id, rnk FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM iscored) WHERE rnk <= 5),
+         |dcg AS (
+         |  SELECT i.probe_id,
+         |    SUM(CAST(round(CAST(COALESCE(6 - b.ernk, 0) AS DOUBLE)
+         |      / ln(CAST(i.rnk AS DOUBLE) + 1.0), 8) AS DECIMAL(20,8))) AS dcg8
+         |  FROM ivf i LEFT JOIN brute b
+         |    ON i.probe_id = b.probe_id AND i.cand_id = b.cand_id
+         |  GROUP BY i.probe_id),
+         |idcg AS (
+         |  SELECT probe_id,
+         |    SUM(CAST(round(CAST(6 - ernk AS DOUBLE)
+         |      / ln(CAST(ernk AS DOUBLE) + 1.0), 8) AS DECIMAL(20,8))) AS idcg8
+         |  FROM brute GROUP BY probe_id)
+         |SELECT idcg.probe_id,
+         |  CAST(COALESCE(dcg.dcg8, CAST(0 AS DECIMAL(20,8))) AS DOUBLE) AS dcg,
+         |  CAST(idcg.idcg8 AS DOUBLE) AS idcg,
+         |  round(CAST(COALESCE(dcg.dcg8, CAST(0 AS DECIMAL(20,8))) AS DOUBLE)
+         |    / CAST(idcg.idcg8 AS DOUBLE), 6) AS ndcg
+         |FROM idcg LEFT JOIN dcg ON idcg.probe_id = dcg.probe_id
+         |ORDER BY idcg.probe_id""".stripMargin,
 
     "events_features" ->
       s"""WITH f AS (

@@ -257,6 +257,282 @@ object Frontier2 {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  // --------------------------------------------------------------- agg_psi
+
+  /** POPULATION STABILITY INDEX (the model-monitoring drift metric the
+    * credit-risk world standardized: PSI < 0.1 stable, > 0.25 shifted) —
+    * the binned-share companion of `text_ks_drift`/`agg_qq_drift`: the
+    * order-value distribution before the period midpoint (baseline) vs
+    * after (current) over 10 FIXED-WIDTH bins,
+    * PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Bin assignment is pure integer
+    * arithmetic on exact cents — `(v100 − min100)·10 DIV (max100 −
+    * min100 + 1)` — so the histogram is engine- and partition-exact;
+    * shares are add-one smoothed ((n+1)/(N+10), add-one over 10 bins) so
+    * empty bins keep ln finite, reported as integer PPM (the
+    * `dedup_decontaminate` device — a 6-rounded share ratio is the r10
+    * half-rounding trap); each PSI term is ln-fed IEEE, rounds at 8 and
+    * sums as exact DECIMAL. The 10-row grid is COMPLETE (cramers_v
+    * rule).
+    *
+    * 100 TB shape: one 3-scalar bounds aggregate broadcasts; the binned
+    * counts are ONE conditional hash aggregate onto 10 rows (map-side
+    * combined); everything downstream is grid-sized. */
+  val aggPsi: Q = (s, d) => {
+    val o = T.orders(s, d)
+    val scal = o.agg(
+        to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"),
+        min((round(col("o_totalprice").cast("decimal(28,8)"), 2) * 100)
+          .cast("long")).as("min100"),
+        max((round(col("o_totalprice").cast("decimal(28,8)"), 2) * 100)
+          .cast("long")).as("max100"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").as("cut"),
+        col("min100"), col("max100"))
+    val binned = o.select(col("o_orderdate"),
+        (round(col("o_totalprice").cast("decimal(28,8)"), 2) * 100)
+          .cast("long").as("v100"))
+      .crossJoin(broadcast(scal))
+      .select(expr("(v100 - min100) * 10 DIV (max100 - min100 + 1)").as("bin"),
+        (to_date(col("o_orderdate")) < col("cut")).as("is_base"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+    val tot = binned.agg(sum(col("n_base")).as("nb"), sum(col("n_curr")).as("nc"))
+    val grid = s.range(0, 10).select(col("id").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"),
+        col("nb"), col("nc"))
+      .withColumn("base_ppm", expr("(n_base + 1) * 1000000 DIV (nb + 10)"))
+      .withColumn("curr_ppm", expr("(n_curr + 1) * 1000000 DIV (nc + 10)"))
+      .withColumn("p", (col("n_base") + 1L).cast("double")
+        / (col("nb") + 10L).cast("double"))
+      .withColumn("q", (col("n_curr") + 1L).cast("double")
+        / (col("nc") + 10L).cast("double"))
+      .withColumn("term8",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .cast("decimal(20,8)"))
+    val total = grid.agg(sum(col("term8")).as("psi8"))
+    grid.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_base"), col("n_curr"),
+        col("base_ppm"), col("curr_ppm"),
+        col("term8").cast("double").as("psi_term"),
+        col("psi8").cast("double").as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
+  // ------------------------------------------------------------- dedup_eval
+
+  /** DEDUP PRECISION/RECALL CURVE against PLANTED ground truth — the eval
+    * that closes the loop on the dedup family: `dedup_threshold_sweep`
+    * counts what each cutoff KEEPS; this scores each cutoff against the
+    * truth the harness corpus plants (every doc_id%7=0 base has a
+    * −2-token variant at +200000 — the variant's true family is
+    * `id % 100000`). Per threshold 0.7…0.9 over ONE candidate
+    * generation at the deployed floor: detected pairs, family-correct
+    * pairs (precision's numerator), variants recovered
+    * (recall's numerator vs the planted count), and F1 — the
+    * actual tuning curve a dedup deployment reads (sweep says 0.9 keeps
+    * fewer pairs; eval says what that does to recall).
+    *
+    * Arithmetic: precision/recall/F1 are integer-PPM floor divisions
+    * (`dedup_decontaminate` device; F1 folds as 2·P·R DIV (P+R) on the
+    * ppm integers) — a 6-rounded count ratio is the r10 half-rounding
+    * trap (1/128 = 0.0078125 terminates with a half at the 7th digit).
+    *
+    * 100 TB shape: candidate generation is the one corpus-scale stage
+    * (the dedup_near prefix-filter plan, run ONCE); truth labeling is a
+    * map-side modulus on the pair stream; the sweep is |pairs|×5
+    * map-side with one 5-row aggregate; the planted-count scalar
+    * broadcasts. */
+  val dedupEval: Q = (s, d) => {
+    val c = LlmPipeline.corpus(s, d)
+    val pairs = graft.api.TextDedup.jaccardJoin(
+      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      "doc_id", "text", 0.7)
+    val grid = s.range(14, 19)
+      .select((col("id").cast("double") / lit(20.0)).as("t"))
+    val agg = pairs.crossJoin(broadcast(grid))
+      .filter(col("jacc") >= col("t"))
+      .withColumn("is_true",
+        col("left_id") % 100000L === col("right_id") % 100000L)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_detected"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        countDistinct(when(col("is_true"), col("left_id"))).as("n_vars_matched"))
+    val expected = T.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .agg(count(lit(1)).as("n_expected"))
+    grid.join(agg, Seq("t"), "left").crossJoin(broadcast(expected))
+      .select(col("t").as("threshold"), col("n_expected"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_vars_matched"), lit(0L)).as("n_vars_matched"))
+      .withColumn("p_ppm", expr(
+        "CASE WHEN n_detected > 0 THEN n_true * 1000000 DIV n_detected " +
+          "ELSE 0 END"))
+      .withColumn("r_ppm", expr("n_vars_matched * 1000000 DIV n_expected"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN p_ppm + r_ppm > 0 THEN 2 * p_ppm * r_ppm DIV (p_ppm + r_ppm) " +
+          "ELSE 0 END"))
+      .select(col("threshold"), col("n_expected"), col("n_detected"),
+        col("n_true"), col("n_vars_matched"),
+        (col("p_ppm").cast("double") / lit(1000000.0)).as("precision"),
+        (col("r_ppm").cast("double") / lit(1000000.0)).as("recall"),
+        (col("f1_ppm").cast("double") / lit(1000000.0)).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  // --------------------------------------------------------------- sim_ndcg
+
+  /** nDCG@5 RETRIEVAL-QUALITY AUDIT of the IVF index — the GRADED
+    * companion of `sim_recall_audit` (recall@k says how many of the true
+    * top-5 the index returns; nDCG says whether it returns the BEST ones
+    * FIRST — the metric every retrieval eval actually reports): per
+    * probe, relevance of a candidate = 6 − its exact brute-force rank
+    * (0 if outside the true top-5), DCG = Σ rel(candᵢ)/ln(i+1) over the
+    * IVF ranking, IDCG = the same sum over the exact ranking, nDCG =
+    * DCG/IDCG. Natural-log discount (the standard variant; both engines
+    * spell the identical ln text). Per-position terms are ln-fed IEEE
+    * rounded at 8 and sum as exact DECIMAL; nDCG is one double division
+    * of two exactly-representable decimals, rounded 6.
+    *
+    * 100 TB shape: both rankings are the existing declared plans (brute
+    * = broadcast-probe scan; IVF = centroid-pruned cell join); the audit
+    * itself joins two O(probes × k) tables — model-sized. At deploy
+    * scale the brute side runs on a SAMPLE of probes (the standard
+    * ANN-eval protocol); the audit cost is the sample's brute scan. */
+  val simNdcg: Q = (s, d) => {
+    val exact = LlmPipeline.simTopk(s, d)
+      .select(col("probe_id"), col("rnk").as("ernk"), col("cand_id"))
+    val ivf = LlmPipeline.simTopkIvf(s, d)
+      .select(col("probe_id"), col("rnk"), col("cand_id"))
+    val term = (rel: Column, pos: Column) =>
+      round(rel.cast("double") / log(pos.cast("double") + lit(1.0)), 8)
+        .cast("decimal(20,8)")
+    val dcg = ivf.join(exact, Seq("probe_id", "cand_id"), "left")
+      .select(col("probe_id"),
+        term(coalesce(lit(6L) - col("ernk"), lit(0L)), col("rnk")).as("t8"))
+      .groupBy(col("probe_id")).agg(sum(col("t8")).as("dcg8"))
+    val idcg = exact
+      .select(col("probe_id"),
+        term(lit(6L) - col("ernk"), col("ernk")).as("t8"))
+      .groupBy(col("probe_id")).agg(sum(col("t8")).as("idcg8"))
+    idcg.join(dcg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("dcg8"), lit(0).cast("decimal(20,8)"))
+          .cast("double").as("dcg"),
+        col("idcg8").cast("double").as("idcg"),
+        round(coalesce(col("dcg8"), lit(0).cast("decimal(20,8)")).cast("double")
+          / col("idcg8").cast("double"), 6).as("ndcg"))
+      .orderBy(col("probe_id"))
+  }
+
+  // --------------------------------------------------------- text_ppl_holdout
+
+  /** HELD-OUT PERPLEXITY — the actual LM evaluation loop
+    * (`text_perplexity` scores docs under a model fit on the SAME corpus;
+    * an eval that matters fits on TRAIN and scores docs the model never
+    * saw): the deterministic `sample_split` fate (md5_48("split:"+id) %
+    * 100; 0 = val, ≥ 2 = train) partitions the corpus, the Jelinek-Mercer
+    * bigram model (same λ=0.7, same top-24 vocab bound — now from TRAIN
+    * counts only) fits on train, and every VAL doc scores under it. The
+    * genuinely-unseen-event cases the in-corpus key never exercises are
+    * spelled explicitly: an unseen context contributes bigram part 0 (JM
+    * backoff mass to the unigram term); an unseen bigram under a seen
+    * context contributes c12 = 0; vocab-mapping makes the unigram term
+    * always attested (`<unk>` is a train type by construction).
+    *
+    * Float discipline: identical to text_perplexity — fixed IEEE
+    * probability expressions over exact counts, log-probs round 8 into
+    * exact decimal sums, integer-micro mean, exp rounds 6.
+    *
+    * 100 TB shape: the split gate is a scan-fused row property (no
+    * shuffle); all model tables stay vocab-bounded and BROADCAST; val
+    * scoring is the same map-side pass as text_perplexity over a 1%
+    * slice. Fitting on 98% and scoring 1% costs one corpus aggregate
+    * pass plus a sliver. */
+  val textPplHoldout: Q = (s, d) => {
+    val h48 = (c: Column) => graft.expr.Md5Prefix48.md548(c)
+    val bucket = h48(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+    val docs = T.documents(s, d).withColumn("bkt", bucket)
+    val train = docs.filter(col("bkt") >= 2L)
+    val vals = docs.filter(col("bkt") === 0L)
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val tToks = toks(train)
+    val counts = tToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok")).limit(24)
+      .select(col("tok"), lit(1L).as("inv"))
+    def mapped(tok: Column, inv: Column): Column =
+      when(inv.isNull, lit("<unk>")).otherwise(tok)
+    def mStream(df: DataFrame) = toks(df)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        mapped(col("tok"), col("inv")).as("mtok"))
+    val uni = counts.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(mapped(col("tok"), col("inv")).as("mtok"))
+      .agg(sum(col("c")).as("c"))
+    val nTot = counts.agg(sum(col("c")).as("nt"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tSeq = mStream(train).withColumn("w1", lag(col("mtok"), 1).over(w))
+    val bg = tSeq.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("mtok")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vSeq = mStream(vals).withColumn("w1", lag(col("mtok"), 1).over(w))
+    val pUni = col("c").cast("double") / col("nt").cast("double")
+    val bigramPart = when(col("c1").isNull, lit(0.0))
+      .otherwise(coalesce(col("c12"), lit(0L)).cast("double")
+        / col("c1").cast("double"))
+    val p = when(col("w1").isNull, pUni)
+      .otherwise(lit(0.7) * bigramPart + lit(0.3) * pUni)
+    vSeq.join(broadcast(uni), Seq("mtok"))
+      .crossJoin(broadcast(nTot))
+      .join(broadcast(bg), Seq("w1", "mtok"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"), round(log(p), 8).cast("decimal(20,8)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(col("lp")) * 100000000L).cast("long").as("s8"))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) DIV (n_tok * 200)
+          |     ELSE -((-s8 * 2 + n_tok * 100) DIV (n_tok * 200)) END""".stripMargin))
+      .select(col("doc_id"), col("n_tok"),
+        round(exp(-col("mean_micro").cast("double") / 1e6), 6).as("ppl_holdout"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ meta_lineage
+
+  /** COLUMN-LEVEL LINEAGE REPORT ([[graft.core.Lineage]]) — the
+    * data-catalog observability surface (OpenLineage/Unity-catalog
+    * class): for three representative declared queries, every output
+    * column maps to the (source table, source column) leaves its VALUE
+    * derives from, read off the OPTIMIZED Catalyst plan — so pruned
+    * columns never appear and the report reflects what the engine
+    * actually reads. Data lineage only: join keys and filters are
+    * control dependencies and deliberately excluded (the OpenLineage
+    * distinction).
+    *
+    * The oracle is a PINNED constant table: lineage is a STATIC property
+    * of the fixed query text — the declarative truth IS the expected
+    * edge list, the same contract class as `meta_layout`'s layout
+    * constants. Pure plan metadata — no job runs, no data moves; at
+    * 100 TB this costs exactly what it costs here. */
+  val metaLineage: Q = (s, d) => {
+    val subjects: Seq[(String, Q)] = Seq(
+      "tpch_q3" -> Composite.queries("tpch_q3"),
+      "agg_hash" -> Relational.aggHash,
+      "window_lag" -> Relational.windowLag)
+    val rows = subjects.flatMap { case (qn, fn) =>
+      graft.core.Lineage.of(fn(s, d)).map { case (o, t, c) => (qn, o, t, c) }
+    }
+    import s.implicits._
+    rows.toDF("query", "out_col", "src_table", "src_col")
+      .orderBy(col("query"), col("out_col"), col("src_table"), col("src_col"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -264,6 +540,11 @@ object Frontier2 {
     "graph_hits" -> graphHits,
     "events_its" -> eventsIts,
     "text_ppl_bucket" -> textPplBucket,
+    "agg_psi" -> aggPsi,
+    "dedup_eval" -> dedupEval,
+    "sim_ndcg" -> simNdcg,
+    "text_ppl_holdout" -> textPplHoldout,
+    "meta_lineage" -> metaLineage,
   )
 
   /** DuckDB oracle texts. graph_hits is dual-dialect ANSI (listed in
@@ -371,6 +652,248 @@ object Frontier2 {
          |  ($s1 - $s0) AS slope_change, ($i1 - $i0) AS level_shift
          |FROM m ORDER BY event_type""".stripMargin
     },
+
+    "agg_psi" ->
+      """WITH v AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS v100
+        |  FROM orders),
+        |scal AS (
+        |  SELECT MIN(day)
+        |      + CAST(date_diff('day', MIN(day), MAX(day)) // 2 AS INTEGER)
+        |      AS cut,
+        |    MIN(v100) AS min100, MAX(v100) AS max100
+        |  FROM v),
+        |binned AS (
+        |  SELECT (v100 - min100) * 10 // (max100 - min100 + 1) AS bin,
+        |    CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_base,
+        |    CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_curr
+        |  FROM v CROSS JOIN scal
+        |  GROUP BY (v100 - min100) * 10 // (max100 - min100 + 1)),
+        |tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+        |               CAST(SUM(n_curr) AS BIGINT) AS nc FROM binned),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |grid AS (
+        |  SELECT g.bin,
+        |    COALESCE(binned.n_base, 0) AS n_base,
+        |    COALESCE(binned.n_curr, 0) AS n_curr,
+        |    tot.nb, tot.nc
+        |  FROM g LEFT JOIN binned ON binned.bin = g.bin CROSS JOIN tot),
+        |terms AS (
+        |  SELECT bin, n_base, n_curr,
+        |    (n_base + 1) * 1000000 // (nb + 10) AS base_ppm,
+        |    (n_curr + 1) * 1000000 // (nc + 10) AS curr_ppm,
+        |    CAST(round(
+        |      (CAST(n_base + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)
+        |        - CAST(n_curr + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |      * ln((CAST(n_base + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |          / (CAST(n_curr + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))),
+        |      8) AS DECIMAL(20,8)) AS term8
+        |  FROM grid),
+        |total AS (SELECT SUM(term8) AS psi8 FROM terms)
+        |SELECT bin, n_base, n_curr,
+        |  CAST(base_ppm AS BIGINT) AS base_ppm,
+        |  CAST(curr_ppm AS BIGINT) AS curr_ppm,
+        |  CAST(term8 AS DOUBLE) AS psi_term,
+        |  CAST(psi8 AS DOUBLE) AS psi_total
+        |FROM terms CROSS JOIN total
+        |ORDER BY bin""".stripMargin,
+
+    "dedup_eval" -> {
+      import LlmPipeline.{corpusSql, shingleSetsSql, jaccSql}
+      s"""WITH $corpusSql,
+         |$shingleSetsSql,
+         |pairs AS (
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b, round($jaccSql, 6) AS jr
+         |  FROM ssets sa JOIN ssets sb
+         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  WHERE $jaccSql >= 0.7),
+         |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.7), (0.75),
+         |  (0.8), (0.85), (0.9)) v(t)),
+         |agg AS (
+         |  SELECT g.t, COUNT(*) AS n_detected,
+         |    CAST(SUM(CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |    COUNT(DISTINCT CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |      THEN pairs.a END) AS n_vars_matched
+         |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t),
+         |expected AS (
+         |  SELECT COUNT(*) AS n_expected FROM documents WHERE doc_id % 7 = 0),
+         |filled AS (
+         |  SELECT g.t AS threshold, expected.n_expected,
+         |    COALESCE(agg.n_detected, 0) AS n_detected,
+         |    COALESCE(agg.n_true, 0) AS n_true,
+         |    COALESCE(agg.n_vars_matched, 0) AS n_vars_matched
+         |  FROM g LEFT JOIN agg ON agg.t = g.t CROSS JOIN expected),
+         |ppm AS (
+         |  SELECT threshold, n_expected, n_detected, n_true, n_vars_matched,
+         |    CASE WHEN n_detected > 0
+         |      THEN n_true * 1000000 // n_detected ELSE 0 END AS p_ppm,
+         |    n_vars_matched * 1000000 // n_expected AS r_ppm
+         |  FROM filled)
+         |SELECT threshold, n_expected, n_detected, n_true, n_vars_matched,
+         |  CAST(p_ppm AS DOUBLE) / 1000000.0 AS precision,
+         |  CAST(r_ppm AS DOUBLE) / 1000000.0 AS recall,
+         |  CAST(CASE WHEN p_ppm + r_ppm > 0
+         |    THEN 2 * p_ppm * r_ppm // (p_ppm + r_ppm) ELSE 0 END AS DOUBLE)
+         |    / 1000000.0 AS f1
+         |FROM ppm ORDER BY threshold""".stripMargin
+    },
+
+    "sim_ndcg" -> {
+      val cos = (a: String, b: String) => LlmPipeline.cosineSql(a, b)
+      s"""WITH bscored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    round(${cos("p.embedding", "c.embedding")}, 6) AS cos
+         |  FROM embeddings p JOIN embeddings c
+         |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |brute AS (
+         |  SELECT probe_id, cand_id, ernk FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, cand_id) AS ernk
+         |    FROM bscored) WHERE ernk <= 5),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cos("e.embedding", "c.cent")}, 6) DESC,
+         |          c.cent_id) AS arnk
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arnk = 1),
+         |icells AS (
+         |  SELECT e.vec_id AS cand_id, a.cell, e.embedding AS ce
+         |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         |probe_cells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cos("p.embedding", "c.cent")}, 6) DESC,
+         |          c.cent_id) AS prnk
+         |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE prnk <= 3),
+         |iscored AS (
+         |  SELECT pc.probe_id, s.cand_id,
+         |    round(${cos("pc.pe", "s.ce")}, 6) AS cos
+         |  FROM probe_cells pc JOIN icells s ON pc.cell = s.cell
+         |  WHERE s.cand_id <> pc.probe_id),
+         |ivf AS (
+         |  SELECT probe_id, cand_id, rnk FROM (
+         |    SELECT probe_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM iscored) WHERE rnk <= 5),
+         |dcg AS (
+         |  SELECT i.probe_id,
+         |    SUM(CAST(round(CAST(COALESCE(6 - b.ernk, 0) AS DOUBLE)
+         |      / ln(CAST(i.rnk AS DOUBLE) + 1.0), 8) AS DECIMAL(20,8))) AS dcg8
+         |  FROM ivf i LEFT JOIN brute b
+         |    ON i.probe_id = b.probe_id AND i.cand_id = b.cand_id
+         |  GROUP BY i.probe_id),
+         |idcg AS (
+         |  SELECT probe_id,
+         |    SUM(CAST(round(CAST(6 - ernk AS DOUBLE)
+         |      / ln(CAST(ernk AS DOUBLE) + 1.0), 8) AS DECIMAL(20,8))) AS idcg8
+         |  FROM brute GROUP BY probe_id)
+         |SELECT idcg.probe_id,
+         |  CAST(COALESCE(dcg.dcg8, CAST(0 AS DECIMAL(20,8))) AS DOUBLE) AS dcg,
+         |  CAST(idcg.idcg8 AS DOUBLE) AS idcg,
+         |  round(CAST(COALESCE(dcg.dcg8, CAST(0 AS DECIMAL(20,8))) AS DOUBLE)
+         |    / CAST(idcg.idcg8 AS DOUBLE), 6) AS ndcg
+         |FROM idcg LEFT JOIN dcg ON idcg.probe_id = dcg.probe_id
+         |ORDER BY idcg.probe_id""".stripMargin
+    },
+
+    "text_ppl_holdout" -> {
+      val h = LlmPipeline.h48Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, $h % 100 AS bkt FROM documents),
+         |ttok AS (SELECT doc_id, string_split(text, ' ') AS l
+         |         FROM docs WHERE bkt >= 2),
+         |traw AS (SELECT doc_id, i AS pos, l[i] AS tok
+         |  FROM ttok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+         |counts AS (SELECT tok, COUNT(*) AS c FROM traw GROUP BY tok),
+         |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 24),
+         |tt AS (SELECT doc_id, pos, mtok,
+         |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+         |  FROM (SELECT r.doc_id, r.pos,
+         |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+         |    FROM traw r LEFT JOIN vocab v ON r.tok = v.tok)),
+         |uni AS (SELECT CASE WHEN v.tok IS NULL THEN '<unk>' ELSE c.tok END AS mtok,
+         |    SUM(c.c) AS c
+         |  FROM counts c LEFT JOIN vocab v ON c.tok = v.tok GROUP BY 1),
+         |nt AS (SELECT SUM(c) AS nt FROM counts),
+         |bg AS (SELECT w1, mtok, COUNT(*) AS c12 FROM tt
+         |       WHERE w1 IS NOT NULL GROUP BY w1, mtok),
+         |c1t AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+         |vtok AS (SELECT doc_id, string_split(text, ' ') AS l
+         |         FROM docs WHERE bkt = 0),
+         |vraw AS (SELECT doc_id, i AS pos, l[i] AS tok
+         |  FROM vtok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+         |vm AS (SELECT doc_id, pos, mtok,
+         |    lag(mtok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+         |  FROM (SELECT r.doc_id, r.pos,
+         |      CASE WHEN v.tok IS NULL THEN '<unk>' ELSE r.tok END AS mtok
+         |    FROM vraw r LEFT JOIN vocab v ON r.tok = v.tok)),
+         |scored AS (SELECT t.doc_id,
+         |    round(ln(CASE WHEN t.w1 IS NULL
+         |      THEN CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)
+         |      ELSE 0.7 * (CASE WHEN c.c1 IS NULL THEN CAST(0.0 AS DOUBLE)
+         |          ELSE CAST(COALESCE(b.c12, 0) AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+         |          END)
+         |        + 0.3 * (CAST(u.c AS DOUBLE) / CAST(nt.nt AS DOUBLE)) END), 8)
+         |      AS lp
+         |  FROM vm t JOIN uni u ON t.mtok = u.mtok CROSS JOIN nt
+         |  LEFT JOIN bg b ON t.w1 = b.w1 AND t.mtok = b.mtok
+         |  LEFT JOIN c1t c ON t.w1 = c.w1),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tok,
+         |    CAST(SUM(CAST(lp AS DECIMAL(20,8))) * 100000000 AS BIGINT) AS s8
+         |  FROM scored GROUP BY doc_id),
+         |mm AS (SELECT doc_id, n_tok,
+         |    CASE WHEN s8 >= 0 THEN (s8 * 2 + n_tok * 100) // (n_tok * 200)
+         |         ELSE -((-s8 * 2 + n_tok * 100) // (n_tok * 200)) END AS micro
+         |  FROM agg)
+         |SELECT doc_id, n_tok,
+         |  CAST(round(exp(-(CAST(micro AS DOUBLE)) / 1000000.0), 6) AS DOUBLE)
+         |    AS ppl_holdout
+         |FROM mm ORDER BY doc_id""".stripMargin
+    },
+
+    // lineage is a STATIC property of the fixed query texts — the pinned
+    // edge list IS the declarative truth (meta_layout contract class);
+    // dual-dialect VALUES (listed in SqlCatalog.sharedWithOracle)
+    "meta_lineage" ->
+      """SELECT query, out_col, src_table, src_col FROM (VALUES
+        |  ('agg_hash', 'avg_disc', 'lineitem', 'l_discount'),
+        |  ('agg_hash', 'avg_price', 'lineitem', 'l_extendedprice'),
+        |  ('agg_hash', 'avg_qty', 'lineitem', 'l_quantity'),
+        |  ('agg_hash', 'l_linestatus', 'lineitem', 'l_linestatus'),
+        |  ('agg_hash', 'l_returnflag', 'lineitem', 'l_returnflag'),
+        |  ('agg_hash', 'sum_base_price', 'lineitem', 'l_extendedprice'),
+        |  ('agg_hash', 'sum_charge', 'lineitem', 'l_discount'),
+        |  ('agg_hash', 'sum_charge', 'lineitem', 'l_extendedprice'),
+        |  ('agg_hash', 'sum_charge', 'lineitem', 'l_tax'),
+        |  ('agg_hash', 'sum_disc_price', 'lineitem', 'l_discount'),
+        |  ('agg_hash', 'sum_disc_price', 'lineitem', 'l_extendedprice'),
+        |  ('agg_hash', 'sum_qty', 'lineitem', 'l_quantity'),
+        |  ('tpch_q3', 'l_orderkey', 'lineitem', 'l_orderkey'),
+        |  ('tpch_q3', 'o_orderdate', 'orders', 'o_orderdate'),
+        |  ('tpch_q3', 'revenue', 'lineitem', 'l_discount'),
+        |  ('tpch_q3', 'revenue', 'lineitem', 'l_extendedprice'),
+        |  ('window_lag', 'day', 'events', 'ts'),
+        |  ('window_lag', 'delta', 'events', 'ts'),
+        |  ('window_lag', 'delta', 'events', 'value'),
+        |  ('window_lag', 'prev_v', 'events', 'ts'),
+        |  ('window_lag', 'prev_v', 'events', 'value'),
+        |  ('window_lag', 'v', 'events', 'value')
+        |) AS v(query, out_col, src_table, src_col)
+        |ORDER BY query, out_col, src_table, src_col""".stripMargin,
 
     "text_ppl_bucket" ->
       s"""WITH ${LlmPipeline.pplCoreSql},

@@ -296,9 +296,9 @@ object LlmPipeline {
     df.withColumn("norm", sqrt(dotp(col(vec), col(vec))))
 
   /** DuckDB positional dot product over 64-dim float lists. */
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM range(1, 65) r(i))"
-  private def cosineSql(a: String, b: String): String =
+  private[ops] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Embedding corpus with planted near-dup variants: vec_id%10==0 → copy

@@ -1082,6 +1082,59 @@ class PlanSpec extends SparkSpecBase {
       s"ITS should need <=3 aggregates (daily fold, cutoff, moments), got ${aggs.size}")
   }
 
+  test("agg_psi: one conditional-count hash aggregate onto 10 bins, broadcast scalars, no product") {
+    val p = planString(graft.ops.Frontier2.aggPsi(spark, sf0001))
+    assert(p.contains("HashAggregate"), "binned counts not a hash aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "a bounded scalar/grid join degenerated to a product")
+    assert(!p.contains("SortMergeJoin"),
+      "the 10-row grid joins must broadcast, not sort-merge")
+    assert(!p.contains("Window"), "PSI needs no window at all")
+  }
+
+  test("dedup_eval: ONE candidate generation, broadcast grid + planted-count scalar, no product") {
+    val p = planString(graft.ops.Frontier2.dedupEval(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "threshold grid or expected-count scalar degenerated to a product")
+    // candidate generation is the dedup_near prefix-filter plan (pinned by
+    // its own tests); the sweep/eval stage must ride broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 5-row threshold grid is not broadcast")
+  }
+
+  test("sim_ndcg: the two declared rankings joined model-sized — no product, no extra corpus pass") {
+    val p = planString(graft.ops.Frontier2.simNdcg(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "a ranking join degenerated to a product")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "DCG sums are not hash aggregates")
+  }
+
+  test("text_ppl_holdout: every LM model table broadcasts; val scoring joins are all broadcast") {
+    val p = planString(graft.ops.Frontier2.textPplHoldout(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row corpus scalar degenerated to a product")
+    assert(!p.contains("SortMergeJoin"),
+      "a model-table join fell back to sort-merge — the vocab bound is " +
+        "what keeps every LM table broadcastable")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 4,
+      s"vocab/uni/bg/c1 should all broadcast, got $nBroadcast broadcast joins")
+  }
+
+  test("meta_lineage is plan metadata: the declared frame is a LocalRelation, no scan at all") {
+    val df = graft.ops.Frontier2.metaLineage(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Relation") || p.contains("LocalRelation"),
+      "lineage extraction must not scan data — plan walk only")
+    // the walk is deterministic and data-independent: same rows at 2 SFs
+    val a = df.collect().toSeq
+    val b = graft.ops.Frontier2.metaLineage(spark, "/root/testdata/sf0.01")
+      .collect().toSeq
+    assert(a == b, "lineage must be identical across scale factors")
+    assert(a.nonEmpty)
+  }
+
   test("text_ppl_bucket: perplexity's broadcast LM tables + one lang-partitioned ntile window") {
     val p = planString(graft.ops.Frontier2.textPplBucket(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
