@@ -109,7 +109,15 @@ object Frontier2 {
     * harness scale, shuffle-hash on the node key at cluster scale) + one
     * map-side-combined aggregate. Exactly 2 levels per side — bounded, no
     * convergence loop. The top-10 is TakeOrderedAndProject (never a global
-    * sort), and the rank window runs on the 10 surviving rows. */
+    * sort), and the rank window runs on the 10 surviving rows.
+    *
+    * Edge-list reuse is deliberately left to ReuseExchange, NOT a
+    * checkpoint: unlike the louvain/jaccard cases (where a union of both
+    * edge directions makes each consumer's subtree textually different),
+    * every HITS consumer references the IDENTICAL distinct-pair subtree,
+    * so the physical exchange reuses across all five consumers. Measured
+    * at sf0.1/32 threads: 2.95 s as-is vs 5.37 s with an eager
+    * localCheckpoint — the checkpoint write costs more than it saves. */
   val graphHits: Q = (s, d) => {
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
     val edges = T.orders(s, d)

@@ -1065,6 +1065,17 @@ class PlanSpec extends SparkSpecBase {
     // windows, but each is downstream of a limit
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       "HITS level sums are not hash aggregates")
+    // edge-list reuse is deliberately ReuseExchange, not a checkpoint
+    // (measured: eager localCheckpoint was 1.8x SLOWER at sf0.1); the
+    // reuse itself is an AQE-runtime stitch, so pin it on the EXECUTED
+    // plan after an action rather than the pre-execution string
+    df.queryExecution.toRdd.count()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      executed.contains("reused exchange") ||
+      executed.contains("BroadcastQueryStage"),
+      "the shared edge-list exchange is not being reused — five consumers " +
+        "would each replay the corpus join")
   }
 
   test("events_its: ONE conditional-moment hash aggregate, broadcast 1-row cutoff, no second pass") {
