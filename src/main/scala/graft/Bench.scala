@@ -70,7 +70,8 @@ object Bench {
     "dedup_threshold_sweep",
     // round-11b flagships
     "text_feature_hash", "graph_hits", "events_its", "text_ppl_bucket",
-    "agg_psi", "dedup_eval", "sim_ndcg", "text_ppl_holdout", "meta_lineage")
+    "agg_psi", "dedup_eval", "sim_ndcg", "text_ppl_holdout", "meta_lineage",
+    "text_lang_ngram", "graph_scc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -121,7 +121,7 @@ object SqlCatalog {
     "graph_betweenness",
     // round-11 keys whose oracle SQL is already ANSI
     "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits",
-    "meta_lineage")
+    "meta_lineage", "graph_scc")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -2132,6 +2132,60 @@ object SqlCatalog {
       s"""WITH $pplCoreSparkSql
          |SELECT doc_id, n_tok, ppl, ppl <= 21.1 AS keep
          |FROM ppl ORDER BY doc_id""".stripMargin,
+
+    // Cavnar-Trenkle language ID + confusion grid (round 11b): Spark
+    // dialect — transform/sequence trigrams, native md5_48 split fate
+    "text_lang_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, lower(text) AS t,
+        |    md5_48('langid:' || CAST(doc_id AS STRING)) % 100 AS bkt
+        |  FROM documents WHERE length(lower(text)) >= 3),
+        |tg AS (SELECT doc_id, lang,
+        |    explode(transform(sequence(1, length(t) - 2),
+        |      i -> substring(t, i, 3))) AS g
+        |  FROM docs WHERE bkt >= 20),
+        |lp AS (SELECT lang, g, rl FROM (
+        |    SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, g ASC) AS rl
+        |    FROM tg GROUP BY lang, g)
+        |  WHERE rl <= 32),
+        |vg AS (SELECT doc_id, lang,
+        |    explode(transform(sequence(1, length(t) - 2),
+        |      i -> substring(t, i, 3))) AS g
+        |  FROM docs WHERE bkt < 20),
+        |dp AS (SELECT doc_id, g, rd FROM (
+        |    SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g ASC) AS rd
+        |    FROM vg GROUP BY doc_id, g)
+        |  WHERE rd <= 32),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |dist AS (
+        |  SELECT dp.doc_id, l.lang AS cand,
+        |    SUM(COALESCE(abs(dp.rd - lp.rl), 32)) AS dist
+        |  FROM dp CROSS JOIN langs l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+        |  GROUP BY dp.doc_id, l.lang),
+        |pred AS (SELECT doc_id, cand AS lang_pred FROM (
+        |    SELECT doc_id, cand, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY dist ASC, cand ASC) AS rnk FROM dist)
+        |  WHERE rnk = 1),
+        |conf AS (
+        |  SELECT d.lang AS lang_true, p.lang_pred, COUNT(*) AS n
+        |  FROM docs d JOIN pred p USING (doc_id) WHERE d.bkt < 20
+        |  GROUP BY d.lang, p.lang_pred),
+        |grid AS (SELECT a.lang AS lang_true, b.lang AS lang_pred
+        |         FROM langs a CROSS JOIN langs b),
+        |filled AS (SELECT g.lang_true, g.lang_pred,
+        |    COALESCE(conf.n, 0L) AS n_docs
+        |  FROM grid g LEFT JOIN conf ON conf.lang_true = g.lang_true
+        |    AND conf.lang_pred = g.lang_pred),
+        |rt AS (SELECT lang_true, CAST(SUM(n_docs) AS BIGINT) AS row_total
+        |       FROM filled GROUP BY lang_true)
+        |SELECT f.lang_true, f.lang_pred, f.n_docs,
+        |  CASE WHEN rt.row_total > 0 THEN f.n_docs * 1000000 DIV rt.row_total
+        |       ELSE 0L END AS row_ppm
+        |FROM filled f JOIN rt USING (lang_true)
+        |ORDER BY f.lang_true, f.lang_pred""".stripMargin,
 
     // held-out perplexity (round 11b): train/val split gates over the
     // perplexity chain, unseen-context/bigram fallbacks spelled explicitly

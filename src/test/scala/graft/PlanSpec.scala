@@ -1146,6 +1146,27 @@ class PlanSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("text_lang_ngram: partitioned profile windows, broadcast lang profiles, bounded grids") {
+    val p = planString(graft.ops.Frontier2.textLangNgram(spark, sf0001))
+    // the langs / lang-profile model tables are bounded → broadcast; the
+    // 25-cell grid cross join is a bounded broadcast, never a product of
+    // two unbounded sides
+    assert(!p.contains("CartesianProduct"),
+      "a bounded model-table join degenerated to a product")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 2,
+      s"expected the doc-profile and lang-profile rank windows, got $nWindows")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "lang profiles / grids are not broadcast")
+  }
+
+  test("graph_scc: one transition hash agg, then type-grid-sized doubling joins only") {
+    val p = planString(graft.ops.Frontier2.graphScc(spark, sf0001))
+    assert(p.contains("HashAggregate"), "transition counts not a hash aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "a doubling join degenerated to a product")
+  }
+
   test("text_ppl_bucket: perplexity's broadcast LM tables + one lang-partitioned ntile window") {
     val p = planString(graft.ops.Frontier2.textPplBucket(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
