@@ -187,6 +187,32 @@ object SqlCatalog {
       |      AS ppl
       |  FROM mm)""".stripMargin
 
+  /** Curriculum KEPT-set CTE chain (Spark dialect), ending at
+    * `kept(doc_id, tier, rate)` — shared by `text_curriculum` and
+    * `sample_ess`. */
+  private val curriculumKeptSparkSql: String =
+    """scored AS (
+      |  SELECT doc_id, round(
+      |    0.3 * least(1.0, CAST(size(split(text, ' ')) AS DOUBLE) / 100.0)
+      |    + 0.4 * (1.0 - CAST(size(filter(split(text, ' '),
+      |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+      |        / CAST(size(split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE), 6) AS score
+      |  FROM documents),
+      |tiered AS (
+      |  SELECT doc_id,
+      |    CASE WHEN score >= 0.8 THEN 'high'
+      |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
+      |  FROM scored),
+      |rated AS (
+      |  SELECT doc_id, tier,
+      |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
+      |  FROM tiered),
+      |kept AS (
+      |  SELECT doc_id, tier, rate FROM rated
+      |  WHERE md5_48(CAST(doc_id AS STRING)) % 100 < rate)""".stripMargin
+
   /** Word 3-gram shingles of a token-array column `l` (Spark HOFs). */
   private val shingles =
     "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1), element_at(l, i + 2)))"
@@ -3192,29 +3218,34 @@ object SqlCatalog {
 
     // Spark dialect of the curriculum sampler (native md5_48 in the gate)
     "text_curriculum" ->
-      """WITH scored AS (
-        |  SELECT doc_id, round(
-        |    0.3 * least(1.0, CAST(size(split(text, ' ')) AS DOUBLE) / 100.0)
-        |    + 0.4 * (1.0 - CAST(size(filter(split(text, ' '),
-        |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
-        |        / CAST(size(split(text, ' ')) AS DOUBLE))
-        |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE), 6) AS score
-        |  FROM documents),
-        |tiered AS (
-        |  SELECT doc_id,
-        |    CASE WHEN score >= 0.8 THEN 'high'
-        |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
-        |  FROM scored),
-        |rated AS (
-        |  SELECT doc_id, tier,
-        |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
-        |  FROM tiered)
-        |SELECT doc_id, tier,
-        |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
-        |FROM rated
-        |WHERE md5_48(CAST(doc_id AS STRING)) % 100 < rate
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $curriculumKeptSparkSql
+         |SELECT doc_id, tier,
+         |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
+         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // Kish effective sample size of the curriculum sample (round 11c):
+    // decimal-safe S1^2/S2 in integer micro units
+    "sample_ess" -> {
+      val w10 = "CASE tier WHEN 'high' THEN 10L WHEN 'mid' THEN 25L ELSE 100L END"
+      s"""WITH $curriculumKeptSparkSql,
+         |rows_ AS (
+         |  SELECT tier AS scope, $w10 AS w10 FROM kept
+         |  UNION ALL
+         |  SELECT 'all' AS scope, $w10 AS w10 FROM kept),
+         |m AS (
+         |  SELECT scope, COUNT(*) AS n,
+         |    SUM(w10) AS s1, SUM(w10 * w10) AS s2
+         |  FROM rows_ GROUP BY scope)
+         |SELECT scope, n,
+         |  CAST(s1 AS DOUBLE) / 10.0 AS sum_w,
+         |  CAST(CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+         |    * 1000000 DIV CAST(s2 AS DECIMAL(18,0)) AS DOUBLE)
+         |    / 1000000.0 AS ess,
+         |  CAST(CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0))
+         |    * 1000000 DIV (CAST(s2 AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+         |    AS DOUBLE) / 1000000.0 AS ess_ratio
+         |FROM m ORDER BY scope""".stripMargin
+    },
 
     "text_tokens" ->
       """SELECT doc_id,

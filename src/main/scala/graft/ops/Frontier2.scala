@@ -683,6 +683,50 @@ object Frontier2 {
       .orderBy(col("node"))
   }
 
+  // -------------------------------------------------------------- sample_ess
+
+  /** KISH EFFECTIVE SAMPLE SIZE (Kish 1965; the importance-sampling
+    * diagnostic every weighted-training run should publish) of the
+    * `text_curriculum` sample: ESS = (Σw)²/Σw² — how many EQUAL-weight
+    * examples the weighted sample is statistically worth. Per tier the
+    * weights are constant so ESS = n exactly (the built-in sanity row);
+    * the 'all' scope mixes the 1×/2.5×/10× inverse-rate weights and
+    * reads the real efficiency loss — the number that says whether the
+    * low-tier upweighting is costing more variance than its coverage
+    * buys (the `sample_dsir`/`text_doremi_step` deployment check).
+    *
+    * Arithmetic: weights are exact tenths (w10 ∈ {10, 25, 100}), so
+    * ESS = S1²/S2 on the INTEGER w10 sums — units cancel. Reported in
+    * integer micro units via DECIMAL multiply + floor division (int64
+    * S1² overflows past ~3M kept rows; the decimal spelling is the
+    * 100 TB-safe form), then ONE int→double division. sum_w = S1/10 is
+    * a single IEEE division of an exact integer.
+    *
+    * 100 TB shape: the curriculum gate is scan-fused (its own declared
+    * plan); the audit is ONE hash aggregate onto ≤ 4 scope rows with
+    * map-side combine — the 'all' scope rides a 2× map-side union of
+    * the same scan, never a second shuffle grain. */
+  val sampleEss: Q = (s, d) => {
+    val kept = LlmPipeline.textCurriculum(s, d).select(col("tier"))
+    val w10 = when(col("tier") === "high", 10L)
+      .when(col("tier") === "mid", 25L).otherwise(100L)
+    val rows = kept.select(col("tier").as("scope"), w10.as("w10"))
+      .unionByName(kept.select(lit("all").as("scope"), w10.as("w10")))
+    rows.groupBy(col("scope"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w10")).as("s1"),
+        sum(col("w10") * col("w10")).as("s2"))
+      .select(col("scope"), col("n"),
+        (col("s1").cast("double") / lit(10.0)).as("sum_w"),
+        (expr("CAST(CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0)) " +
+          "* 1000000 DIV CAST(s2 AS DECIMAL(18,0)) AS DOUBLE)")
+          / lit(1000000.0)).as("ess"),
+        (expr("CAST(CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0)) " +
+          "* 1000000 DIV (CAST(s2 AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) " +
+          "AS DOUBLE)") / lit(1000000.0)).as("ess_ratio"))
+      .orderBy(col("scope"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -697,6 +741,7 @@ object Frontier2 {
     "meta_lineage" -> metaLineage,
     "text_lang_ngram" -> textLangNgram,
     "graph_scc" -> graphScc,
+    "sample_ess" -> sampleEss,
   )
 
   /** DuckDB oracle texts. graph_hits is dual-dialect ANSI (listed in
@@ -1046,6 +1091,26 @@ object Frontier2 {
         |  ('window_lag', 'v', 'events', 'value')
         |) AS v(query, out_col, src_table, src_col)
         |ORDER BY query, out_col, src_table, src_col""".stripMargin,
+
+    "sample_ess" -> {
+      val w10 = "CASE tier WHEN 'high' THEN 10 WHEN 'mid' THEN 25 ELSE 100 END"
+      s"""WITH ${LlmPipeline.curriculumKeptSql},
+         |rows_ AS (
+         |  SELECT tier AS scope, $w10 AS w10 FROM kept
+         |  UNION ALL
+         |  SELECT 'all' AS scope, $w10 AS w10 FROM kept),
+         |m AS (
+         |  SELECT scope, COUNT(*) AS n,
+         |    CAST(SUM(w10) AS BIGINT) AS s1,
+         |    CAST(SUM(w10 * w10) AS BIGINT) AS s2
+         |  FROM rows_ GROUP BY scope)
+         |SELECT scope, n,
+         |  CAST(s1 AS DOUBLE) / 10.0 AS sum_w,
+         |  CAST(s1 * s1 * 1000000 // s2 AS DOUBLE) / 1000000.0 AS ess,
+         |  CAST(s1 * s1 * 1000000 // (s2 * n) AS DOUBLE) / 1000000.0
+         |    AS ess_ratio
+         |FROM m ORDER BY scope""".stripMargin
+    },
 
     "graph_scc" ->
       """WITH seq AS (

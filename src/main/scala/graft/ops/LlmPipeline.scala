@@ -888,6 +888,34 @@ object LlmPipeline {
     * carries its inverse-rate weight for loss reweighting. One pass, zero
     * shuffles before the declared sort: score, tier, rate and the hash
     * gate are all per-row codegen'd expressions fused into the scan. */
+  /** Curriculum KEPT-set CTE chain (DuckDB dialect), ending at
+    * `kept(doc_id, tier, rate)` — the oracle body of [[textCurriculum]],
+    * reused by `sample_ess` ([[Frontier2]]) so the audited sample is BY
+    * CONSTRUCTION the curriculum's own. */
+  private[ops] val curriculumKeptSql: String =
+    """scored AS (
+      |  SELECT doc_id, round(
+      |    0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+      |    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE), 6) AS score
+      |  FROM documents),
+      |tiered AS (
+      |  SELECT doc_id,
+      |    CASE WHEN score >= 0.8 THEN 'high'
+      |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
+      |  FROM scored),
+      |rated AS (
+      |  SELECT doc_id, tier,
+      |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
+      |  FROM tiered),
+      |kept AS (
+      |  SELECT doc_id, tier, rate FROM rated
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |          AS BIGINT) % 100 < rate)""".stripMargin
+
   val textCurriculum: Q = (s, d) => {
     val toks = split(col("text"), " ")
     val score = round(
@@ -2917,30 +2945,10 @@ object LlmPipeline {
     // same score formula as text_quality (bit-exact, proven by that
     // oracle), fixed tier thresholds, md5_48 hash gate, inverse-rate weight
     "text_curriculum" ->
-      """WITH scored AS (
-        |  SELECT doc_id, round(
-        |    0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
-        |    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-        |          x -> x IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
-        |    + 0.3 * CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |        / CAST(length(text) AS DOUBLE), 6) AS score
-        |  FROM documents),
-        |tiered AS (
-        |  SELECT doc_id,
-        |    CASE WHEN score >= 0.8 THEN 'high'
-        |         WHEN score >= 0.7 THEN 'mid' ELSE 'low' END AS tier
-        |  FROM scored),
-        |rated AS (
-        |  SELECT doc_id, tier,
-        |    CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 40 ELSE 10 END AS rate
-        |  FROM tiered)
-        |SELECT doc_id, tier,
-        |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
-        |FROM rated
-        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-        |        AS BIGINT) % 100 < rate
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $curriculumKeptSql
+         |SELECT doc_id, tier,
+         |  CAST(100.0 AS DOUBLE) / CAST(rate AS DOUBLE) AS weight
+         |FROM kept ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -1167,6 +1167,15 @@ class PlanSpec extends SparkSpecBase {
       "a doubling join degenerated to a product")
   }
 
+  test("sample_ess: scan-fused gate + ONE bounded hash aggregate, no join, no window") {
+    val p = planString(graft.ops.Frontier2.sampleEss(spark, sf0001))
+    assert(p.contains("HashAggregate"), "scope moments not a hash aggregate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"),
+      "the ESS audit should need no join at all")
+    assert(!p.contains("Window"), "the ESS audit should need no window")
+  }
+
   test("text_ppl_bucket: perplexity's broadcast LM tables + one lang-partitioned ntile window") {
     val p = planString(graft.ops.Frontier2.textPplBucket(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
