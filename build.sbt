@@ -23,13 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 16g default (was 8g): local[32] at sf0.1 runs 32 concurrent tasks'
+// execution memory + localCheckpoint storage in ONE heap — at 8g the
+// r8 driver-run bench showed a 1.2-1.8x contention tail the identical
+// quiet run didn't. The machine has 128 GiB; test forks use the same
+// setting (20 suites run sequentially, one fork at a time).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+// Pre-COMMIT the heap (-Xms = -Xmx): on a ~90 GiB driver heap, G1's full
+// collections otherwise uncommit down to the free-ratio band and the next
+// heavy sample re-pays the page commit+zero cost inside its timed region
+// (the r10 agg-block tax). The r11 runtime MaxHeapFreeRatio=100 pin fixed
+// that but made every big-heap full GC pay work proportional to ~90 GiB
+// committed — graph_betweenness read 22.2 s vs 8.3 s with the pin off
+// (r11 verdict A/B). A pre-committed heap has NO recommit tax to
+// mitigate, so the pin and its full-GC cost are both gone.
+val driverMemGb: Int =
+  "(\\d+)".r.findFirstIn(driverMem).map(_.toInt).getOrElse(16)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default (was 8g): local[32] at sf0.1 runs 32 concurrent tasks'
-  // execution memory + localCheckpoint storage in ONE heap — at 8g the
-  // r8 driver-run bench showed a 1.2-1.8x contention tail the identical
-  // quiet run didn't. The machine has 128 GiB; test forks use the same
-  // setting (20 suites run sequentially, one fork at a time).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms$driverMem",
+  s"-Xmx$driverMem",
+) ++ (
+  // big heaps only: also pre-TOUCH at JVM start (untimed) so even the
+  // first-touch page-zero cost never lands inside a timed sample. Not at
+  // the 16g test default — pre-touching 16g per forked suite would add
+  // ~1 min across the test run for no measurement benefit.
+  if (driverMemGb >= 32) Seq("-XX:+AlwaysPreTouch") else Seq.empty
 )

@@ -81,29 +81,27 @@ object Bench {
     // bench measures is byte-for-byte the engine Verify verifies.
     val spark = GraftSession.local(cpus)
     val rt = Runtime.getRuntime
-    // SPARK_GRAFT_BENCH_NOFIX=1 disables the big-heap GC-tax mitigations
-    // below (uncommit pin + settle) — the A/B hook that measured them
+    // SPARK_GRAFT_BENCH_NOFIX=1 disables the big-heap GC-tax mitigation
+    // below (the untimed post-GC settle) — the A/B hook that measured it
     val bigHeap = rt.maxMemory() > 32L * 1024 * 1024 * 1024 &&
       !sys.env.contains("SPARK_GRAFT_BENCH_NOFIX")
-    // Large-heap GC-tax fix (VERDICT r10 #1): the per-sample System.gc()
-    // is load-bearing for drift, but on a ~90 GiB heap G1's FULL collect
-    // UNCOMMITS the heap down to its free-ratio band, and the next heavy
-    // sample re-pays the page commit+zero cost inside its timed region —
-    // BENCH_r10 read the early agg block 2-4x slower at 90g than 16g on
-    // identical code (agg_hash gc_ms 413 vs 22). MaxHeapFreeRatio is a
-    // MANAGEABLE HotSpot flag: raising it to 100 at runtime means a full
-    // GC never shrinks committed memory, so the explicit collect stays
-    // synchronous-and-untimed and the samples stop paying recommit. Only
-    // applied on big heaps — the 16g baseline readings keep their exact
-    // historical config.
-    if (bigHeap) try {
-      val diag = java.lang.management.ManagementFactory.getPlatformMXBean(
-        classOf[com.sun.management.HotSpotDiagnosticMXBean])
-      diag.setVMOption("MaxHeapFreeRatio", "100")
-      System.err.println("[bench] big heap: MaxHeapFreeRatio=100 (no uncommit)")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] MaxHeapFreeRatio not set: ${e.getMessage}")
-    }
+    // Large-heap GC-tax fix, round 12 (VERDICT r11 #1): the heap is now
+    // pre-COMMITTED at JVM start (-Xms = -Xmx + AlwaysPreTouch >= 32g,
+    // build.sbt javaOptions) — G1 never shrinks committed memory below
+    // -Xms, so the per-sample System.gc() cannot trigger the r10
+    // uncommit/recommit tax, and no heap pages are zeroed inside timed
+    // regions. This REPLACES the r11 runtime MaxHeapFreeRatio=100 pin,
+    // which fixed the agg block (full GC never shrank the heap) but made
+    // every big-heap full GC pay work proportional to ~90 GiB committed:
+    // graph_betweenness read 22.2 s with the pin vs 8.3 s without (r11
+    // verdict A/B, median-of-3 quiet at 90g). heap_precommitted below
+    // stamps whether the launch config actually delivered the pin.
+    val heapPrecommitted = rt.totalMemory() >= (rt.maxMemory() * 95 / 100)
+    if (bigHeap && !heapPrecommitted)
+      System.err.println(
+        s"[bench] WARNING: big heap NOT pre-committed (total=${
+          rt.totalMemory() / (1024 * 1024)}m < max=${
+          rt.maxMemory() / (1024 * 1024)}m) — launched without -Xms=-Xmx?")
     // untimed warmup: JVM/codegen/parquet-footer startup costs must not be
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -124,14 +122,40 @@ object Bench {
     // offheap_mb/offheap_enabled (ADVICE r10): the off-heap pool decides
     // where Tungsten scratch lives — a BENCH json that omits it cannot be
     // compared across rounds, the exact archaeology problem of r8-r10.
-    val envStamp =
+    // load1/load5 (VERDICT r11 #3): five of six apparent r11 regressions
+    // were driver-machine contention, and the artifact could not say so —
+    // stamp the 1- and 5-minute load averages (plus steal-time ticks from
+    // /proc/stat where available) so a loud run self-identifies.
+    def loadAvg: (String, String) =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")
+        (parts(0), parts(1))
+      } catch { case _: Throwable =>
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        (if (l < 0) "null" else f"$l%.2f", "null")
+      }
+    def stealTicks: String =
+      try {
+        scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+"))
+          .filter(_.length > 8).map(_(8)).getOrElse("null")
+      } catch { case _: Throwable => "null" }
+    // def, not val: the stamp renders AFTER the samples run, so load1/load5
+    // describe the machine during (the tail of) the run, not its start
+    def envStamp = {
+    val (load1, load5) = loadAvg
       s""""env":{"cpus":$cpus,"shuffle_partitions":${
         spark.sessionState.conf.numShufflePartitions},"max_heap_mb":${
         rt.maxMemory() / (1024 * 1024)},"free_heap_mb":${
         (rt.maxMemory() - rt.totalMemory() + rt.freeMemory()) / (1024 * 1024)
         },"offheap_enabled":${
         spark.conf.get("spark.memory.offHeap.enabled")},"offheap_mb":${
-        GraftSession.OffHeapBytes / (1024 * 1024)},"big_heap_no_uncommit":$bigHeap}"""
+        GraftSession.OffHeapBytes / (1024 * 1024)
+        },"heap_precommitted":$heapPrecommitted,"load1":$load1,"load5":$load5,"steal_ticks":$stealTicks}"""
+    }
     val all = SparkEntry.queries
     val unknown = headline.filterNot(all.contains)
     require(unknown.isEmpty,

@@ -1135,9 +1135,20 @@ class PlanSpec extends SparkSpecBase {
 
   test("meta_lineage is plan metadata: the declared frame is a LocalRelation, no scan at all") {
     val df = graft.ops.Frontier2.metaLineage(spark, sf0001)
-    val p = df.queryExecution.optimizedPlan.toString
-    assert(!p.contains("Relation") || p.contains("LocalRelation"),
-      "lineage extraction must not scan data — plan walk only")
+    // structural, not textual (ADVICE r11): a string check of the form
+    // "no Relation OR has LocalRelation" is vacuously true the moment a
+    // LocalRelation exists ANYWHERE — it cannot catch a regression that
+    // adds a real file scan next to it. Collect the node types instead.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r
+    }
+    assert(scans.isEmpty,
+      s"lineage extraction must not scan data — plan walk only; found ${
+        scans.size} file relation(s)")
+    assert(df.queryExecution.executedPlan.collectLeaves().forall(l =>
+      !l.getClass.getSimpleName.contains("FileSourceScan")),
+      "a FileSourceScanExec appeared in the executed lineage plan")
     // the walk is deterministic and data-independent: same rows at 2 SFs
     val a = df.collect().toSeq
     val b = graft.ops.Frontier2.metaLineage(spark, "/root/testdata/sf0.01")

@@ -445,4 +445,24 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("graph_hits: BIGINT output headroom — internal decimal scores fit int64 with 1024x slack") {
+    // r12 canonicalization contract (VERDICT r11 #2): the declared score
+    // column is a final BIGINT cast over the internal DECIMAL(38,0)
+    // accumulator. With ANSI off an overflowing decimal->long cast yields
+    // NULL, so (a) every score is non-null, (b) strictly positive, and
+    // (c) the MAX score keeps >=1024x headroom below Long.MaxValue at both
+    // the test and the driver-gate scale factors.
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val rows = graft.ops.Frontier2.graphHits(spark, d).collect()
+      assert(rows.length == 20, s"$d: expected 20 rows, got ${rows.length}")
+      rows.foreach { r =>
+        assert(!r.isNullAt(3), s"$d: NULL score — the BIGINT cast overflowed")
+        val s = r.getLong(3)
+        assert(s > 0L, s"$d: non-positive score $s")
+        assert(s <= Long.MaxValue / 1024L,
+          s"$d: score $s within 1024x of Long.MaxValue — widen the declared type")
+      }
+    }
+  }
 }
