@@ -71,7 +71,10 @@ object Bench {
     // round-11b flagships
     "text_feature_hash", "graph_hits", "events_its", "text_ppl_bucket",
     "agg_psi", "dedup_eval", "sim_ndcg", "text_ppl_holdout", "meta_lineage",
-    "text_lang_ngram", "graph_scc", "sample_ess")
+    "text_lang_ngram", "graph_scc", "sample_ess",
+    // round-12 flagships
+    "sim_ivf_pq", "graph_louvain_multi", "agg_anova", "agg_kruskal",
+    "embed_outlier", "sample_ares")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

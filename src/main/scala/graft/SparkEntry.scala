@@ -174,7 +174,7 @@ object SparkEntry {
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries ++
     Selection.queries ++ Horizon.queries ++ Frontier.queries ++
-    Frontier2.queries
+    Frontier2.queries ++ Frontier3.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -207,5 +207,6 @@ object SparkEntry {
       LlmPipeline.oracles ++ Multimodal.oracles ++ Sources.oracles ++
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
       Curation.oracles ++ Stats.oracles ++ Selection.oracles ++
-      Horizon.oracles ++ Frontier.oracles ++ Frontier2.oracles
+      Horizon.oracles ++ Frontier.oracles ++ Frontier2.oracles ++
+      Frontier3.oracles
 }

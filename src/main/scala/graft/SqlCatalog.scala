@@ -121,7 +121,9 @@ object SqlCatalog {
     "graph_betweenness",
     // round-11 keys whose oracle SQL is already ANSI
     "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits",
-    "meta_lineage", "graph_scc")
+    "meta_lineage", "graph_scc",
+    // round-12 keys whose oracle SQL is already ANSI
+    "graph_louvain_multi", "agg_anova", "agg_kruskal")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -129,7 +131,8 @@ object SqlCatalog {
       graft.ops.Sources.oracles ++ graft.ops.Insights.oracles ++
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles ++
-      graft.ops.Frontier.oracles ++ graft.ops.Frontier2.oracles)(k)
+      graft.ops.Frontier.oracles ++ graft.ops.Frontier2.oracles ++
+      graft.ops.Frontier3.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -2055,6 +2058,133 @@ object SqlCatalog {
         |FROM (SELECT probe_id, vec_id, adc_d2, d2, ROW_NUMBER() OVER (
         |    PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM ex)
         |WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+
+    // IVF×PQ composite: posexplode micro-corpus dialect (the DuckDB
+    // oracle unnests a generate_series lateral); algebra identical
+    "sim_ivf_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    (dim DIV 16) * 16 AS sub
+        |  FROM (SELECT vec_id, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |coarse AS (SELECT vec_id AS cell, dim, qd AS gd FROM q
+        |           WHERE vec_id % 50 = 0),
+        |celld2 AS (SELECT q.vec_id, c.cell,
+        |    SUM((q.qd - c.gd) * (q.qd - c.gd)) AS gd2
+        |  FROM q JOIN coarse c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, c.cell),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY gd2, cell) AS arnk FROM celld2)
+        |  WHERE arnk = 1),
+        |pcells AS (SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY gd2, cell) AS prnk
+        |    FROM celld2 WHERE vec_id < 10)
+        |  WHERE prnk <= 3),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2c AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS cd2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY cd2, cid) AS rnk FROM d2c)
+        |  WHERE rnk = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, dim, qd AS pd, sub FROM q
+        |  WHERE vec_id < 10),
+        |adc AS (SELECT p.probe_id, p.sub, c.cid,
+        |    SUM((p.pd - c.cv) * (p.pd - c.cv)) AS pd2
+        |  FROM probes p JOIN cents c ON p.dim = c.dim
+        |  GROUP BY p.probe_id, p.sub, c.cid),
+        |pc AS (SELECT a.vec_id, a.cell, p.probe_id
+        |  FROM assign a JOIN pcells p ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.probe_id),
+        |approx AS (
+        |  SELECT pc.probe_id, pc.vec_id, pc.cell, SUM(adc.pd2) AS adc_d2
+        |  FROM pc
+        |  JOIN codes ON codes.vec_id = pc.vec_id
+        |  JOIN adc ON adc.probe_id = pc.probe_id
+        |    AND adc.sub = codes.sub AND adc.cid = codes.cid
+        |  GROUP BY pc.probe_id, pc.vec_id, pc.cell),
+        |cand AS (SELECT probe_id, vec_id, cell, adc_d2 FROM (
+        |    SELECT probe_id, vec_id, cell, adc_d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS crk
+        |    FROM approx) WHERE crk <= 12),
+        |ex AS (
+        |  SELECT cand.probe_id, cand.vec_id, cand.cell, cand.adc_d2,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS d2
+        |  FROM cand JOIN q ON cand.vec_id = q.vec_id
+        |  JOIN probes p ON p.probe_id = cand.probe_id AND p.dim = q.dim
+        |  GROUP BY cand.probe_id, cand.vec_id, cand.cell, cand.adc_d2),
+        |res AS (SELECT probe_id, vec_id, cell, adc_d2, d2, rnk FROM (
+        |    SELECT probe_id, vec_id, cell, adc_d2, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM ex)
+        |  WHERE rnk <= 3),
+        |gtd AS (
+        |  SELECT p.probe_id, q.vec_id,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS td2
+        |  FROM q JOIN probes p ON p.dim = q.dim
+        |  WHERE q.vec_id <> p.probe_id
+        |  GROUP BY p.probe_id, q.vec_id),
+        |gt AS (SELECT probe_id, vec_id, grnk FROM (
+        |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY td2, vec_id) AS grnk FROM gtd)
+        |  WHERE grnk <= 3)
+        |SELECT res.probe_id, CAST(res.rnk AS BIGINT) AS rnk, res.vec_id,
+        |  res.cell, CAST(res.adc_d2 AS BIGINT) AS adc_d2,
+        |  CAST(res.d2 AS BIGINT) AS d2,
+        |  CAST(COALESCE(gt.grnk, 0) AS BIGINT) AS gt_rnk,
+        |  (gt.grnk IS NOT NULL) AS hit
+        |FROM res LEFT JOIN gt
+        |  ON gt.probe_id = res.probe_id AND gt.vec_id = res.vec_id
+        |ORDER BY res.probe_id, res.rnk""".stripMargin,
+
+    // robust embedding-outlier gate (posexplode micro-corpus dialect)
+    "embed_outlier" ->
+      """WITH q AS (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, posexplode(embedding) AS (dim, x)
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT dim,
+        |    CAST(floor(CAST(SUM(q) * 2 + COUNT(*) AS DOUBLE)
+        |      / CAST(COUNT(*) * 2 AS DOUBLE)) AS BIGINT) AS c
+        |  FROM q GROUP BY dim),
+        |d2 AS (
+        |  SELECT q.vec_id, SUM((q.q - cent.c) * (q.q - cent.c)) AS d2
+        |  FROM q JOIN cent ON q.dim = cent.dim
+        |  GROUP BY q.vec_id),
+        |med AS (SELECT median(CAST(d2 AS DOUBLE)) AS med FROM d2),
+        |mad AS (
+        |  SELECT median(abs(CAST(d2.d2 AS DOUBLE) - med.med)) AS mad
+        |  FROM d2 CROSS JOIN med)
+        |SELECT d2.vec_id, CAST(d2.d2 AS BIGINT) AS d2,
+        |  CAST(ROUND(med.med, 6) AS DOUBLE) AS med_d2,
+        |  CAST(ROUND(mad.mad, 6) AS DOUBLE) AS mad_d2,
+        |  CAST(CASE WHEN mad.mad = 0 THEN 0.0
+        |       ELSE ROUND(0.6745 * (CAST(d2.d2 AS DOUBLE) - med.med)
+        |         / mad.mad, 6) END AS DOUBLE) AS mz,
+        |  (CASE WHEN mad.mad = 0 THEN 0.0
+        |       ELSE ROUND(0.6745 * (CAST(d2.d2 AS DOUBLE) - med.med)
+        |         / mad.mad, 6) END > 3.5) AS is_outlier
+        |FROM d2 CROSS JOIN med CROSS JOIN mad
+        |ORDER BY d2.vec_id""".stripMargin,
+
+    // A-Res weighted sample (md5_48 dialect)
+    "sample_ares" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(ROUND(-ln((CAST(md5_48(concat('ares:',
+        |        CAST(doc_id AS STRING))) AS DOUBLE) + 1)
+        |      / 281474976710656.0
+        |    ) / CAST(n_chars AS DOUBLE), 8) AS DOUBLE) AS ekey
+        |FROM documents
+        |ORDER BY ekey, doc_id LIMIT 20""".stripMargin,
 
     // mergeable weekly→monthly theta rollup (theta_sketch_agg dialect)
     "agg_sketch_rollup" ->

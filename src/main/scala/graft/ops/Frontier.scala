@@ -158,7 +158,7 @@ object Frontier {
     * delta_q) — consumed by [[graphLouvainPass]] (the declared per-node
     * view) and [[graphLouvainCoarsen]] (the level-2 graph built on the
     * resulting partition). */
-  private def louvainCore(cp: graft.api.CheckpointStrategy)(
+  private[ops] def louvainCore(cp: graft.api.CheckpointStrategy)(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = T.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -467,7 +467,7 @@ object Frontier {
 
   /** Shared ANSI CTE chain for the louvain keys: edge build, degrees,
     * edge count, best positive-gain move per node. */
-  private val louvainCoreSql: String =
+  private[ops] val louvainCoreSql: String =
     """li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |  WHERE l_orderkey % 5 = 0),

@@ -1,0 +1,693 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Tables => T}
+
+/** Round-12 operator batch: the production ANN shape (IVF cell pruning ×
+  * PQ distance with a built-in recall audit), two-level Louvain with
+  * per-level modularity, one-way ANOVA and Kruskal-Wallis (the parametric
+  * and rank k-group tests next to `agg_ab_test`/`agg_mannwhitney`),
+  * robust embedding-outlier flagging, and weighted
+  * sampling-without-replacement via the exponential race (the
+  * distributed A-Res / Gumbel-top-k device).
+  *
+  * Reference semantics anchor: statements over scanned tables with
+  * engine-invariant arithmetic (`/root/reference/db.cpp:487-502`
+  * executeSelect discipline — every declared result is a deterministic
+  * function of the stored rows).
+  */
+object Frontier3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- sim_ivf_pq
+
+  /** IVF + PQ — the index every 100 TB embedding store actually runs
+    * (FAISS's IVFADC; Jégou et al. PAMI'11 §IV): coarse quantization
+    * prunes the corpus to `nprobe` cells, PRODUCT quantization scans the
+    * surviving cells from 4 sub-space codes via a per-probe ADC lookup
+    * table, and only the top-12 ADC candidates are re-ranked against
+    * exact vectors. The two halves exist separately as declared keys —
+    * `sim_topk_ivf` (cell routing) and `sim_topk_pq` (ADC over the FULL
+    * corpus); this is their composition, which changes the cost class:
+    * the ADC scan reads nprobe/|cells| of the codes, not all of them.
+    * The declared output carries its own RECALL AUDIT: each returned
+    * candidate joins against the exact brute-force integer-L2 top-3
+    * (`gt_rnk`, `hit`) — the measurement that justifies the двух-level
+    * approximation before production traffic moves to it.
+    *
+    * Everything is exact integer micro-unit L2 (the `sim_topk_pq`
+    * device): vectors quantize to `round(x*1e6)` longs, every distance
+    * is an int64 sum of squared diffs, ties break to the lowest id —
+    * engine-reproducible at any partition count.
+    *
+    * 100 TB shape: ONE corpus × coarse-centroid assignment pass (the
+    * centroid model broadcasts; cells = |corpus|/50 here, thousands at
+    * deploy scale) serves both candidate sharding AND probe routing;
+    * codes/ADC tables are model-sized broadcasts; the ADC aggregate runs
+    * only inside probed cells (the cell equi-join comes BEFORE the code
+    * join); exact vectors are touched for ≤ 12 candidates per probe and
+    * the ground-truth side is the standard sampled-probe audit protocol.
+    * Never |N|² — the corpus meets only broadcast models and its own
+    * cell shard. */
+  val simIvfPq: Q = (s, d) => {
+    val micro = T.embeddings(s, d).select(col("vec_id"),
+      posexplode(expr("transform(embedding," +
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+        .as(Seq("dim", "qd")))
+      .withColumn("sub", col("dim") - pmod(col("dim"), lit(16)))
+    // coarse IVF model: every 50th vector is a cell centroid
+    val coarse = micro.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("dim"), col("qd").as("gd"))
+    // exact integer-L2 distance of every vector to every cell centroid;
+    // one pass serves candidate assignment AND probe routing
+    val cellD2 = micro.join(broadcast(coarse), Seq("dim"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("qd") - col("gd")) * (col("qd") - col("gd"))).as("gd2"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("gd2"), col("cell"))
+    val assign = cellD2.withColumn("arnk", row_number().over(wAsg))
+      .filter(col("arnk") === 1).select(col("vec_id"), col("cell"))
+    val probeCells = cellD2.filter(col("vec_id") < 10)
+      .withColumn("prnk", row_number().over(wAsg))
+      .filter(col("prnk") <= 3)
+      .select(col("vec_id").as("probe_id"), col("cell"))
+    // PQ codebook from the 4 lowest-id seed vectors (the sim_topk_pq model)
+    val seeds = T.embeddings(s, d).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(4)
+    val cents = micro.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("dim"), col("qd").as("cv"))
+    val d2c = micro.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("qd") - col("cv")) * (col("qd") - col("cv"))).as("cd2"))
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("cid"))
+    val codes = d2c.withColumn("rnk", row_number().over(wMin))
+      .filter(col("rnk") === 1).select(col("vec_id"), col("sub"), col("cid"))
+    val probes = micro.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("dim"), col("qd").as("pd"),
+        col("sub"))
+    val adc = probes.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("probe_id"), col("sub"), col("cid"))
+      .agg(sum((col("pd") - col("cv")) * (col("pd") - col("cv"))).as("pd2"))
+    // the IVF point: the cell equi-join prunes BEFORE any code is read
+    val probedCands = assign.join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val approx = probedCands.join(codes, Seq("vec_id"))
+      .join(broadcast(adc), Seq("probe_id", "sub", "cid"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val wCand = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= 12).drop("crk")
+    val exact = cand
+      .join(micro.select(col("vec_id"), col("dim"), col("qd")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("probe_id"), col("dim"), col("pd"))),
+        Seq("probe_id", "dim"))
+      .groupBy(col("probe_id"), col("vec_id"), col("cell"), col("adc_d2"))
+      .agg(sum((col("qd") - col("pd")) * (col("qd") - col("pd"))).as("d2"))
+    val wFin = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val res = exact.withColumn("rnk", row_number().over(wFin))
+      .filter(col("rnk") <= 3)
+    // built-in recall audit: exact integer-L2 brute top-3 (ground truth)
+    val gtD2 = micro.select(col("vec_id"), col("dim"), col("qd"))
+      .join(broadcast(probes.select(col("probe_id"), col("dim"), col("pd"))),
+        Seq("dim"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum((col("qd") - col("pd")) * (col("qd") - col("pd"))).as("td2"))
+    val wGt = Window.partitionBy(col("probe_id"))
+      .orderBy(col("td2"), col("vec_id"))
+    val gt = gtD2.withColumn("grnk", row_number().over(wGt))
+      .filter(col("grnk") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("grnk"))
+    res.join(gt, Seq("probe_id", "vec_id"), "left")
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("cell"), col("adc_d2"), col("d2"),
+        coalesce(col("grnk").cast("long"), lit(0L)).as("gt_rnk"),
+        col("grnk").isNotNull.as("hit"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------- graph_louvain_multi
+
+  /** TWO-LEVEL LOUVAIN (Blondel et al. 2008 — the full pass→coarsen→pass
+    * composition; `graph_louvain_pass` and `graph_louvain_coarsen` each
+    * declare ONE half of one level): level 1 is the singleton move pass
+    * on the co-purchase graph, coarsening builds the weighted
+    * super-graph (absorbed-edge weights, intra mass as self-loops), and
+    * level 2 runs the WEIGHTED move pass on it — each super-node takes
+    * the neighbor community maximizing the integer gain numerator
+    * `2m·w_ij − k_i·k_j` (the general weighted form whose w_ij = 1
+    * special case is the min-degree shortcut of the singleton pass).
+    * The declared result is the real community-detection deliverable:
+    * per level (0 = singletons, 1, 2), community count, intra-community
+    * edge count and the modularity of that partition ON THE ORIGINAL
+    * graph — Q = (4m·intra − Σ_c D_c²) / 4m², an INTEGER numerator over
+    * an integer denominator, so the only float is one engine-invariant
+    * IEEE division (the `graph_louvain_pass` delta_q discipline, and
+    * deliberately UNROUNDED for the same decimal-terminating-denominator
+    * reason). Level-over-level modularity increase is the property test.
+    *
+    * 100 TB shape: the basket self-join materializes ONCE (localCheckpoint
+    * at harness scale, reliable checkpoint on a cluster) and every
+    * consumer — moves, coarse graph, three per-level intra/degree
+    * aggregates — reads the materialized edge list; the coarse graph and
+    * everything after it is community-count-sized (strictly shrinking by
+    * construction); the per-level modularity is two aggregates each. No
+    * convergence loop: two levels are the declared bound, the open
+    * iteration is the same driver-side composition on shrinking graphs. */
+  val graphLouvainMulti: Q = (s, d) => {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val cp = graft.api.CheckpointStrategy.Local
+    val (edges, moves) = Frontier.louvainCore(cp)(s, d)
+    // every model-sized stage materializes before fan-out: comm1 feeds
+    // coarse (×2) and the final map, coarse feeds wdeg/dir2 (×4), and the
+    // level table replays 3× into the modularity aggregates — without the
+    // barriers the composed logical plan re-derives each subtree per
+    // consumer (the graph_jaccard lesson: ReuseExchange never collapses
+    // logical subtrees; the un-materialized form planned 499 joins)
+    val comm1 = cp.materialize(
+      moves.select(col("node"), col("deg"), col("community").as("c1")))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val coarse = cp.materialize(edges
+      .join(comm1.select(col("node").as("pa"), col("c1").as("x")), "pa")
+      .join(comm1.select(col("node").as("pb"), col("c1").as("y")), "pb")
+      .groupBy(least(col("x"), col("y")).as("ca"),
+        greatest(col("x"), col("y")).as("cb"))
+      .agg(count(lit(1)).as("w")))
+    // weighted degree on the super-graph: self-loops count twice
+    val wdeg = coarse.select(col("ca").as("c"),
+        when(col("ca") === col("cb"), lit(2L) * col("w"))
+          .otherwise(col("w")).as("k"))
+      .unionAll(coarse.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("c"), col("w").as("k")))
+      .groupBy(col("c")).agg(sum(col("k")).as("kc"))
+    val dir2 = coarse.filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("i"), col("cb").as("j"), col("w"))
+      .unionAll(coarse.filter(col("ca") =!= col("cb"))
+        .select(col("cb").as("i"), col("ca").as("j"), col("w")))
+    val w2 = Window.partitionBy(col("i"))
+      .orderBy(col("gain").desc, col("j").asc)
+    val moves2 = dir2
+      .join(wdeg.select(col("c").as("i"), col("kc").as("ki")), "i")
+      .join(wdeg.select(col("c").as("j"), col("kc").as("kj")), "j")
+      .crossJoin(broadcast(m))
+      .withColumn("gain",
+        dec38(lit(2L) * col("m")) * col("w") - dec38(col("ki")) * col("kj"))
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") === 1)
+      .select(col("i").as("c1"),
+        when(col("gain") > 0, col("j")).otherwise(col("i")).as("c2"))
+    // node -> c1 -> c2; a community with no inter-community edge keeps itself
+    val full = cp.materialize(comm1.join(moves2, Seq("c1"), "left")
+      .select(col("node"), col("deg"), col("c1"),
+        coalesce(col("c2"), col("c1")).as("c2")))
+    val lv = full.select(lit(0L).as("level"), col("node"), col("deg"),
+        col("node").as("comm"))
+      .unionAll(full.select(lit(1L).as("level"), col("node"), col("deg"),
+        col("c1").as("comm")))
+      .unionAll(full.select(lit(2L).as("level"), col("node"), col("deg"),
+        col("c2").as("comm")))
+    val intra = edges
+      .join(lv.select(col("node").as("pa"), col("level"), col("comm").as("x")),
+        Seq("pa"))
+      .join(lv.select(col("node").as("pb"), col("level"), col("comm").as("y")),
+        Seq("pb", "level"))
+      .groupBy(col("level"))
+      .agg(sum(when(col("x") === col("y"), 1L).otherwise(0L)).as("n_intra"))
+    val dsq = lv.groupBy(col("level"), col("comm"))
+      .agg(sum(col("deg")).as("dc"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_comms"),
+        sum(dec38(col("dc")) * col("dc")).as("sumsq"))
+    dsq.join(intra, Seq("level")).crossJoin(broadcast(m))
+      .select(col("level"), col("n_comms"), col("n_intra"),
+        ((dec38(lit(4L) * col("m")) * col("n_intra") - col("sumsq"))
+          .cast("double")
+          / dec38(lit(4L) * col("m") * col("m")).cast("double")).as("q"))
+      .orderBy(col("level"))
+  }
+
+  // ------------------------------------------------------------- agg_anova
+
+  /** ONE-WAY ANOVA (Fisher) across order-status groups — the parametric
+    * k-group mean comparison next to `agg_ab_test` (two groups, t) and
+    * `agg_mannwhitney` (two groups, ranks): F = (SSB/(k−1))/(SSW/(N−k))
+    * with η² = SSB/SST as the effect size every ANOVA report quotes.
+    * Values ride as exact whole-dollar int64 (ROUND in decimal space,
+    * the r10 half-way discipline); per-group moments (n, Σy, Σy² in
+    * DECIMAL(38,0) — the `embed_drift` overflow rule) feed fixed IEEE
+    * expressions; per-group SSB/SSW terms round at 6 and sum as exact
+    * decimals (the `agg_entropy` device), so the statistic is
+    * partition- and engine-invariant.
+    *
+    * 100 TB shape: ONE hash aggregate folds the corpus to k rows;
+    * the 1-row grand total broadcasts back; everything after is
+    * model-sized. No window, no second data pass. */
+  val aggAnova: Q = (s, d) => {
+    val y = expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 0) AS BIGINT)")
+    val g = T.orders(s, d).select(col("o_orderstatus").as("st"), y.as("y"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("ssg"))
+    val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+      count(lit(1)).as("k"))
+    val mg = col("sg").cast("double") / col("ng").cast("double")
+    val mm = col("s").cast("double") / col("n").cast("double")
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("bt",
+        round(col("ng").cast("double") * (mg - mm) * (mg - mm), 6)
+          .cast("decimal(24,6)"))
+      .withColumn("wt",
+        round(col("ssg").cast("double")
+          - col("sg").cast("double") * col("sg").cast("double")
+            / col("ng").cast("double"), 6).cast("decimal(24,6)"))
+    terms.groupBy(col("n"), col("k"))
+      .agg(sum(col("bt")).cast("double").as("ssb"),
+        sum(col("wt")).cast("double").as("ssw"))
+      .select(col("n"), col("k"),
+        (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
+        round(col("ssb"), 2).as("ss_between"),
+        round(col("ssw"), 2).as("ss_within"),
+        round((col("ssb") / (col("k") - 1L).cast("double"))
+          / (col("ssw") / (col("n") - col("k")).cast("double")), 6).as("f"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2"))
+      .orderBy(col("n"))
+  }
+
+  // ----------------------------------------------------------- agg_kruskal
+
+  /** KRUSKAL-WALLIS H — the k-group rank test (`agg_mannwhitney`
+    * generalized past two cohorts; the test to reach for when
+    * `agg_anova`'s normality assumption is off): one test per order
+    * priority, groups = order status, metric = exact integer cents.
+    * Average ranks ride ×2 as exact integers (2·minrank + ties − 1, the
+    * mannwhitney device); per-group rank sums stay integer; the
+    * Σ R_g²/n_g terms round at 8 and sum as exact decimals; H applies
+    * the standard tie correction C = 1 − Σ(t³−t)/(N³−N) with the tie
+    * cubes in DECIMAL(38,0) (N³ passes 2^63 past ~2M rows per test).
+    *
+    * 100 TB shape: ranking is one (priority, value) sort-shuffle — the
+    * `window_rank` cost class, and the window is PARTITIONED by the test
+    * dimension (never the one-task global-window shape); both the group
+    * fold and the tie census are hash aggregates onto model-sized
+    * grids. */
+  val aggKruskal: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderpriority").as("pr"),
+      col("o_orderstatus").as("st"),
+      expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100" +
+        " AS BIGINT)").as("v"))
+    val wR = Window.partitionBy(col("pr")).orderBy(col("v"))
+    val wT = Window.partitionBy(col("pr"), col("v"))
+    val ranked = o.withColumn("r2",
+      lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - 1L)
+    val per = ranked.groupBy(col("pr"), col("st"))
+      .agg(count(lit(1)).as("ng"), sum(col("r2")).as("rg2"))
+      .withColumn("term",
+        round(col("rg2").cast("double") * col("rg2").cast("double")
+          / (lit(4.0) * col("ng").cast("double")), 8).cast("decimal(28,8)"))
+      .groupBy(col("pr"))
+      .agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("term")).as("srt"))
+    val ties = o.groupBy(col("pr"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("pr"))
+      .agg(sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+        - col("t")).as("tsum"))
+    per.join(ties, "pr")
+      .withColumn("h", lit(12.0) * col("srt").cast("double")
+        / (col("n") * (col("n") + 1L)).cast("double")
+        - lit(3.0) * (col("n") + 1L).cast("double"))
+      .withColumn("ct", lit(1.0) - col("tsum").cast("double")
+        / (col("n").cast("decimal(38,0)") * col("n") * col("n") - col("n"))
+          .cast("double"))
+      .select(col("pr").as("o_orderpriority"), col("n"), col("k"),
+        round(col("h"), 6).as("h"),
+        round(col("ct"), 6).as("tie_correction"),
+        round(col("h") / col("ct"), 6).as("h_adj"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --------------------------------------------------------- embed_outlier
+
+  /** EMBEDDING OUTLIER FLAG — the curation gate that drops broken or
+    * off-manifold vectors before they poison dedup clusters and ANN
+    * recall (the vector twin of `agg_tukey_fences`): squared L2 distance
+    * of every vector to the corpus centroid, then the Iglewicz-Hoaglin
+    * MODIFIED Z-SCORE 0.6745·(d² − median)/MAD with the 3.5 flag
+    * threshold — median/MAD because the outliers being hunted are
+    * exactly what wrecks a mean/σ gate. Distances are exact int64
+    * micro-unit sums over the half-up integer-mean centroid (the
+    * `cluster_kmeans` device), so both engines feed identical integers
+    * into identical median/MAD folds.
+    *
+    * 100 TB shape: the centroid is ONE (dim) hash aggregate to a
+    * d-row model that broadcasts back; distances are one map-side pass +
+    * a vec-keyed aggregate; the two medians run on the |corpus|-row
+    * d² column (the `agg_mad` declared-sort semantics — range-partitioned
+    * sort at scale, `agg_approx_quantile` is the sketch relaxation). */
+  val embedOutlier: Q = (s, d) => {
+    val micro = T.embeddings(s, d).select(col("vec_id"),
+      posexplode(expr("transform(embedding," +
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+        .as(Seq("dim", "q")))
+    val cent = micro.groupBy(col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        floor((col("sq") * 2 + col("n")).cast("double")
+          / (col("n") * 2).cast("double")).cast("long").as("c"))
+    val d2 = micro.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val med = d2.agg(expr("median(CAST(d2 AS DOUBLE))").as("med"))
+    val mad = d2.crossJoin(broadcast(med))
+      .agg(expr("median(abs(CAST(d2 AS DOUBLE) - med))").as("mad"))
+    val mz = when(col("mad") === 0.0, lit(0.0))
+      .otherwise(round(lit(0.6745)
+        * (col("d2").cast("double") - col("med")) / col("mad"), 6))
+    d2.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("vec_id"), col("d2"),
+        round(col("med"), 6).as("med_d2"),
+        round(col("mad"), 6).as("mad_d2"),
+        mz.as("mz"), (mz > 3.5).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ----------------------------------------------------------- sample_ares
+
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT via the exponential race —
+    * A-Res (Efraimidis & Spirakis 2006) / Gumbel-top-k: every doc draws
+    * a deterministic uniform u from its hashed id and races with the
+    * exponential key e = −ln(u)/w (w = byte weight); the k smallest keys
+    * ARE a weight-proportional sample without replacement. This is THE
+    * distributed weighted sampler: one map-side key projection + one
+    * top-k — no global prefix-sum, no sequential draw, no coordination,
+    * which is why it is the shape a 100 TB corpus sampler runs
+    * (`sample_weighted` is the Bernoulli/Poisson variant — independent
+    * inclusion, random size; this one returns EXACTLY k docs).
+    *
+    * Determinism: u = (md5_48 + 1)/2^48 ∈ (0,1]; −ln(u)/w is one fixed
+    * IEEE expression rounded at 8 BEFORE ranking (the `text_perplexity`
+    * ln discipline), ties → doc_id — a total order on any engine.
+    *
+    * 100 TB shape: per-row key + TakeOrderedAndProject (never a global
+    * sort, never a window); the k-row result is the only thing that
+    * leaves the executors. */
+  val sampleAres: Q = (s, d) => {
+    val u = (graft.expr.Md5Prefix48.md548(
+        concat(lit("ares:"), col("doc_id").cast("string")))
+      + 1L).cast("double") / lit(281474976710656.0)
+    T.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars").cast("double"), 8).as("ekey"))
+      .orderBy(col("ekey"), col("doc_id"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "sim_ivf_pq" -> simIvfPq,
+    "graph_louvain_multi" -> graphLouvainMulti,
+    "agg_anova" -> aggAnova,
+    "agg_kruskal" -> aggKruskal,
+    "embed_outlier" -> embedOutlier,
+    "sample_ares" -> sampleAres,
+  )
+
+  /** DuckDB oracle texts. graph_louvain_multi, agg_anova and agg_kruskal
+    * are dual-dialect ANSI (listed in SqlCatalog.sharedWithOracle); the
+    * array/hash keys spell their own primitives per dialect. */
+  val oracles: Map[String, String] = Map(
+    "sim_ivf_pq" ->
+      """WITH q AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qd,
+        |    ((i - 1) // 16) * 16 AS sub
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |coarse AS (SELECT vec_id AS cell, dim, qd AS gd FROM q
+        |           WHERE vec_id % 50 = 0),
+        |celld2 AS (SELECT q.vec_id, c.cell,
+        |    SUM((q.qd - c.gd) * (q.qd - c.gd)) AS gd2
+        |  FROM q JOIN coarse c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, c.cell),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY gd2, cell) AS arnk FROM celld2)
+        |  WHERE arnk = 1),
+        |pcells AS (SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY gd2, cell) AS prnk
+        |    FROM celld2 WHERE vec_id < 10)
+        |  WHERE prnk <= 3),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cents AS (SELECT q.vec_id AS cid, dim, qd AS cv
+        |          FROM q JOIN seeds USING (vec_id)),
+        |d2c AS (SELECT q.vec_id, q.sub, c.cid,
+        |    SUM((q.qd - c.cv) * (q.qd - c.cv)) AS cd2
+        |  FROM q JOIN cents c ON q.dim = c.dim
+        |  GROUP BY q.vec_id, q.sub, c.cid),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY cd2, cid) AS rnk FROM d2c)
+        |  WHERE rnk = 1),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, dim, qd AS pd, sub FROM q
+        |  WHERE vec_id < 10),
+        |adc AS (SELECT p.probe_id, p.sub, c.cid,
+        |    SUM((p.pd - c.cv) * (p.pd - c.cv)) AS pd2
+        |  FROM probes p JOIN cents c ON p.dim = c.dim
+        |  GROUP BY p.probe_id, p.sub, c.cid),
+        |pc AS (SELECT a.vec_id, a.cell, p.probe_id
+        |  FROM assign a JOIN pcells p ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.probe_id),
+        |approx AS (
+        |  SELECT pc.probe_id, pc.vec_id, pc.cell, SUM(adc.pd2) AS adc_d2
+        |  FROM pc
+        |  JOIN codes ON codes.vec_id = pc.vec_id
+        |  JOIN adc ON adc.probe_id = pc.probe_id
+        |    AND adc.sub = codes.sub AND adc.cid = codes.cid
+        |  GROUP BY pc.probe_id, pc.vec_id, pc.cell),
+        |cand AS (SELECT probe_id, vec_id, cell, adc_d2 FROM (
+        |    SELECT probe_id, vec_id, cell, adc_d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS crk
+        |    FROM approx) WHERE crk <= 12),
+        |ex AS (
+        |  SELECT cand.probe_id, cand.vec_id, cand.cell, cand.adc_d2,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS d2
+        |  FROM cand JOIN q ON cand.vec_id = q.vec_id
+        |  JOIN probes p ON p.probe_id = cand.probe_id AND p.dim = q.dim
+        |  GROUP BY cand.probe_id, cand.vec_id, cand.cell, cand.adc_d2),
+        |res AS (SELECT probe_id, vec_id, cell, adc_d2, d2, rnk FROM (
+        |    SELECT probe_id, vec_id, cell, adc_d2, d2, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM ex)
+        |  WHERE rnk <= 3),
+        |gtd AS (
+        |  SELECT p.probe_id, q.vec_id,
+        |    SUM((q.qd - p.pd) * (q.qd - p.pd)) AS td2
+        |  FROM q JOIN probes p ON p.dim = q.dim
+        |  WHERE q.vec_id <> p.probe_id
+        |  GROUP BY p.probe_id, q.vec_id),
+        |gt AS (SELECT probe_id, vec_id, grnk FROM (
+        |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_id ORDER BY td2, vec_id) AS grnk FROM gtd)
+        |  WHERE grnk <= 3)
+        |SELECT res.probe_id, CAST(res.rnk AS BIGINT) AS rnk, res.vec_id,
+        |  res.cell, CAST(res.adc_d2 AS BIGINT) AS adc_d2,
+        |  CAST(res.d2 AS BIGINT) AS d2,
+        |  CAST(COALESCE(gt.grnk, 0) AS BIGINT) AS gt_rnk,
+        |  (gt.grnk IS NOT NULL) AS hit
+        |FROM res LEFT JOIN gt
+        |  ON gt.probe_id = res.probe_id AND gt.vec_id = res.vec_id
+        |ORDER BY res.probe_id, res.rnk""".stripMargin,
+
+    "graph_louvain_multi" ->
+      s"""WITH ${Frontier.louvainCoreSql},
+         |comm AS (
+         |  SELECT i AS node, ki AS deg,
+         |    CASE WHEN 2 * m.m - ki * kj > 0 THEN j ELSE i END AS c1
+         |  FROM best CROSS JOIN m),
+         |coarse AS (
+         |  SELECT LEAST(x.c1, y.c1) AS ca, GREATEST(x.c1, y.c1) AS cb,
+         |    COUNT(*) AS w
+         |  FROM edges e
+         |  JOIN comm x ON e.pa = x.node
+         |  JOIN comm y ON e.pb = y.node
+         |  GROUP BY LEAST(x.c1, y.c1), GREATEST(x.c1, y.c1)),
+         |wdeg AS (
+         |  SELECT c, SUM(k) AS kc FROM (
+         |    SELECT ca AS c, CASE WHEN ca = cb THEN 2 * w ELSE w END AS k
+         |    FROM coarse
+         |    UNION ALL
+         |    SELECT cb AS c, w AS k FROM coarse WHERE ca <> cb) u
+         |  GROUP BY c),
+         |dir2 AS (
+         |  SELECT ca AS i, cb AS j, w FROM coarse WHERE ca <> cb
+         |  UNION ALL
+         |  SELECT cb AS i, ca AS j, w FROM coarse WHERE ca <> cb),
+         |best2 AS (
+         |  SELECT i, j, gain FROM (
+         |    SELECT d.i, d.j,
+         |      CAST(2 * m.m AS DECIMAL(38,0)) * d.w
+         |        - CAST(ki.kc AS DECIMAL(38,0)) * kj.kc AS gain,
+         |      ROW_NUMBER() OVER (PARTITION BY d.i ORDER BY
+         |        CAST(2 * m.m AS DECIMAL(38,0)) * d.w
+         |          - CAST(ki.kc AS DECIMAL(38,0)) * kj.kc DESC,
+         |        d.j ASC) AS rnk
+         |    FROM dir2 d
+         |    JOIN wdeg ki ON ki.c = d.i
+         |    JOIN wdeg kj ON kj.c = d.j
+         |    CROSS JOIN m) t
+         |  WHERE rnk = 1),
+         |fin AS (
+         |  SELECT comm.node, comm.deg, comm.c1,
+         |    COALESCE(CASE WHEN b.gain > 0 THEN b.j ELSE b.i END, comm.c1)
+         |      AS c2
+         |  FROM comm LEFT JOIN best2 b ON b.i = comm.c1),
+         |lv AS (
+         |  SELECT 0 AS level, node, deg, node AS comm FROM fin
+         |  UNION ALL SELECT 1 AS level, node, deg, c1 AS comm FROM fin
+         |  UNION ALL SELECT 2 AS level, node, deg, c2 AS comm FROM fin),
+         |intra AS (
+         |  SELECT x.level,
+         |    SUM(CASE WHEN x.comm = y.comm THEN 1 ELSE 0 END) AS n_intra
+         |  FROM edges e
+         |  JOIN lv x ON e.pa = x.node
+         |  JOIN lv y ON e.pb = y.node AND y.level = x.level
+         |  GROUP BY x.level),
+         |dsq AS (
+         |  SELECT level, COUNT(*) AS n_comms,
+         |    SUM(CAST(dc AS DECIMAL(38,0)) * dc) AS sumsq
+         |  FROM (SELECT level, comm, SUM(deg) AS dc FROM lv
+         |        GROUP BY level, comm) g
+         |  GROUP BY level)
+         |SELECT CAST(d.level AS BIGINT) AS level,
+         |  CAST(d.n_comms AS BIGINT) AS n_comms,
+         |  CAST(i.n_intra AS BIGINT) AS n_intra,
+         |  CAST(CAST(4 * m.m AS DECIMAL(38,0)) * i.n_intra - d.sumsq
+         |      AS DOUBLE)
+         |    / CAST(CAST(4 * m.m * m.m AS DECIMAL(38,0)) AS DOUBLE) AS q
+         |FROM dsq d
+         |JOIN intra i ON i.level = d.level
+         |CROSS JOIN m
+         |ORDER BY level""".stripMargin,
+
+    "agg_anova" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus AS st, COUNT(*) AS ng,
+        |    SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 0)
+        |      AS BIGINT)) AS sg,
+        |    SUM(CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 0)
+        |        AS BIGINT)
+        |      * CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 0)
+        |        AS BIGINT) AS DECIMAL(38,0))) AS ssg
+        |  FROM orders GROUP BY o_orderstatus),
+        |tot AS (SELECT SUM(ng) AS n, SUM(sg) AS s, COUNT(*) AS k FROM g),
+        |terms AS (
+        |  SELECT tot.n, tot.k,
+        |    CAST(ROUND(CAST(g.ng AS DOUBLE)
+        |      * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)
+        |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)
+        |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |      AS DECIMAL(24,6)) AS bt,
+        |    CAST(ROUND(CAST(g.ssg AS DOUBLE)
+        |      - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE)
+        |        / CAST(g.ng AS DOUBLE), 6) AS DECIMAL(24,6)) AS wt
+        |  FROM g CROSS JOIN tot),
+        |agg AS (
+        |  SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb,
+        |    CAST(SUM(wt) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY n, k)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  CAST(ROUND(ssb, 2) AS DOUBLE) AS ss_between,
+        |  CAST(ROUND(ssw, 2) AS DOUBLE) AS ss_within,
+        |  CAST(ROUND((ssb / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(n - k AS DOUBLE)), 6) AS DOUBLE) AS f,
+        |  CAST(ROUND(ssb / (ssb + ssw), 6) AS DOUBLE) AS eta2
+        |FROM agg ORDER BY n""".stripMargin,
+
+    "agg_kruskal" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT pr, st,
+        |    2 * rank() OVER (PARTITION BY pr ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY pr, v) - 1 AS r2
+        |  FROM o),
+        |per AS (
+        |  SELECT pr, SUM(ng) AS n, COUNT(*) AS k,
+        |    SUM(CAST(ROUND(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)
+        |      / (4.0 * CAST(ng AS DOUBLE)), 8) AS DECIMAL(28,8))) AS srt
+        |  FROM (SELECT pr, st, COUNT(*) AS ng, SUM(r2) AS rg2
+        |        FROM ranked GROUP BY pr, st) g
+        |  GROUP BY pr),
+        |ties AS (
+        |  SELECT pr,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tsum
+        |  FROM (SELECT pr, v, COUNT(*) AS t FROM o GROUP BY pr, v) tv
+        |  GROUP BY pr),
+        |hs AS (
+        |  SELECT per.pr, per.n, per.k,
+        |    12.0 * CAST(per.srt AS DOUBLE)
+        |      / CAST(per.n * (per.n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(per.n + 1 AS DOUBLE) AS h,
+        |    1.0 - CAST(ties.tsum AS DOUBLE)
+        |      / CAST(CAST(per.n AS DECIMAL(38,0)) * per.n * per.n - per.n
+        |          AS DOUBLE) AS ct
+        |  FROM per JOIN ties ON ties.pr = per.pr)
+        |SELECT pr AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS k,
+        |  CAST(ROUND(h, 6) AS DOUBLE) AS h,
+        |  CAST(ROUND(ct, 6) AS DOUBLE) AS tie_correction,
+        |  CAST(ROUND(h / ct, 6) AS DOUBLE) AS h_adj
+        |FROM hs ORDER BY o_orderpriority""".stripMargin,
+
+    "embed_outlier" ->
+      """WITH q AS (SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |cent AS (
+        |  SELECT dim,
+        |    CAST(floor(CAST(SUM(q) * 2 + COUNT(*) AS DOUBLE)
+        |      / CAST(COUNT(*) * 2 AS DOUBLE)) AS BIGINT) AS c
+        |  FROM q GROUP BY dim),
+        |d2 AS (
+        |  SELECT q.vec_id, SUM((q.q - cent.c) * (q.q - cent.c)) AS d2
+        |  FROM q JOIN cent ON q.dim = cent.dim
+        |  GROUP BY q.vec_id),
+        |med AS (SELECT median(CAST(d2 AS DOUBLE)) AS med FROM d2),
+        |mad AS (
+        |  SELECT median(abs(CAST(d2.d2 AS DOUBLE) - med.med)) AS mad
+        |  FROM d2 CROSS JOIN med)
+        |SELECT d2.vec_id, CAST(d2.d2 AS BIGINT) AS d2,
+        |  CAST(ROUND(med.med, 6) AS DOUBLE) AS med_d2,
+        |  CAST(ROUND(mad.mad, 6) AS DOUBLE) AS mad_d2,
+        |  CAST(CASE WHEN mad.mad = 0 THEN 0.0
+        |       ELSE ROUND(0.6745 * (CAST(d2.d2 AS DOUBLE) - med.med)
+        |         / mad.mad, 6) END AS DOUBLE) AS mz,
+        |  (CASE WHEN mad.mad = 0 THEN 0.0
+        |       ELSE ROUND(0.6745 * (CAST(d2.d2 AS DOUBLE) - med.med)
+        |         / mad.mad, 6) END > 3.5) AS is_outlier
+        |FROM d2 CROSS JOIN med CROSS JOIN mad
+        |ORDER BY d2.vec_id""".stripMargin,
+
+    "sample_ares" -> {
+      val h = LlmPipeline.h48Sql("concat('ares:', CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id, n_chars,
+         |  CAST(ROUND(-ln((CAST($h AS DOUBLE) + 1)
+         |      / 281474976710656.0)
+         |    / CAST(n_chars AS DOUBLE), 8) AS DOUBLE) AS ekey
+         |FROM documents
+         |ORDER BY ekey, doc_id LIMIT 20""".stripMargin
+    },
+  )
+}

@@ -1196,4 +1196,133 @@ class PlanSpec extends SparkSpecBase {
       s"expected the perplexity lag window AND the ntile window, got $nWindows")
     assert(p.contains("HashAggregate"), "bucket datasheet not a hash aggregate")
   }
+
+  // ------------------------------------------------------ round-12 shapes
+
+  test("sim_ivf_pq: broadcast models, cell-pruned scan, no product") {
+    val p = planString(graft.ops.Frontier3.simIvfPq(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "a model-table join degenerated to a product")
+    // coarse centroids, PQ codebook, ADC table and probe replicas are all
+    // bounded models — each must broadcast, never sort-merge against the
+    // corpus-scale code/micro streams
+    val nB = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nB >= 4,
+      s"coarse/codebook/ADC/probe models must broadcast, got $nB broadcasts")
+    assert(p.contains("HashAggregate"), "distance sums not hash aggregates")
+  }
+
+  test("graph_louvain_multi: materialized edges, bounded joins, no product") {
+    val df = graft.ops.Frontier3.graphLouvainMulti(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      "a community-map join degenerated to a product")
+    // the basket self-join ran ONCE behind the materialize barrier: no
+    // consumer re-derives it, so the frame's own joins are the bounded
+    // community-map equi-joins + the 1-row m broadcasts
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size <= 12,
+      s"louvain multi should need <=12 bounded joins, got ${joins.size}")
+    // the weighted level-2 argmax window ran at BUILD time behind the
+    // `full` materialize barrier — the declared frame sees only the
+    // checkpointed level table, so no window (and no re-derivation of
+    // comm1/coarse, which un-materialized planned 499 joins)
+    assert(!p.contains("Window"),
+      "a window leaked past the materialize barriers")
+  }
+
+  test("agg_anova: ONE corpus hash aggregate, broadcast grand total, no window") {
+    val df = graft.ops.Frontier3.aggAnova(spark, sf0001)
+    val p = planString(df)
+    assert(p.contains("HashAggregate"), "group moments not a hash aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row grand total degenerated to a product")
+    assert(!p.contains("Window"), "ANOVA needs no window at all")
+    assert(!p.contains("SortMergeJoin"),
+      "the k-row group table must never sort-merge")
+  }
+
+  test("agg_kruskal: partitioned rank windows + grid-sized hash aggregates, no product") {
+    val p = planString(graft.ops.Frontier3.aggKruskal(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the per-priority tie census degenerated to a product")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 1, "the priority-partitioned rank window is missing")
+    assert(p.contains("HashAggregate"), "rank sums not hash aggregates")
+  }
+
+  test("embed_outlier: d-row centroid broadcast + map-side distances, no product") {
+    val p = planString(graft.ops.Frontier3.embedOutlier(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "a broadcast scalar degenerated to a product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 64-row centroid model is not broadcast")
+    assert(!p.contains("Window"), "the outlier gate needs no window")
+  }
+
+  test("lineage net: Lineage.of covers every declared key (all-query sweep)") {
+    // VERDICT r11 #8: meta_lineage's walk, run over the WHOLE catalog, is
+    // a standing regression net — any future op that accidentally widens
+    // its scan (reads a column its outputs don't derive from after
+    // pruning) or whose outputs stop tracing to their sources shows up
+    // here. Two pinned properties:
+    //   (a) Lineage.of never throws on any declared plan (the walk
+    //       handles every attribute-creating node the catalog uses);
+    //   (b) every key whose FINAL frame still reads a file source traces
+    //       at least one output column to it. Keys behind checkpoint
+    //       barriers (LogicalRDD leaves) or reading only literal grids
+    //       are exempt by construction — data lineage maps source-derived
+    //       values only.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val perKey = SparkEntry.queries.toSeq.sortBy(_._1).map { case (k, fn) =>
+      val df = fn(spark, sf0001)
+      val edges = try graft.core.Lineage.of(df) catch {
+        case e: Throwable =>
+          fail(s"Lineage.of threw for $k: ${e.getMessage}")
+      }
+      val readsFiles = df.queryExecution.optimizedPlan.collectFirst {
+        case r: LogicalRelation => r
+      }.isDefined
+      spark.catalog.clearCache()
+      (k, edges.nonEmpty, readsFiles)
+    }
+    // COUNT-SHAPED keys are the adjudicated exemption: their every output
+    // is a COUNT(*)-derived quantity (or a literal grid), and a count
+    // derives from row EXISTENCE, not from any column's value — exactly
+    // the control dependency the declared lineage contract excludes (the
+    // OpenLineage data-vs-control distinction in core/Lineage's scaladoc).
+    // Each key below was inspected: constraint_fk (orphan counts),
+    // dedup_eval (precision/recall counts), events_ccdf (threshold
+    // counts), graph_bfs (hop levels), graph_degree_dist (band counts),
+    // mm_batch_stats (batch counts), set_ops_all (per-op counts),
+    // text_feature_hash (bucket census). A key joining this set fails the
+    // pin and must be adjudicated the same way.
+    val countShaped = Set("constraint_fk", "dedup_eval", "events_ccdf",
+      "graph_bfs", "graph_degree_dist", "mm_batch_stats", "set_ops_all",
+      "text_feature_hash")
+    val offenders = perKey.collect {
+      case (k, false, true) if !countShaped.contains(k) => k
+    }
+    assert(offenders.isEmpty,
+      s"keys that read a file source but trace NO output column to it: " +
+        s"${offenders.mkString(", ")}")
+    val covered = perKey.count(_._2)
+    info(s"lineage coverage: $covered/${perKey.size} keys with source edges")
+    // pinned floor: measured at the round-12 HEAD; a collapse of the walk
+    // (e.g. an unhandled node type swallowing lineage) trips this long
+    // before the per-key invariant would
+    assert(covered >= 300,
+      s"only $covered keys trace to sources — the lineage walk regressed")
+  }
+
+  test("sample_ares: per-row key + TakeOrderedAndProject — no global sort, no window") {
+    val p = planString(graft.ops.Frontier3.sampleAres(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not a global Sort+Limit")
+    assert(!p.contains("Window"), "the A-Res draw needs no window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "the weighted draw should need no join at all")
+  }
 }
