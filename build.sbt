@@ -45,9 +45,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms$driverMem",
   s"-Xmx$driverMem",
 ) ++ (
-  // big heaps only: also pre-TOUCH at JVM start (untimed) so even the
-  // first-touch page-zero cost never lands inside a timed sample. Not at
-  // the 16g test default — pre-touching 16g per forked suite would add
-  // ~1 min across the test run for no measurement benefit.
-  if (driverMemGb >= 32) Seq("-XX:+AlwaysPreTouch") else Seq.empty
+  // Big heaps also pre-TOUCH at JVM start (untimed) so even first-touch
+  // page zeroing never lands inside timed samples — at 89g/sf0.1 this is
+  // graph_betweenness 6.0 s vs 8.1 s without. CAVEAT, measured: pre-touch
+  // forces the WHOLE heap resident; on this 128 GiB box that evicts the
+  // page cache sf1+ shuffle files live in (agg_spearman at sf1 read
+  // 30.6/143.0/87.3 s across samples with buff/cache pinned at ~3 GB vs
+  // a stable ~23 s without). The driver's bench runs sf0.1 (17 MB data,
+  // dedicated-heap regime — pre-touch correct); big-SF local sweeps set
+  // SPARK_GRAFT_NO_PRETOUCH=1 (SCALING.md round-12 rule). Either way
+  // -Xms=-Xmx already prevents the r10 uncommit/recommit tax.
+  if (driverMemGb >= 32 && !sys.env.contains("SPARK_GRAFT_NO_PRETOUCH"))
+    Seq("-XX:+AlwaysPreTouch")
+  else Seq.empty
 )

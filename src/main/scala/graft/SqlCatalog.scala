@@ -123,7 +123,8 @@ object SqlCatalog {
     "graph_louvain_pass", "graph_louvain_coarsen", "graph_hits",
     "meta_lineage", "graph_scc",
     // round-12 keys whose oracle SQL is already ANSI
-    "graph_louvain_multi", "agg_anova", "agg_kruskal")
+    "graph_louvain_multi", "agg_anova", "agg_kruskal", "agg_levene",
+    "agg_ljung_box")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++

@@ -35,7 +35,7 @@ object Frontier3 {
     * the ADC scan reads nprobe/|cells| of the codes, not all of them.
     * The declared output carries its own RECALL AUDIT: each returned
     * candidate joins against the exact brute-force integer-L2 top-3
-    * (`gt_rnk`, `hit`) — the measurement that justifies the двух-level
+    * (`gt_rnk`, `hit`) — the measurement that justifies the two-level
     * approximation before production traffic moves to it.
     *
     * Everything is exact integer micro-unit L2 (the `sim_topk_pq`
@@ -331,6 +331,119 @@ object Frontier3 {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ------------------------------------------------------------ agg_levene
+
+  /** BROWN-FORSYTHE LEVENE TEST — variance homogeneity across the
+    * order-status groups, i.e. the assumption check that decides whether
+    * `agg_anova`'s pooled-variance F is even admissible (heteroscedastic
+    * groups want Welch; every ANOVA report runs Levene first): W = the
+    * one-way-ANOVA F applied to the absolute deviations from each
+    * group's MEDIAN (Brown-Forsythe's robust variant — the mean-centered
+    * original inherits the outliers it is testing for). Arithmetic: v
+    * rides as exact cents; the group median of integers is either an
+    * integer or a half (both engines average the two central values), so
+    * w = 2·|v − med| is an EXACT int64 and the ANOVA moments (Σw, Σw² in
+    * DECIMAL(38,0)) are exact — F is scale-invariant, so W on w equals W
+    * on |v − med| with every sum engine-invariant.
+    *
+    * 100 TB shape: one exact per-group median (the `agg_mad` declared
+    * sort semantics), one broadcast-back, then the `agg_anova` fold —
+    * ONE hash aggregate to k rows + model-sized tail. */
+  val aggLevene: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus").as("st"),
+      expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100" +
+        " AS BIGINT)").as("v"))
+    val med = o.groupBy(col("st"))
+      .agg(expr("median(CAST(v AS DOUBLE))").as("med"))
+    val z = o.join(broadcast(med), "st")
+      .select(col("st"),
+        (abs(col("v").cast("double") - col("med")) * 2).cast("long").as("w"))
+    val g = z.groupBy(col("st"))
+      .agg(count(lit(1)).as("ng"), sum(col("w")).as("sg"),
+        sum(col("w").cast("decimal(38,0)") * col("w")).as("ssg"))
+    val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+      count(lit(1)).as("k"))
+    val mg = col("sg").cast("double") / col("ng").cast("double")
+    val mm = col("s").cast("double") / col("n").cast("double")
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("bt",
+        round(col("ng").cast("double") * (mg - mm) * (mg - mm), 6)
+          .cast("decimal(30,6)"))
+      .withColumn("wt",
+        // w rides in 2x-cents units so w-squared sums pass 1e18 — the
+        // anova key's DECIMAL(24,6) would overflow here (measured at
+        // sf0.01); 30,6 holds to ~1e23
+        round(col("ssg").cast("double")
+          - col("sg").cast("double") * col("sg").cast("double")
+            / col("ng").cast("double"), 6).cast("decimal(30,6)"))
+    terms.groupBy(col("n"), col("k"))
+      .agg(sum(col("bt")).cast("double").as("ssb"),
+        sum(col("wt")).cast("double").as("ssw"))
+      .select(col("n"), col("k"),
+        (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
+        round((col("ssb") / (col("k") - 1L).cast("double"))
+          / (col("ssw") / (col("n") - col("k")).cast("double")), 6)
+          .as("w_stat"))
+      .orderBy(col("n"))
+  }
+
+  // --------------------------------------------------------- agg_ljung_box
+
+  /** LJUNG-BOX PORTMANTEAU TEST — "is this series white noise?", the
+    * model-adequacy diagnostic run on forecast residuals and on raw
+    * series before fitting (`agg_autocorr` reports two lags; this pools
+    * lags 1..5 into the one χ²₍₅₎ statistic a forecasting pipeline
+    * alerts on): Q = n(n+2)·Σ_k ρ_k²/(n−k) over the daily event-count
+    * series per type. ρ_k is the lag-k PAIR correlation on the
+    * integer-indexed series (the `agg_autocorr` moment device: daily
+    * counts are exact integers, all six pair moments exact DECIMALs, one
+    * fixed IEEE expression per ρ, rounded 8); the day index is a
+    * row_number per type so the pairing is pure integer algebra —
+    * dual-dialect by construction, no date arithmetic.
+    *
+    * 100 TB shape: ONE corpus fold to the (type × day) grid; the index
+    * window is type-partitioned; the 5-lag pair join and every moment
+    * aggregate run on the model-sized daily grid. */
+  val aggLjungBox: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.select(col("event_type"), col("c"),
+      row_number().over(wIdx).cast("long").as("i"))
+    val nD = idx.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val lags = idx.select(col("event_type"), col("i"), col("c").as("x"),
+      explode(expr("array(1L, 2L, 3L, 4L, 5L)")).as("lag"))
+    val y = idx.select(col("event_type").as("et2"), col("i").as("i2"),
+      col("c").as("y"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val mom = lags.join(y,
+        col("et2") === col("event_type") && col("i2") === col("i") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val rho = mom.select(col("event_type"), col("lag"),
+      round((dbl("np") * dbl("sxy") - dbl("sx") * dbl("sy"))
+        / (sqrt(dbl("np") * dbl("sxx") - dbl("sx") * dbl("sx"))
+          * sqrt(dbl("np") * dbl("syy") - dbl("sy") * dbl("sy"))), 8)
+        .as("r"))
+    rho.join(broadcast(nD), "event_type")
+      .withColumn("term",
+        round(col("r") * col("r")
+          / (col("n") - col("lag")).cast("double"), 8).cast("decimal(20,8)"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n_lags"), sum(col("term")).as("s8"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_lags"),
+        round(col("n").cast("double") * (col("n") + 2L).cast("double")
+          * col("s8").cast("double"), 6).as("q"),
+        lit(5L).as("dof"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------- embed_outlier
 
   /** EMBEDDING OUTLIER FLAG — the curation gate that drops broken or
@@ -414,6 +527,8 @@ object Frontier3 {
     "graph_louvain_multi" -> graphLouvainMulti,
     "agg_anova" -> aggAnova,
     "agg_kruskal" -> aggKruskal,
+    "agg_levene" -> aggLevene,
+    "agg_ljung_box" -> aggLjungBox,
     "embed_outlier" -> embedOutlier,
     "sample_ares" -> sampleAres,
   )
@@ -610,6 +725,92 @@ object Frontier3 {
         |    / (ssw / CAST(n - k AS DOUBLE)), 6) AS DOUBLE) AS f,
         |  CAST(ROUND(ssb / (ssb + ssw), 6) AS DOUBLE) AS eta2
         |FROM agg ORDER BY n""".stripMargin,
+
+    "agg_levene" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders),
+        |med AS (SELECT st, median(CAST(v AS DOUBLE)) AS med
+        |        FROM o GROUP BY st),
+        |z AS (SELECT o.st,
+        |    CAST(abs(CAST(o.v AS DOUBLE) - med.med) * 2 AS BIGINT) AS w
+        |  FROM o JOIN med ON med.st = o.st),
+        |g AS (SELECT st, COUNT(*) AS ng, SUM(w) AS sg,
+        |    SUM(CAST(w AS DECIMAL(38,0)) * w) AS ssg
+        |  FROM z GROUP BY st),
+        |tot AS (SELECT SUM(ng) AS n, SUM(sg) AS s, COUNT(*) AS k FROM g),
+        |terms AS (
+        |  SELECT tot.n, tot.k,
+        |    CAST(ROUND(CAST(g.ng AS DOUBLE)
+        |      * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)
+        |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)
+        |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |      AS DECIMAL(30,6)) AS bt,
+        |    CAST(ROUND(CAST(g.ssg AS DOUBLE)
+        |      - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE)
+        |        / CAST(g.ng AS DOUBLE), 6) AS DECIMAL(30,6)) AS wt
+        |  FROM g CROSS JOIN tot),
+        |agg AS (
+        |  SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb,
+        |    CAST(SUM(wt) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY n, k)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  CAST(ROUND((ssb / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(n - k AS DOUBLE)), 6) AS DOUBLE) AS w_stat
+        |FROM agg ORDER BY n""".stripMargin,
+
+    "agg_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |idx AS (
+        |  SELECT event_type, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |nd AS (SELECT event_type, COUNT(*) AS n FROM idx GROUP BY event_type),
+        |lg AS (SELECT CAST(1 AS BIGINT) AS lag
+        |       UNION ALL SELECT 2 UNION ALL SELECT 3
+        |       UNION ALL SELECT 4 UNION ALL SELECT 5),
+        |mom AS (
+        |  SELECT a.event_type, a.lag, COUNT(*) AS np,
+        |    SUM(CAST(a.c AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(b.c AS DECIMAL(19,0))) AS sy,
+        |    SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(a.c AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(b.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+        |      AS syy,
+        |    SUM(CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM (SELECT idx.event_type, idx.i, idx.c, lg.lag
+        |        FROM idx CROSS JOIN lg) a
+        |  JOIN idx b
+        |    ON b.event_type = a.event_type AND b.i = a.i + a.lag
+        |  GROUP BY a.event_type, a.lag),
+        |rho AS (
+        |  SELECT event_type, lag,
+        |    ROUND((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8) AS r
+        |  FROM mom),
+        |t AS (
+        |  SELECT rho.event_type, nd.n,
+        |    CAST(ROUND(r * r / CAST(nd.n - rho.lag AS DOUBLE), 8)
+        |      AS DECIMAL(20,8)) AS term
+        |  FROM rho JOIN nd ON nd.event_type = rho.event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lags,
+        |  CAST(ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |    * CAST(SUM(term) AS DOUBLE), 6) AS DOUBLE) AS q,
+        |  CAST(5 AS BIGINT) AS dof
+        |FROM t GROUP BY event_type, n ORDER BY event_type""".stripMargin,
 
     "agg_kruskal" ->
       """WITH o AS (

@@ -1252,6 +1252,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), "rank sums not hash aggregates")
   }
 
+  test("agg_levene: per-group median + the anova fold — one corpus agg chain, no window") {
+    val p = planString(graft.ops.Frontier3.aggLevene(spark, sf0001))
+    assert(p.contains("HashAggregate"), "group moments not a hash aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row grand total degenerated to a product")
+    assert(!p.contains("Window"), "Levene needs no window at all")
+  }
+
+  test("agg_ljung_box: type-partitioned index window + model-sized lag joins, no product") {
+    val p = planString(graft.ops.Frontier3.aggLjungBox(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the 5-row lag grid degenerated to a product")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(nWindows >= 1, "the day-index window is missing")
+    assert(p.contains("HashAggregate"), "pair moments not hash aggregates")
+  }
+
   test("embed_outlier: d-row centroid broadcast + map-side distances, no product") {
     val p = planString(graft.ops.Frontier3.embedOutlier(spark, sf0001))
     assert(!p.contains("CartesianProduct"),

@@ -199,6 +199,70 @@ class Round12OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_levene matches a local replay at sf0.001") {
+    val o = T.orders(spark, sf0001)
+      .select(col("o_orderstatus"),
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100" +
+          " AS BIGINT)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val groups = o.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val ws = groups.view.mapValues { ys =>
+      val m = med(ys)
+      ys.map(y => math.abs(y - m) * 2).map(_.toLong)
+    }.toMap
+    val n = o.length.toDouble
+    val k = groups.size.toDouble
+    val allW = ws.values.flatten
+    val mm = allW.map(BigInt(_)).sum.toDouble / n
+    val ssb = ws.values.map { zs =>
+      val mg = zs.map(BigInt(_)).sum.toDouble / zs.length
+      zs.length * (mg - mm) * (mg - mm)
+    }.sum
+    val ssw = ws.values.map { zs =>
+      val sg = zs.map(BigInt(_)).sum.toDouble
+      zs.map(z => z.toDouble * z).sum - sg * sg / zs.length
+    }.sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = graft.ops.Frontier3.aggLevene(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == o.length && r.getLong(1) == groups.size)
+    assert(math.abs(r.getDouble(4) - w) < 1e-3 * math.max(1.0, w.abs),
+      s"W ${r.getDouble(4)} != local $w")
+  }
+
+  test("agg_ljung_box matches a local replay at sf0.001") {
+    val daily = T.events(spark, sf0001)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = graft.ops.Frontier3.aggLjungBox(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(_._3.toDouble)
+      val n = series.length
+      val q = (1 to 5).map { lag =>
+        val pairs = series.dropRight(lag).zip(series.drop(lag))
+        val np = pairs.length.toDouble
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val r = (np * sxy - sx * sy) /
+          (math.sqrt(np * sxx - sx * sx) * math.sqrt(np * syy - sy * sy))
+        r * r / (n - lag)
+      }.sum * n * (n + 2)
+      val (gn, gl, gq) = got(et)
+      assert(gn == n && gl == 5L, s"$et: n/lags mismatch")
+      assert(math.abs(gq - q) < 1e-3 * math.max(1.0, q.abs),
+        s"$et: Q $gq != local $q")
+    }
+  }
+
   test("sample_ares: exactly k rows, partition-invariant, matches the global key order") {
     val base = graft.ops.Frontier3.sampleAres(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
