@@ -74,7 +74,8 @@ object Bench {
     "text_lang_ngram", "graph_scc", "sample_ess",
     // round-12 flagships
     "sim_ivf_pq", "graph_louvain_multi", "agg_anova", "agg_kruskal",
-    "embed_outlier", "sample_ares", "agg_levene", "agg_ljung_box")
+    "embed_outlier", "sample_ares", "agg_levene", "agg_ljung_box",
+    "agg_welch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -124,7 +124,7 @@ object SqlCatalog {
     "meta_lineage", "graph_scc",
     // round-12 keys whose oracle SQL is already ANSI
     "graph_louvain_multi", "agg_anova", "agg_kruskal", "agg_levene",
-    "agg_ljung_box")
+    "agg_ljung_box", "agg_welch")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++

@@ -387,6 +387,52 @@ object Frontier3 {
       .orderBy(col("n"))
   }
 
+  // ------------------------------------------------------------- agg_welch
+
+  /** WELCH'S t-TEST — the unequal-variance two-sample comparison that
+    * `agg_levene` gates to (when variance homogeneity FAILS, the pooled
+    * t of `agg_ab_test` is wrong; Welch is the default every modern A/B
+    * platform ships): cohort A = even order keys, B = odd, metric =
+    * exact cents, one test per order status. t = (m̄A − m̄B)/√(v̄A/nA +
+    * v̄B/nB) with the Welch-Satterthwaite df — BOTH computed from the
+    * five exact integer moments (n, Σy, Σy² per cohort; Σy² in
+    * DECIMAL(38,0), the `embed_drift` rule) in one fixed IEEE expression
+    * each, so the statistics are partition- and engine-invariant.
+    *
+    * 100 TB shape: ONE conditional-moment hash aggregate folds the
+    * corpus to the per-status grain (the `events_its` CASE-gated device
+    * — both cohorts share the single aggregate); everything after is
+    * model-sized. No window, no join. */
+  val aggWelch: Q = (s, d) => {
+    val o = T.orders(s, d).select(col("o_orderstatus").as("st"),
+      (col("o_orderkey") % 2 === 0).as("in_a"),
+      expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100" +
+        " AS BIGINT)").as("y"))
+    def seg(p: Column, e: Column) = sum(when(p, e).otherwise(lit(0L)))
+    def segD(p: Column, e: Column) =
+      sum(when(p, e).otherwise(lit(0L).cast("decimal(38,0)")))
+    val a = col("in_a")
+    val m = o.groupBy(col("st")).agg(
+      seg(a, lit(1L)).as("na"), seg(!a, lit(1L)).as("nb"),
+      seg(a, col("y")).as("sa"), seg(!a, col("y")).as("sb"),
+      segD(a, col("y").cast("decimal(38,0)") * col("y")).as("ssa"),
+      segD(!a, col("y").cast("decimal(38,0)") * col("y")).as("ssb"))
+    def dbl(c: String) = col(c).cast("double")
+    val ma = dbl("sa") / dbl("na"); val mb = dbl("sb") / dbl("nb")
+    val va = (dbl("ssa") - dbl("sa") * dbl("sa") / dbl("na")) /
+      (dbl("na") - 1.0)
+    val vb = (dbl("ssb") - dbl("sb") * dbl("sb") / dbl("nb")) /
+      (dbl("nb") - 1.0)
+    val qa = va / dbl("na"); val qb = vb / dbl("nb")
+    m.select(col("st").as("o_orderstatus"), col("na"), col("nb"),
+        round(ma / 100.0, 6).as("mean_a"), round(mb / 100.0, 6).as("mean_b"),
+        round((ma - mb) / sqrt(qa + qb), 6).as("t"),
+        round((qa + qb) * (qa + qb)
+          / (qa * qa / (dbl("na") - 1.0) + qb * qb / (dbl("nb") - 1.0)), 6)
+          .as("df"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // --------------------------------------------------------- agg_ljung_box
 
   /** LJUNG-BOX PORTMANTEAU TEST — "is this series white noise?", the
@@ -529,6 +575,7 @@ object Frontier3 {
     "agg_kruskal" -> aggKruskal,
     "agg_levene" -> aggLevene,
     "agg_ljung_box" -> aggLjungBox,
+    "agg_welch" -> aggWelch,
     "embed_outlier" -> embedOutlier,
     "sample_ares" -> sampleAres,
   )
@@ -762,6 +809,44 @@ object Frontier3 {
         |  CAST(ROUND((ssb / CAST(k - 1 AS DOUBLE))
         |    / (ssw / CAST(n - k AS DOUBLE)), 6) AS DOUBLE) AS w_stat
         |FROM agg ORDER BY n""".stripMargin,
+
+    "agg_welch" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderkey % 2 = 0 AS in_a,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |      AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT st,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS nb,
+        |    SUM(CASE WHEN in_a THEN y ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE y END) AS sb,
+        |    SUM(CASE WHEN in_a THEN CAST(y AS DECIMAL(38,0)) * y
+        |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssa,
+        |    SUM(CASE WHEN in_a THEN CAST(0 AS DECIMAL(38,0))
+        |        ELSE CAST(y AS DECIMAL(38,0)) * y END) AS ssb
+        |  FROM o GROUP BY st),
+        |e AS (
+        |  SELECT st, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |        / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+        |      / CAST(na AS DOUBLE) AS qa,
+        |    ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |        / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+        |      / CAST(nb AS DOUBLE) AS qb
+        |  FROM m)
+        |SELECT st AS o_orderstatus, CAST(na AS BIGINT) AS na,
+        |  CAST(nb AS BIGINT) AS nb,
+        |  CAST(ROUND(ma / 100.0, 6) AS DOUBLE) AS mean_a,
+        |  CAST(ROUND(mb / 100.0, 6) AS DOUBLE) AS mean_b,
+        |  CAST(ROUND((ma - mb) / sqrt(qa + qb), 6) AS DOUBLE) AS t,
+        |  CAST(ROUND((qa + qb) * (qa + qb)
+        |    / (qa * qa / (CAST(na AS DOUBLE) - 1.0)
+        |      + qb * qb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS DOUBLE) AS df
+        |FROM e ORDER BY o_orderstatus""".stripMargin,
 
     "agg_ljung_box" ->
       """WITH daily AS (

@@ -1260,6 +1260,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "Levene needs no window at all")
   }
 
+  test("agg_welch: ONE conditional-moment hash aggregate, no join, no window") {
+    val p = planString(graft.ops.Frontier3.aggWelch(spark, sf0001))
+    assert(p.contains("HashAggregate"), "cohort moments not a hash aggregate")
+    assert(!p.contains("Window"), "Welch needs no window at all")
+    assert(!p.contains("Join"), "both cohorts must share the single fold")
+  }
+
   test("agg_ljung_box: type-partitioned index window + model-sized lag joins, no product") {
     val p = planString(graft.ops.Frontier3.aggLjungBox(spark, sf0001))
     assert(!p.contains("CartesianProduct"),

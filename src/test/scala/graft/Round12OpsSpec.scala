@@ -234,6 +234,38 @@ class Round12OpsSpec extends SparkSpecBase {
       s"W ${r.getDouble(4)} != local $w")
   }
 
+  test("agg_welch matches a local replay at sf0.001") {
+    val o = T.orders(spark, sf0001)
+      .select(col("o_orderstatus"), (col("o_orderkey") % 2 === 0),
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100" +
+          " AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val got = graft.ops.Frontier3.aggWelch(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    o.groupBy(_._1).foreach { case (st, rows) =>
+      val (as, bs) = rows.partition(_._2)
+      def mom(xs: Seq[Long]) = {
+        val n = xs.length.toDouble
+        val m = xs.map(BigInt(_)).sum.toDouble / n
+        val v = (xs.map(x => x.toDouble * x).sum
+          - xs.map(BigInt(_)).sum.toDouble * xs.map(BigInt(_)).sum.toDouble
+            / n) / (n - 1)
+        (n, m, v)
+      }
+      val (na, ma2, va) = mom(as.map(_._3))
+      val (nb, mb2, vb) = mom(bs.map(_._3))
+      val (qa, qb) = (va / na, vb / nb)
+      val t = (ma2 - mb2) / math.sqrt(qa + qb)
+      val df = (qa + qb) * (qa + qb) /
+        (qa * qa / (na - 1) + qb * qb / (nb - 1))
+      val (gna, gnb, gt, gdf) = got(st)
+      assert(gna == na.toLong && gnb == nb.toLong, s"$st: n mismatch")
+      assert(math.abs(gt - t) < 1e-4, s"$st: t $gt != local $t")
+      assert(math.abs(gdf - df) < 1e-2 * df, s"$st: df $gdf != local $df")
+    }
+  }
+
   test("agg_ljung_box matches a local replay at sf0.001") {
     val daily = T.events(spark, sf0001)
       .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
