@@ -37,8 +37,14 @@ val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
 // committed — graph_betweenness read 22.2 s vs 8.3 s with the pin off
 // (r11 verdict A/B). A pre-committed heap has NO recommit tax to
 // mitigate, so the pin and its full-GC cost are both gone.
+// Unit-aware (ADVICE r12): '32768m' is 32 GiB but its first integer reads
+// 32768 — compare in GiB, treating an m/M suffix as value/1024 (bare or
+// g/G values are GiB, matching JVM -Xmx parsing of our two-form input).
 val driverMemGb: Int =
-  "(\\d+)".r.findFirstIn(driverMem).map(_.toInt).getOrElse(16)
+  "(?i)(\\d+)\\s*([gm]?)".r.findFirstMatchIn(driverMem).map { m =>
+    val v = m.group(1).toLong
+    if (m.group(2).equalsIgnoreCase("m")) (v / 1024).toInt else v.toInt
+  }.getOrElse(16)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

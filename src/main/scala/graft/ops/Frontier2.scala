@@ -147,7 +147,15 @@ object Frontier2 {
     def top10(df: DataFrame, node: String, score: String, role: String) =
       df.orderBy(col(score).desc, col(node).asc).limit(10)
         .select(lit(role).as("role"), col(node).as("node"),
-          col(score).cast("long").as("score"))
+          // in-path overflow assertion (ADVICE r12): the DECIMAL(38,0)
+          // score narrows to BIGINT for the declared schema; with ANSI
+          // off an overflowing cast silently NULLs (mis-sorting the rank
+          // window) while the oracle's CAST AS BIGINT hard-errors —
+          // raise_error here makes BOTH engines fail loudly at the same
+          // boundary instead of diverging past the headroom sweeps
+          when(col(score) > lit(Long.MaxValue).cast("decimal(38,0)"),
+            raise_error(lit(s"graph_hits: $score overflows BIGINT")))
+            .otherwise(col(score).cast("long")).as("score"))
     // one role-partitioned rank window over the 20 surviving rows — never
     // a partition-less Window (the all-query sweep pin)
     val w = Window.partitionBy(col("role"))

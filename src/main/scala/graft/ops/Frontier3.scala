@@ -260,12 +260,16 @@ object Frontier3 {
     val mm = col("s").cast("double") / col("n").cast("double")
     val terms = g.crossJoin(broadcast(tot))
       .withColumn("bt",
+        // 30,6 not 24,6 (ADVICE r12): SSW in whole-dollars-squared
+        // approaches the ~1e18 DECIMAL(24,6) ceiling at large SFs and a
+        // non-ANSI overflow cast silently NULLs the term out of SUM —
+        // agg_levene measured exactly this and widened; uniform headroom
         round(col("ng").cast("double") * (mg - mm) * (mg - mm), 6)
-          .cast("decimal(24,6)"))
+          .cast("decimal(30,6)"))
       .withColumn("wt",
         round(col("ssg").cast("double")
           - col("sg").cast("double") * col("sg").cast("double")
-            / col("ng").cast("double"), 6).cast("decimal(24,6)"))
+            / col("ng").cast("double"), 6).cast("decimal(30,6)"))
     terms.groupBy(col("n"), col("k"))
       .agg(sum(col("bt")).cast("double").as("ssb"),
         sum(col("wt")).cast("double").as("ssw"))
@@ -327,7 +331,12 @@ object Frontier3 {
       .select(col("pr").as("o_orderpriority"), col("n"), col("k"),
         round(col("h"), 6).as("h"),
         round(col("ct"), 6).as("tie_correction"),
-        round(col("h") / col("ct"), 6).as("h_adj"))
+        // ct=0 when every value in a priority group is tied: Spark's
+        // non-ANSI divide returns NULL, DuckDB >=1.1 IEEE-divides to inf
+        // — guard the degenerate case to NULL in BOTH dialects (ADVICE
+        // r12; same device as embed_outlier's MAD=0 guard)
+        when(col("ct") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("h") / col("ct"), 6)).as("h_adj"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -424,11 +433,16 @@ object Frontier3 {
     val vb = (dbl("ssb") - dbl("sb") * dbl("sb") / dbl("nb")) /
       (dbl("nb") - 1.0)
     val qa = va / dbl("na"); val qb = vb / dbl("nb")
+    // n<=1 in either cohort degenerates the variance (divide by n-1=0):
+    // Spark non-ANSI NULLs, DuckDB IEEE-divides to inf/nan — guard the
+    // whole t/df pair to NULL in BOTH dialects (ADVICE r12, the
+    // agg_kruskal ct=0 class)
+    val wellPosed = col("na") > 1L && col("nb") > 1L
     m.select(col("st").as("o_orderstatus"), col("na"), col("nb"),
         round(ma / 100.0, 6).as("mean_a"), round(mb / 100.0, 6).as("mean_b"),
-        round((ma - mb) / sqrt(qa + qb), 6).as("t"),
-        round((qa + qb) * (qa + qb)
-          / (qa * qa / (dbl("na") - 1.0) + qb * qb / (dbl("nb") - 1.0)), 6)
+        when(wellPosed, round((ma - mb) / sqrt(qa + qb), 6)).as("t"),
+        when(wellPosed, round((qa + qb) * (qa + qb)
+          / (qa * qa / (dbl("na") - 1.0) + qb * qb / (dbl("nb") - 1.0)), 6))
           .as("df"))
       .orderBy(col("o_orderstatus"))
   }
@@ -755,10 +769,10 @@ object Frontier3 {
         |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
         |      * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)
         |         - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
-        |      AS DECIMAL(24,6)) AS bt,
+        |      AS DECIMAL(30,6)) AS bt,
         |    CAST(ROUND(CAST(g.ssg AS DOUBLE)
         |      - CAST(g.sg AS DOUBLE) * CAST(g.sg AS DOUBLE)
-        |        / CAST(g.ng AS DOUBLE), 6) AS DECIMAL(24,6)) AS wt
+        |        / CAST(g.ng AS DOUBLE), 6) AS DECIMAL(30,6)) AS wt
         |  FROM g CROSS JOIN tot),
         |agg AS (
         |  SELECT n, k, CAST(SUM(bt) AS DOUBLE) AS ssb,
@@ -842,10 +856,12 @@ object Frontier3 {
         |  CAST(nb AS BIGINT) AS nb,
         |  CAST(ROUND(ma / 100.0, 6) AS DOUBLE) AS mean_a,
         |  CAST(ROUND(mb / 100.0, 6) AS DOUBLE) AS mean_b,
-        |  CAST(ROUND((ma - mb) / sqrt(qa + qb), 6) AS DOUBLE) AS t,
-        |  CAST(ROUND((qa + qb) * (qa + qb)
+        |  CAST(CASE WHEN na > 1 AND nb > 1
+        |    THEN ROUND((ma - mb) / sqrt(qa + qb), 6) END AS DOUBLE) AS t,
+        |  CAST(CASE WHEN na > 1 AND nb > 1 THEN ROUND((qa + qb) * (qa + qb)
         |    / (qa * qa / (CAST(na AS DOUBLE) - 1.0)
-        |      + qb * qb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS DOUBLE) AS df
+        |      + qb * qb / (CAST(nb AS DOUBLE) - 1.0)), 6) END AS DOUBLE)
+        |    AS df
         |FROM e ORDER BY o_orderstatus""".stripMargin,
 
     "agg_ljung_box" ->
@@ -933,7 +949,8 @@ object Frontier3 {
         |  CAST(k AS BIGINT) AS k,
         |  CAST(ROUND(h, 6) AS DOUBLE) AS h,
         |  CAST(ROUND(ct, 6) AS DOUBLE) AS tie_correction,
-        |  CAST(ROUND(h / ct, 6) AS DOUBLE) AS h_adj
+        |  CAST(CASE WHEN ct = 0 THEN NULL ELSE ROUND(h / ct, 6) END
+        |    AS DOUBLE) AS h_adj
         |FROM hs ORDER BY o_orderpriority""".stripMargin,
 
     "embed_outlier" ->
