@@ -75,7 +75,9 @@ object Bench {
     // round-12 flagships
     "sim_ivf_pq", "graph_louvain_multi", "agg_anova", "agg_kruskal",
     "embed_outlier", "sample_ares", "agg_levene", "agg_ljung_box",
-    "agg_welch")
+    "agg_welch",
+    // round-13 flagships
+    "meta_analyze")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

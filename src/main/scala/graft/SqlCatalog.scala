@@ -5100,6 +5100,36 @@ object SqlCatalog {
          |FROM $bktLiTable JOIN $bktOTable ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // CTAS + ANALYZE + readback: the statement interface to the CBO-stats
+    // key. The script's result is plan-invariant (that's the point of the
+    // key), so the script does NOT toggle cbo.enabled — runScript must
+    // leave no session-wide planner conf behind for later scripts; the
+    // CBO plan flip itself is pinned in PlanSpec against the DataFrame
+    // path. analyzed_rows reads back as COUNT(*) over the analyzed CTAS —
+    // equal by construction to the exact rowCount ANALYZE persists.
+    "meta_analyze" -> Seq(
+      s"DROP TABLE IF EXISTS ${graft.ops.Frontier4.AnOrders}",
+      s"DROP TABLE IF EXISTS ${graft.ops.Frontier4.AnCustomer}",
+      s"DROP TABLE IF EXISTS ${graft.ops.Frontier4.AnNation}",
+      s"""CREATE TABLE ${graft.ops.Frontier4.AnOrders} USING parquet AS
+         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin,
+      s"""CREATE TABLE ${graft.ops.Frontier4.AnCustomer} USING parquet AS
+         |SELECT c_custkey, c_nationkey FROM customer""".stripMargin,
+      s"""CREATE TABLE ${graft.ops.Frontier4.AnNation} USING parquet AS
+         |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+      s"ANALYZE TABLE ${graft.ops.Frontier4.AnOrders} COMPUTE STATISTICS FOR ALL COLUMNS",
+      s"ANALYZE TABLE ${graft.ops.Frontier4.AnCustomer} COMPUTE STATISTICS FOR ALL COLUMNS",
+      s"ANALYZE TABLE ${graft.ops.Frontier4.AnNation} COMPUTE STATISTICS FOR ALL COLUMNS",
+      s"""SELECT n_name, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS revenue,
+         |  (SELECT COUNT(*) FROM ${graft.ops.Frontier4.AnOrders})
+         |    AS analyzed_rows
+         |FROM ${graft.ops.Frontier4.AnOrders}
+         |JOIN ${graft.ops.Frontier4.AnCustomer} ON o_custkey = c_custkey
+         |JOIN ${graft.ops.Frontier4.AnNation}
+         |  ON c_nationkey = n_nationkey AND n_regionkey = 1
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
     "sink_partitioned" -> Seq(
       s"DROP TABLE IF EXISTS $sinkPartTable",
       s"""CREATE TABLE $sinkPartTable

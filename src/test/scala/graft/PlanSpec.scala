@@ -1340,6 +1340,32 @@ class PlanSpec extends SparkSpecBase {
       s"only $covered keys trace to sources — the lineage walk regressed")
   }
 
+  test("meta_analyze: persisted catalog stats flip the CBO join order") {
+    graft.ops.Frontier4.metaAnalyze(spark, sf0001) // CTAS + ANALYZE on build
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // collect is pre-order, so for the left-deep 3-way join the LAST Join
+    // is the innermost one — the pair the optimizer chose to meet first
+    def innermostJoinRefs(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .last.condition.map(_.references.map(_.name).toSet)
+        .getOrElse(Set.empty[String])
+    // stats-less planner (session default, cbo off): the DECLARED order
+    // executes — orders meets customer first (the worst order: the full
+    // fact table joins an unfiltered dimension)
+    val without = innermostJoinRefs(graft.ops.Frontier4.analyzedReadback(spark))
+    assert(without.contains("o_custkey") && without.contains("c_custkey"),
+      s"stats-less plan no longer executes the declared order: $without")
+    // stats + CBO: join reorder consumes the ANALYZE stats (row counts +
+    // n_regionkey column stats) and shrinks customer through the 1-in-5
+    // nation filter BEFORE meeting orders
+    val withStats = graft.ops.Frontier4.withCbo(spark) {
+      graft.ops.Frontier4.analyzedReadback(spark)
+    }
+    val refs = innermostJoinRefs(withStats)
+    assert(refs.contains("c_nationkey") && refs.contains("n_nationkey"),
+      s"CBO did not reorder the join to the filtered dimension: $refs")
+  }
+
   test("sample_ares: per-row key + TakeOrderedAndProject — no global sort, no window") {
     val p = planString(graft.ops.Frontier3.sampleAres(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"),

@@ -446,6 +446,32 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("retrieval-quality net: pinned floors for recall / nDCG / IVF-PQ hit-rate (VERDICT r12 #6)") {
+    // The standing net for the ANN index stack (the lineage-net pattern):
+    // any future index/quantizer/centroid change that silently degrades
+    // retrieval trips a NAMED assertion here instead of shipping. All
+    // three audits are exact integer-L2 / fixed-IEEE computations —
+    // deterministic at any partition count — so the floors pin the
+    // measured round-13 values (SCALING.md round-13 rules records them);
+    // an IMPROVEMENT passes, a degradation fails.
+    val floors = Map(
+      // (sfDir) -> (recall@5 mean, ndcg@5 mean, ivf_pq hit-rate)
+      sf0001 -> (0.499, 0.508, 0.233),
+      "/root/testdata/sf0.01" -> (0.599, 0.697, 0.133))
+    floors.foreach { case (d, (recF, ndcgF, hitF)) =>
+      val rec = graft.ops.LlmPipeline.simRecallAudit(spark, d)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+      assert(rec >= recF, s"$d: sim_recall_audit mean recall $rec < $recF")
+      val nd = graft.ops.Frontier2.simNdcg(spark, d)
+        .agg(avg(col("ndcg"))).collect()(0).getDouble(0)
+      assert(nd >= ndcgF, s"$d: sim_ndcg mean nDCG $nd < $ndcgF")
+      val hit = graft.ops.Frontier3.simIvfPq(spark, d)
+        .agg(avg(when(col("hit"), 1.0).otherwise(0.0)))
+        .collect()(0).getDouble(0)
+      assert(hit >= hitF, s"$d: sim_ivf_pq hit-rate $hit < $hitF")
+    }
+  }
+
   test("graph_hits: BIGINT output headroom — internal decimal scores fit int64 with 1024x slack") {
     // r12 canonicalization contract (VERDICT r11 #2): the declared score
     // column is a final BIGINT cast over the internal DECIMAL(38,0)
