@@ -239,7 +239,7 @@ object SqlCatalog {
        |SELECT var_id, base_id, round(jacc, 6) AS jacc FROM (
        |  SELECT sa.doc_id AS var_id, sb.doc_id AS base_id, $jaccSql AS jacc
        |  FROM ssets sa JOIN ssets sb
-       |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+       |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000)
        |WHERE jacc >= 0.7
        |ORDER BY var_id, base_id""".stripMargin
 
@@ -276,7 +276,7 @@ object SqlCatalog {
        |cand AS (SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS base_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey
-       |  WHERE x.doc_id >= 200000 AND y.doc_id < 200000)
+       |  WHERE x.doc_id % 252000 >= 200000 AND y.doc_id % 252000 < 200000)
        |SELECT delta_id, base_id, round(jacc, 6) AS jacc FROM (
        |  SELECT delta_id, base_id, $jaccSql AS jacc
        |  FROM cand
@@ -1252,7 +1252,7 @@ object SqlCatalog {
          |    CAST(bit_count(p.mask ^ c.mask) AS BIGINT) AS hamming,
          |    round(${cosFd("p.embedding", "c.embedding")}, 6) AS cos
          |  FROM masks p JOIN masks c
-         |    ON p.vec_id >= 10000 AND c.vec_id < 10000
+         |    ON p.vec_id % 30000 >= 10000 AND c.vec_id % 30000 < 10000
          |  WHERE bit_count(p.mask ^ c.mask) <= 5),
          |ranked AS (
          |  SELECT probe_id, cand_id, hamming, cos,
@@ -1592,8 +1592,8 @@ object SqlCatalog {
         |    i -> concat(l[i-1], ' ', l[i]))) AS g FROM tok),
         |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
         |v AS (SELECT doc_id - 200000 AS base_id, doc_id AS var_id, g, c AS cv
-        |  FROM gc WHERE doc_id >= 200000),
-        |b AS (SELECT doc_id AS base_id, g, c AS cb FROM gc WHERE doc_id < 100000),
+        |  FROM gc WHERE doc_id % 252000 >= 200000),
+        |b AS (SELECT doc_id AS base_id, g, c AS cb FROM gc WHERE doc_id % 252000 < 100000),
         |ov AS (SELECT var_id, base_id, SUM(LEAST(cv, cb)) AS overlap
         |  FROM v JOIN b USING (base_id, g) GROUP BY var_id, base_id),
         |tot AS (SELECT doc_id, SUM(c) AS n FROM gc GROUP BY doc_id)
@@ -2777,7 +2777,7 @@ object SqlCatalog {
          |  SELECT a, b, round(jacc, 6) AS jr FROM (
          |    SELECT sa.doc_id AS a, sb.doc_id AS b, $jaccSql AS jacc
          |    FROM ssets sa JOIN ssets sb
-         |      ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |      ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000)
          |  WHERE jacc >= 0.7),
          |g AS (SELECT CAST(t AS DOUBLE) AS t
          |      FROM VALUES (0.7), (0.75), (0.8), (0.85), (0.9) AS v(t)),
@@ -2802,15 +2802,17 @@ object SqlCatalog {
          |  SELECT a, b, round(jacc, 6) AS jr FROM (
          |    SELECT sa.doc_id AS a, sb.doc_id AS b, $jaccSql AS jacc
          |    FROM ssets sa JOIN ssets sb
-         |      ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |      ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000)
          |  WHERE jacc >= 0.7),
          |g AS (SELECT CAST(t AS DOUBLE) AS t
          |      FROM VALUES (0.7), (0.75), (0.8), (0.85), (0.9) AS v(t)),
          |agg AS (
          |  SELECT g.t, COUNT(*) AS n_detected,
-         |    CAST(SUM(CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |    CAST(SUM(CASE WHEN pairs.a - 100000 * CAST(FLOOR(CAST(pairs.a % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
+         |      = pairs.b - 100000 * CAST(FLOOR(CAST(pairs.b % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-         |    COUNT(DISTINCT CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |    COUNT(DISTINCT CASE WHEN pairs.a - 100000 * CAST(FLOOR(CAST(pairs.a % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
+         |      = pairs.b - 100000 * CAST(FLOOR(CAST(pairs.b % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
          |      THEN pairs.a END) AS n_vars_matched
          |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t),
          |expected AS (
@@ -3051,14 +3053,14 @@ object SqlCatalog {
          |    SELECT v.vec_id, v.embedding AS pe, c.cent_id AS cell,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(${cosFd("v.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
-         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id >= 10000)
+         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id % 30000 >= 10000)
          |  WHERE crnk <= 3),
          |rcells AS (
          |  SELECT vec_id, be, cell FROM (
          |    SELECT b.vec_id, b.embedding AS be, c.cent_id AS cell,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY round(${cosFd("b.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
-         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id < 10000)
+         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id % 30000 < 10000)
          |  WHERE crnk = 1)
          |SELECT l.vec_id AS var_id, r.vec_id AS base_id,
          |  round(${cosFd("l.pe", "r.be")}, 6) AS cos
@@ -3080,7 +3082,7 @@ object SqlCatalog {
          |           THEN 1 ELSE 0 END)
          |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
          |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
-         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id >= 10000
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id % 30000 >= 10000
          |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
          |rsig AS (
          |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
@@ -3088,7 +3090,7 @@ object SqlCatalog {
          |           THEN 1 ELSE 0 END)
          |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
          |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
-         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id < 10000
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id % 30000 < 10000
          |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
          |cands AS (
          |  SELECT DISTINCT l.vec_id AS var_id, r.vec_id AS base_id
@@ -3136,7 +3138,7 @@ object SqlCatalog {
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
          |    round(float_dot(p.embedding, c.embedding), 6) AS dot
          |  FROM vcorpus p JOIN vcorpus c
-         |    ON p.vec_id >= 10000 AND c.vec_id < 10000),
+         |    ON p.vec_id % 30000 >= 10000 AND c.vec_id % 30000 < 10000),
          |ranked AS (
          |  SELECT probe_id, cand_id, dot,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -3198,7 +3200,7 @@ object SqlCatalog {
     "dedup_contaminate" ->
       s"""WITH $corpusSql,
          |shard AS (SELECT doc_id, split(lower(trim(text)), ' ') AS l
-         |          FROM corpus WHERE doc_id >= 100000),
+         |          FROM corpus WHERE doc_id % 252000 >= 100000),
          |bench AS (SELECT doc_id AS eval_id, split(lower(trim(text)), ' ') AS l
          |          FROM documents WHERE doc_id % 7 = 0 OR doc_id % 10 = 0),
          |sg AS (SELECT doc_id, md5_48(g) AS hv FROM (
@@ -3706,9 +3708,9 @@ object SqlCatalog {
     "dedup_bloom" ->
       s"""WITH $corpusSql,
          |base AS (SELECT doc_id AS base_id, md5_48(lower(trim(text))) AS hv
-         |  FROM corpus WHERE doc_id < 100000),
+         |  FROM corpus WHERE doc_id % 252000 < 100000),
          |batch AS (SELECT doc_id, md5_48(lower(trim(text))) AS hv
-         |  FROM corpus WHERE doc_id >= 100000),
+         |  FROM corpus WHERE doc_id % 252000 >= 100000),
          |bf AS (SELECT bloom_agg(hv, 131072, 5) AS bf FROM base)
          |SELECT /*+ SHUFFLE_HASH(s) */ b.doc_id,
          |  MIN(s.base_id) AS base_id, COUNT(*) AS n_base
@@ -4118,14 +4120,14 @@ object SqlCatalog {
          |  FROM ktok WHERE size(l) >= 3),
          |drops AS (SELECT DISTINCT sa.doc_id
          |  FROM ksets sa JOIN ksets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= 0.7),
          |surv AS (SELECT k.doc_id, k.n_tok FROM kept k
          |  LEFT ANTI JOIN drops dr ON k.doc_id = dr.doc_id),
          |packed AS (SELECT s.doc_id, s.n_tok, doc.lang,
          |    COALESCE(SUM(s.n_tok) OVER (PARTITION BY doc.lang ORDER BY s.doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id % 100000)
+         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id - 100000 * CAST(FLOOR(CAST(s.doc_id % 252000 AS DOUBLE) / 100000.0) AS BIGINT))
          |SELECT lang, CAST(floor(cum_before / 1024.0) AS BIGINT) AS seq,
          |  COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens, MIN(doc_id) AS first_doc,
          |  round(SUM(n_tok) / CAST(1024.0 AS DOUBLE), 4) AS fill_ratio
@@ -4596,7 +4598,7 @@ object SqlCatalog {
          |    CAST(size(array_intersect(sa.sset, sb.sset)) AS DOUBLE)
          |      / CAST(size(sa.sset) AS DOUBLE) AS cont
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000)
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000)
          |WHERE cont >= 0.9
          |ORDER BY var_id, base_id""".stripMargin,
 
@@ -4852,7 +4854,7 @@ object SqlCatalog {
        |pairs AS (
        |  SELECT sa.doc_id AS a, sb.doc_id AS b
        |  FROM ssets sa JOIN ssets sb
-       |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+       |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
        |  WHERE $jaccSql >= 0.7)
        |SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs""".stripMargin
 

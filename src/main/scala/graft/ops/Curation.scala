@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Bands
 import graft.core.{Tables => T}
 
 /** Corpus-curation operators — round-7c widening of the declared surface
@@ -86,7 +87,8 @@ object Curation {
   val dedupContainment: Q = (s, d) => {
     val c = LlmPipeline.corpus(s, d)
     graft.api.TextDedup.containmentJoin(
-        c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+        c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+        c.filter(col("doc_id") % Bands.DocBand < 200000L),
         "doc_id", "text", 0.9)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("cont"))
@@ -964,7 +966,7 @@ object Curation {
          |  CAST(round(CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
          |    / CAST(len(sa.sset) AS DOUBLE), 6) AS DOUBLE) AS cont
          |FROM ssets sa JOIN ssets sb
-         |  ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |WHERE CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
          |    / CAST(len(sa.sset) AS DOUBLE) >= 0.9
          |ORDER BY var_id, base_id""".stripMargin,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Bands
 import graft.core.{Tables => T}
 
 /** Round-11 operator batch (VERDICT r10 #4): benchmark decontamination,
@@ -249,7 +250,8 @@ object Frontier {
   val dedupThresholdSweep: Q = (s, d) => {
     val c = LlmPipeline.corpus(s, d)
     val pairs = graft.api.TextDedup.jaccardJoin(
-      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+      c.filter(col("doc_id") % Bands.DocBand < 200000L),
       "doc_id", "text", 0.7)
     val grid = s.range(14, 19)
       .select((col("id").cast("double") / lit(20.0)).as("t"))
@@ -639,7 +641,7 @@ object Frontier {
          |pairs AS (
          |  SELECT sa.doc_id AS a, sb.doc_id AS b, round($jaccSql, 6) AS jr
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= 0.7),
          |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.7), (0.75),
          |  (0.8), (0.85), (0.9)) v(t)),

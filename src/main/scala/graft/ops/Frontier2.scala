@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Bands
 import graft.core.{Tables => T}
 
 /** Round-11 second operator batch: feature hashing (the hashing-trick
@@ -375,14 +376,15 @@ object Frontier2 {
   val dedupEval: Q = (s, d) => {
     val c = LlmPipeline.corpus(s, d)
     val pairs = graft.api.TextDedup.jaccardJoin(
-      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+      c.filter(col("doc_id") % Bands.DocBand < 200000L),
       "doc_id", "text", 0.7)
     val grid = s.range(14, 19)
       .select((col("id").cast("double") / lit(20.0)).as("t"))
     val agg = pairs.crossJoin(broadcast(grid))
       .filter(col("jacc") >= col("t"))
       .withColumn("is_true",
-        col("left_id") % 100000L === col("right_id") % 100000L)
+        Bands.docOrig(col("left_id")) === Bands.docOrig(col("right_id")))
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n_detected"),
         sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
@@ -923,15 +925,17 @@ object Frontier2 {
          |pairs AS (
          |  SELECT sa.doc_id AS a, sb.doc_id AS b, round($jaccSql, 6) AS jr
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= 0.7),
          |g AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES (0.7), (0.75),
          |  (0.8), (0.85), (0.9)) v(t)),
          |agg AS (
          |  SELECT g.t, COUNT(*) AS n_detected,
-         |    CAST(SUM(CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |    CAST(SUM(CASE WHEN pairs.a - 100000 * CAST(FLOOR(CAST(pairs.a % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
+        |      = pairs.b - 100000 * CAST(FLOOR(CAST(pairs.b % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-         |    COUNT(DISTINCT CASE WHEN pairs.a % 100000 = pairs.b % 100000
+         |    COUNT(DISTINCT CASE WHEN pairs.a - 100000 * CAST(FLOOR(CAST(pairs.a % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
+        |      = pairs.b - 100000 * CAST(FLOOR(CAST(pairs.b % 252000 AS DOUBLE) / 100000.0) AS BIGINT)
          |      THEN pairs.a END) AS n_vars_matched
          |  FROM pairs CROSS JOIN g WHERE pairs.jr >= g.t GROUP BY g.t),
          |expected AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Bands
 import graft.core.{Tables => T}
 
 /** LLM-training-data pipeline operators — SURVEY.md §2.2 "LLM-data-pipeline
@@ -119,7 +120,8 @@ object LlmPipeline {
   val dedupNear: Q = (s, d) => {
     val c = corpus(s, d)
     graft.api.TextDedup.jaccardJoin(
-        c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+        c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+        c.filter(col("doc_id") % Bands.DocBand < 200000L),
         "doc_id", "text", JaccThreshold)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("jacc"))
@@ -137,7 +139,8 @@ object LlmPipeline {
   val dedupNearSalted: Q = (s, d) => {
     val c = corpus(s, d)
     graft.api.TextDedup.jaccardJoin(
-        c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+        c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+        c.filter(col("doc_id") % Bands.DocBand < 200000L),
         "doc_id", "text", JaccThreshold, saltFactor = 4, hotDf = 8)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("jacc"))
@@ -333,7 +336,8 @@ object LlmPipeline {
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("embedding"))
     graft.api.VectorSearch.blockedThresholdJoin(
-        vc.filter(col("vec_id") >= 10000L), vc.filter(col("vec_id") < 10000L),
+        vc.filter(col("vec_id") % Bands.VecBand >= 10000L),
+        vc.filter(col("vec_id") % Bands.VecBand < 10000L),
         cents, "vec_id", "embedding", 0.999, nprobe = 3)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("cos"))
@@ -356,7 +360,8 @@ object LlmPipeline {
     val planes = T.embeddings(s, d).filter(col("vec_id") < 12)
       .select(col("vec_id"), col("embedding")) // vec_id < 12 IS dense 0-based
     graft.api.VectorSearch.signLshThresholdJoin(
-        vc.filter(col("vec_id") >= 10000L), vc.filter(col("vec_id") < 10000L),
+        vc.filter(col("vec_id") % Bands.VecBand >= 10000L),
+        vc.filter(col("vec_id") % Bands.VecBand < 10000L),
         planes, "vec_id", "vec_id", "embedding", 0.999, rowsPerBand = 4)
       .select(col("left_id").as("var_id"), col("right_id").as("base_id"),
         col("cos"))
@@ -385,7 +390,7 @@ object LlmPipeline {
   val dedupContaminate: Q = (s, d) => {
     val n = 13
     val norm = (df: DataFrame) => df.withColumn("text", lower(trim(col("text"))))
-    val shard = norm(corpus(s, d).filter(col("doc_id") >= 100000L))
+    val shard = norm(corpus(s, d).filter(col("doc_id") % Bands.DocBand >= 100000L))
     val bench = norm(
       T.documents(s, d).filter(col("doc_id") % 7 === 0 || col("doc_id") % 10 === 0)
         .select(col("doc_id").as("eval_id"), col("text")))
@@ -417,9 +422,9 @@ object LlmPipeline {
   val dedupBloom: Q = (s, d) => {
     val c = corpus(s, d)
     def nh(t: Column): Column = h48(lower(trim(t)))
-    val base = c.filter(col("doc_id") < 100000L)
+    val base = c.filter(col("doc_id") % Bands.DocBand < 100000L)
       .select(col("doc_id").as("base_id"), nh(col("text")).as("hv"))
-    val batch = c.filter(col("doc_id") >= 100000L)
+    val batch = c.filter(col("doc_id") % Bands.DocBand >= 100000L)
       .select(col("doc_id"), nh(col("text")).as("hv"))
     val bloom = base.agg(graft.expr.Bloom.agg(col("hv"), 1 << 17, 5).as("bf"))
     val cand = batch.join(broadcast(bloom))
@@ -499,7 +504,8 @@ object LlmPipeline {
   val simTopkMips: Q = (s, d) => {
     val e = vecCorpus(s, d)
     graft.api.VectorSearch.mipsTopK(
-        e.filter(col("vec_id") >= 10000L), e.filter(col("vec_id") < 10000L),
+        e.filter(col("vec_id") % Bands.VecBand >= 10000L),
+        e.filter(col("vec_id") % Bands.VecBand < 10000L),
         "vec_id", "embedding", k = 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -1242,16 +1248,17 @@ object LlmPipeline {
     * candidate-verify stage. */
   val textRougeOverlap: Q = (s, d) => {
     val c = corpus(s, d)
-      .filter(col("doc_id") < 100000L || col("doc_id") >= 200000L)
+      .filter(col("doc_id") % Bands.DocBand < 100000L
+        || col("doc_id") % Bands.DocBand >= 200000L)
     val grams = c.select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(l) - 1)," +
           " i -> concat(l[i-1], ' ', l[i]))")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val v = grams.filter(col("doc_id") >= 200000L)
+    val v = grams.filter(col("doc_id") % Bands.DocBand >= 200000L)
       .select((col("doc_id") - 200000L).as("base_id"),
         col("doc_id").as("var_id"), col("g"), col("c").as("cv"))
-    val b = grams.filter(col("doc_id") < 100000L)
+    val b = grams.filter(col("doc_id") % Bands.DocBand < 100000L)
       .select(col("doc_id").as("base_id"), col("g"), col("c").as("cb"))
     val ov = v.join(b, Seq("base_id", "g"))
       .groupBy(col("var_id"), col("base_id"))
@@ -1306,7 +1313,8 @@ object LlmPipeline {
   val dedupCluster: Q = (s, d) => {
     val c = corpus(s, d)
     val pairs = graft.api.TextDedup.jaccardJoin(
-      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+        c.filter(col("doc_id") % Bands.DocBand < 200000L),
       "doc_id", "text", JaccThreshold)
     graft.api.TextDedup.connectedComponents(pairs, "left_id", "right_id")
       .select(col("id").as("doc_id"), col("component").as("cluster_root"))
@@ -1482,8 +1490,8 @@ object LlmPipeline {
     // stage 3: near-dedup the incoming variant batch against the base
     // corpus (the exact-dup family is already gone — identical after
     // normalization — so only the +200000 truncated variants remain)
-    val vars = exact.filter(col("doc_id") >= 200000L)
-    val bases = exact.filter(col("doc_id") < 200000L)
+    val vars = exact.filter(col("doc_id") % Bands.DocBand >= 200000L)
+    val bases = exact.filter(col("doc_id") % Bands.DocBand < 200000L)
     val drops = graft.api.TextDedup
       .jaccardJoin(vars, bases, "doc_id", "ntext", JaccThreshold)
       .select(col("left_id").as("doc_id")).distinct()
@@ -1494,7 +1502,7 @@ object LlmPipeline {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     survivors
-      .withColumn("orig_id", col("doc_id") % 100000L)
+      .withColumn("orig_id", Bands.docOrig(col("doc_id")))
       .join(langs, Seq("orig_id"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("seq", floor(col("cum_before") / 1024.0).cast("long"))
@@ -2077,8 +2085,8 @@ object LlmPipeline {
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) s),
         |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
         |v AS (SELECT doc_id - 200000 AS base_id, doc_id AS var_id, g, c AS cv
-        |  FROM gc WHERE doc_id >= 200000),
-        |b AS (SELECT doc_id AS base_id, g, c AS cb FROM gc WHERE doc_id < 100000),
+        |  FROM gc WHERE doc_id % 252000 >= 200000),
+        |b AS (SELECT doc_id AS base_id, g, c AS cb FROM gc WHERE doc_id % 252000 < 100000),
         |ov AS (SELECT var_id, base_id, SUM(LEAST(cv, cb)) AS overlap
         |  FROM v JOIN b USING (base_id, g) GROUP BY var_id, base_id),
         |tot AS (SELECT doc_id, SUM(c) AS n FROM gc GROUP BY doc_id)
@@ -2154,7 +2162,7 @@ object LlmPipeline {
          |cand AS (SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS base_id
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkey = y.bkey
-         |  WHERE x.doc_id >= 200000 AND y.doc_id < 200000),
+         |  WHERE x.doc_id % 252000 >= 200000 AND y.doc_id % 252000 < 200000),
          |ssets AS (SELECT doc_id, list_distinct($shinglesSql) sset FROM tok WHERE len(l) >= 3)
          |SELECT delta_id, base_id, round($jaccSql, 6) AS jacc
          |FROM cand
@@ -2314,7 +2322,7 @@ object LlmPipeline {
          |SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,
          |  round($jaccSql, 6) AS jacc
          |FROM ssets sa JOIN ssets sb
-         |  ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |WHERE $jaccSql >= $JaccThreshold
          |ORDER BY var_id, base_id""".stripMargin,
 
@@ -2327,7 +2335,7 @@ object LlmPipeline {
          |SELECT sa.doc_id AS var_id, sb.doc_id AS base_id,
          |  round($jaccSql, 6) AS jacc
          |FROM ssets sa JOIN ssets sb
-         |  ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |  ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |WHERE $jaccSql >= $JaccThreshold
          |ORDER BY var_id, base_id""".stripMargin,
 
@@ -2410,14 +2418,14 @@ object LlmPipeline {
          |    SELECT v.vec_id, v.embedding AS pe, c.cent_id AS cell,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(${cosineSql("v.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
-         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id >= 10000)
+         |    FROM vcorpus v CROSS JOIN cents c WHERE v.vec_id % 30000 >= 10000)
          |  WHERE crnk <= 3),
          |rcells AS (
          |  SELECT vec_id, be, cell FROM (
          |    SELECT b.vec_id, b.embedding AS be, c.cent_id AS cell,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY round(${cosineSql("b.embedding", "c.cent")}, 6) DESC, c.cent_id) AS crnk
-         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id < 10000)
+         |    FROM vcorpus b CROSS JOIN cents c WHERE b.vec_id % 30000 < 10000)
          |  WHERE crnk = 1)
          |SELECT l.vec_id AS var_id, r.vec_id AS base_id,
          |  round(${cosineSql("l.pe", "r.be")}, 6) AS cos
@@ -2438,7 +2446,7 @@ object LlmPipeline {
          |           THEN 1 ELSE 0 END)
          |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
          |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
-         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id >= 10000
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id % 30000 >= 10000
          |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
          |rsig AS (
          |  SELECT v.vec_id, CAST(FLOOR(p.pid / 4) AS INT) AS band,
@@ -2446,7 +2454,7 @@ object LlmPipeline {
          |           THEN 1 ELSE 0 END)
          |      * (CASE CAST(p.pid % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
          |           WHEN 2 THEN 4 ELSE 8 END)) AS bkey
-         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id < 10000
+         |  FROM vcorpus v CROSS JOIN planes p WHERE v.vec_id % 30000 < 10000
          |  GROUP BY v.vec_id, CAST(FLOOR(p.pid / 4) AS INT)),
          |cands AS (
          |  SELECT DISTINCT l.vec_id AS var_id, r.vec_id AS base_id
@@ -2467,7 +2475,7 @@ object LlmPipeline {
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
          |    round(${dotSql("p.embedding", "c.embedding")}, 6) AS dot
          |  FROM vcorpus p JOIN vcorpus c
-         |    ON p.vec_id >= 10000 AND c.vec_id < 10000),
+         |    ON p.vec_id % 30000 >= 10000 AND c.vec_id % 30000 < 10000),
          |ranked AS (
          |  SELECT probe_id, cand_id, dot,
          |    ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -2677,7 +2685,7 @@ object LlmPipeline {
          |pairs AS (
          |  SELECT sa.doc_id AS a, sb.doc_id AS b
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= $JaccThreshold),
          |edges AS (SELECT a AS x, b AS y FROM pairs
          |          UNION SELECT b, a FROM pairs),
@@ -2705,9 +2713,9 @@ object LlmPipeline {
       s"""WITH $corpusSql,
          |base AS (SELECT doc_id AS base_id,
          |    ${h48Sql("lower(trim(text))")} AS hv
-         |  FROM corpus WHERE doc_id < 100000),
+         |  FROM corpus WHERE doc_id % 252000 < 100000),
          |batch AS (SELECT doc_id, ${h48Sql("lower(trim(text))")} AS hv
-         |  FROM corpus WHERE doc_id >= 100000)
+         |  FROM corpus WHERE doc_id % 252000 >= 100000)
          |SELECT b.doc_id, MIN(s.base_id) AS base_id, COUNT(*) AS n_base
          |FROM batch b JOIN base s ON b.hv = s.hv
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
@@ -2867,7 +2875,7 @@ object LlmPipeline {
     "dedup_contaminate" ->
       s"""WITH $corpusSql,
          |shard AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
-         |          FROM corpus WHERE doc_id >= 100000),
+         |          FROM corpus WHERE doc_id % 252000 >= 100000),
          |bench AS (SELECT doc_id AS eval_id, string_split(lower(trim(text)), ' ') AS l
          |          FROM documents WHERE doc_id % 7 = 0 OR doc_id % 10 = 0),
          |sg AS (SELECT doc_id, ${h48Sql("g")} AS hv FROM (
@@ -3039,7 +3047,7 @@ object LlmPipeline {
          |pairs AS (
          |  SELECT sa.doc_id AS a, sb.doc_id AS b
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= $JaccThreshold),
          |edges AS (SELECT a AS x, b AS y FROM pairs
          |          UNION SELECT b, a FROM pairs),
@@ -3200,14 +3208,14 @@ object LlmPipeline {
          |  FROM ktok WHERE len(l) >= 3),
          |drops AS (SELECT DISTINCT sa.doc_id
          |  FROM ksets sa JOIN ksets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE $jaccSql >= 0.7),
          |surv AS (SELECT k.doc_id, k.n_tok FROM kept k
          |  LEFT JOIN drops dr ON k.doc_id = dr.doc_id WHERE dr.doc_id IS NULL),
          |packed AS (SELECT s.doc_id, s.n_tok, doc.lang,
          |    COALESCE(SUM(s.n_tok) OVER (PARTITION BY doc.lang ORDER BY s.doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id % 100000)
+         |  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id - 100000 * CAST(FLOOR(CAST(s.doc_id % 252000 AS DOUBLE) / 100000.0) AS BIGINT))
          |SELECT lang, CAST(floor(cum_before / 1024.0) AS BIGINT) AS seq,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc,

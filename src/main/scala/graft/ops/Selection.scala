@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Bands
 import graft.core.{Tables => T}
 
 /** Round-9 operators: DATA SELECTION for training corpora (the published
@@ -207,7 +208,8 @@ object Selection {
   val dedupDownweight: Q = (s, d) => {
     val c = LlmPipeline.corpus(s, d)
     val pairs = graft.api.TextDedup.jaccardJoin(
-      c.filter(col("doc_id") >= 200000L), c.filter(col("doc_id") < 200000L),
+      c.filter(col("doc_id") % Bands.DocBand >= 200000L),
+      c.filter(col("doc_id") % Bands.DocBand < 200000L),
       "doc_id", "text", 0.7)
     val cc = graft.api.TextDedup
       .connectedComponents(pairs, "left_id", "right_id")
@@ -250,17 +252,17 @@ object Selection {
         posexplode(array((0 until 6).map(b =>
           shiftright(col("mask"), 8 * b).bitwiseAND(lit(255L))): _*))
           .as(Seq("blk", "bits")))
-    val probes = e.filter(col("vec_id") >= 10000L)
+    val probes = e.filter(col("vec_id") % Bands.VecBand >= 10000L)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("mask").as("pm"))
-    val cand = blocks(e.filter(col("vec_id") < 10000L), "vec_id")
+    val cand = blocks(e.filter(col("vec_id") % Bands.VecBand < 10000L), "vec_id")
     val cands = blocks(probes.select(col("probe_id"), col("pm").as("mask")),
         "probe_id")
       .join(cand, Seq("blk", "bits"))
       .select(col("probe_id"), col("vec_id").as("cand_id")).distinct()
     val verified = cands
       .join(broadcast(probes), Seq("probe_id"))
-      .join(e.filter(col("vec_id") < 10000L)
+      .join(e.filter(col("vec_id") % Bands.VecBand < 10000L)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
           col("mask").as("cm")), Seq("cand_id"))
       .withColumn("hamming", bit_count(col("pm").bitwiseXOR(col("cm")))
@@ -556,7 +558,7 @@ object Selection {
          |pairs AS (
          |  SELECT sa.doc_id AS a, sb.doc_id AS b
          |  FROM ssets sa JOIN ssets sb
-         |    ON sa.doc_id >= 200000 AND sb.doc_id < 200000
+         |    ON sa.doc_id % 252000 >= 200000 AND sb.doc_id % 252000 < 200000
          |  WHERE ${LlmPipeline.jaccSql} >= 0.7),
          |edges AS (SELECT a AS x, b AS y FROM pairs
          |          UNION SELECT b, a FROM pairs),
@@ -588,7 +590,7 @@ object Selection {
          |    CAST(bit_count(xor(p.mask, c.mask)) AS BIGINT) AS hamming,
          |    round(${cosineSql("p.embedding", "c.embedding")}, 6) AS cos
          |  FROM masks p JOIN masks c
-         |    ON p.vec_id >= 10000 AND c.vec_id < 10000
+         |    ON p.vec_id % 30000 >= 10000 AND c.vec_id % 30000 < 10000
          |  WHERE bit_count(xor(p.mask, c.mask)) <= 5),
          |ranked AS (
          |  SELECT probe_id, cand_id, hamming, cos,

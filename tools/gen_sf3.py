@@ -1,24 +1,35 @@
 #!/usr/bin/env python3
-"""Generate the THIRD scale-axis point (sf3 = 30x sf0.1) for the
-high-exponent keys.
+"""Generate the THIRD scale-axis point (sf3 = 30x sf0.1) — round 13:
+FULL-catalog, including the dedup/ANN/text backbone.
 
-VERDICT r11 #5: the two-point sf0.1->sf1 sweep fitted per-key exponents;
-the difference between "scan class" and "quietly quadratic" only shows at
-a third point past the decade. This tool replicates sf0.1 THIRTY times
-into disjoint key spaces for exactly the tables the high-exponent keys
-read — orders + lineitem (graph_hits, agg_spearman) and documents
-(text_lang_ngram) — with the same offset/suffix discipline as
-tools/gen_sf1.py.
+VERDICT r11 #5 added the three-point sweep for the high-exponent
+relational keys; VERDICT r12 #3 extends it to the LLM backbone, which
+the r12 version of this tool could not cover: 30 replicas pushed doc
+ids past 100_000, colliding base ids with the engine's planted-variant
+id zones (+100_000 exact / +200_000 near).
 
-TARGETED dataset, not a full-catalog scale point: at 30 replicas the
-document ids pass 100_000, which breaks the variant-offset invariant the
-dedup keys build on (doc_id + 200_000 variants, %100_000 base mapping) —
-gen_sf1's 10-replica ceiling remains the full-catalog scale axis. The
-three swept keys touch none of that machinery (documented in SCALING.md).
-Remaining tables are copied 1x so graft.core.Tables loads the directory.
+Round-13 fix — the BAND discipline (graft/core/Bands.scala): every
+engine range-classifier now reads the in-band position (id % stride),
+so each replica owns a self-contained band holding its base docs AND
+both its variant zones. This tool places replica r at:
 
-Writes parquet to the output dir (default /tmp/sfdata/sf3). Read-only on
-/root/testdata. Runtime: ~2 min in DuckDB.
+  documents:  doc_id + r * 252_000   (base zone [0, 52_000) per band)
+  embeddings: vec_id + r *  30_000   (base zone [0, 10_000) per band)
+
+Strides are divisible by every %-slice modulus the variant selections
+use (252_000 % 210 == % 10 == % 7 == 0; 30_000 % 50 == % 4 == 0), so
+each band carries the same slice densities as sf0.1 — candidates,
+ground-truth pairs and gram statistics stay WITHIN replicas (the
+gen_sf1 rule), which is what makes LSH candidate growth at sf3 a real
+linearity signal instead of cross-replica noise. Per-replica token
+suffixes keep gram joins replica-local; per-replica embedding
+perturbation (+r * 1e-4 per coordinate, = 100·r micro-units after the
+engine's 1e6 quantization) keeps distances untied across replicas.
+Probes stay the fixed vec_id < 10 set of band 0 — the documented
+sampled-probe ANN protocol (corpus grows 30x, probe set constant).
+
+Writes parquet to the output dir (default /tmp/sfdata/sf3). Read-only
+on /root/testdata. Runtime: ~2 min in DuckDB.
 """
 import os
 import sys
@@ -34,7 +45,8 @@ OFF_ORD = 2_100_000
 OFF_PART = 210_000
 OFF_SUPP = 10_500
 OFF_CUST = 210_000
-OFF_DOC = 5_000
+OFF_DOC = 252_000   # = graft.core.Bands.DocBand (one replica per band)
+OFF_VEC = 30_000    # = graft.core.Bands.VecBand
 
 REPLICAS = 30
 
@@ -81,8 +93,17 @@ replicate("documents", REPLICAS, lambda r: f"""
            t -> t || 'x{r}'), ' ')) AS BIGINT) AS n_chars
   FROM {src('documents')}""")
 
-for t in ("nation", "region", "customer", "supplier", "part", "events",
-          "embeddings"):
+# per-replica coordinate shift keeps distances untied across replicas
+# (100·r micro-units post-quantization); replica 0 untouched
+replicate("embeddings", REPLICAS, lambda r: f"""
+  SELECT vec_id + {r * OFF_VEC} AS vec_id, embedding, label
+  FROM {src('embeddings')}""" if r == 0 else f"""
+  SELECT vec_id + {r * OFF_VEC} AS vec_id,
+         list_transform(embedding, x -> x + {r} * 1e-4) AS embedding,
+         label
+  FROM {src('embeddings')}""")
+
+for t in ("nation", "region", "customer", "supplier", "part", "events"):
     con.execute(
         f"COPY (SELECT * FROM {src(t)}) TO '{OUT}/{t}.parquet'"
         " (FORMAT PARQUET)")
