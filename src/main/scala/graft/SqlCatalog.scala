@@ -2070,7 +2070,7 @@ object SqlCatalog {
         |  FROM (SELECT vec_id, posexplode(embedding) AS (dim, x)
         |        FROM embeddings)),
         |coarse AS (SELECT vec_id AS cell, dim, qd AS gd FROM q
-        |           WHERE vec_id % 50 = 0),
+        |           WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |celld2 AS (SELECT q.vec_id, c.cell,
         |    SUM((q.qd - c.gd) * (q.qd - c.gd)) AS gd2
         |  FROM q JOIN coarse c ON q.dim = c.dim

