@@ -124,7 +124,9 @@ object SqlCatalog {
     "meta_lineage", "graph_scc",
     // round-12 keys whose oracle SQL is already ANSI
     "graph_louvain_multi", "agg_anova", "agg_kruskal", "agg_levene",
-    "agg_ljung_box", "agg_welch")
+    "agg_ljung_box", "agg_welch",
+    // round-13 keys whose oracle SQL is already ANSI
+    "agg_ttest_paired", "graph_reciprocity")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -133,7 +135,7 @@ object SqlCatalog {
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles ++
       graft.ops.Frontier.oracles ++ graft.ops.Frontier2.oracles ++
-      graft.ops.Frontier3.oracles)(k)
+      graft.ops.Frontier3.oracles ++ graft.ops.Frontier4.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -3196,6 +3198,229 @@ object SqlCatalog {
          |  FROM scored)
          |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // round-13: Spark twins for the tokenizer/hash/vector-helper keys
+    // (DuckDB oracle uses string_split/md5-prefix/list-subquery forms)
+    "agg_chapman" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 0 AS even, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        |flags AS (
+        |  SELECT tok, MAX(CASE WHEN even THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN even THEN 0 ELSE 1 END) AS in_b
+        |  FROM toks GROUP BY tok),
+        |m AS (SELECT SUM(in_a) AS n_a, SUM(in_b) AS n_b,
+        |  SUM(in_a * in_b) AS o, COUNT(*) AS v_true FROM flags)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(o AS BIGINT) AS overlap, CAST(v_true AS BIGINT) AS v_true,
+        |  CAST(ROUND((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |    / (CAST(o AS DOUBLE) + 1.0) - 1.0, 4) AS DOUBLE) AS n_hat,
+        |  CAST(ROUND(((CAST(n_a AS DOUBLE) + 1.0)
+        |      * (CAST(n_b AS DOUBLE) + 1.0)
+        |      / (CAST(o AS DOUBLE) + 1.0) - 1.0)
+        |    / CAST(v_true AS DOUBLE), 6) AS DOUBLE) AS est_over_true
+        |FROM m""".stripMargin,
+
+    "text_heaps" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS mxp1 FROM documents),
+        |docs AS (
+        |  SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * 16.0 / mxp1) AS BIGINT)
+        |      AS band,
+        |    split(text, ' ') AS l
+        |  FROM documents CROSS JOIN mx
+        |  WHERE size(split(text, ' ')) >= 3),
+        |toks AS (
+        |  SELECT band,
+        |    explode(transform(sequence(0, size(l) - 3),
+        |      i -> concat_ws(' ', l[i], l[i + 1], l[i + 2]))) AS tok
+        |  FROM docs),
+        |per_band AS (SELECT band, COUNT(*) AS n_toks FROM toks
+        |  GROUP BY band),
+        |first_band AS (
+        |  SELECT fb AS band, COUNT(*) AS v_new FROM (
+        |    SELECT tok, MIN(band) AS fb FROM toks GROUP BY tok) fo
+        |  GROUP BY fb),
+        |g AS (
+        |  SELECT p.band, p.n_toks, COALESCE(v.v_new, 0) AS v_new
+        |  FROM per_band p LEFT JOIN first_band v ON p.band = v.band),
+        |grid AS (
+        |  SELECT a.band, SUM(b.n_toks) AS toks_cum, SUM(b.v_new) AS vocab_cum
+        |  FROM g a JOIN g b ON b.band <= a.band GROUP BY a.band),
+        |pts AS (
+        |  SELECT band, toks_cum, vocab_cum,
+        |    CAST(ROUND(ln(CAST(toks_cum AS DOUBLE)), 8) AS DECIMAL(20,8))
+        |      AS x,
+        |    CAST(ROUND(ln(CAST(vocab_cum AS DOUBLE)), 8) AS DECIMAL(20,8))
+        |      AS y
+        |  FROM grid),
+        |f AS (SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+        |SELECT band, CAST(toks_cum AS BIGINT) AS toks_cum,
+        |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        |  CAST(ROUND((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS DOUBLE)
+        |    AS beta,
+        |  CAST(ROUND(exp(CAST(sy AS DOUBLE) / CAST(np AS DOUBLE)
+        |    - ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(np AS DOUBLE))), 4) AS DOUBLE)
+        |    AS k
+        |FROM pts CROSS JOIN f ORDER BY band""".stripMargin,
+
+    "dedup_saturation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 5 = 0),
+        |waved AS (
+        |  SELECT md5_48(CAST(doc_id AS STRING)) % 4 AS wave, md5(text) AS th
+        |  FROM corpus),
+        |rows_w AS (SELECT wave, COUNT(*) AS n_rows FROM waved
+        |  GROUP BY wave),
+        |firsts AS (SELECT fw AS wave, COUNT(*) AS n_first FROM (
+        |  SELECT th, MIN(wave) AS fw FROM waved GROUP BY th) fo
+        |  GROUP BY fw),
+        |g AS (SELECT r.wave, r.n_rows, COALESCE(f.n_first, 0) AS n_first
+        |  FROM rows_w r LEFT JOIN firsts f ON r.wave = f.wave),
+        |c AS (SELECT a.wave, a.n_rows, a.n_first,
+        |    SUM(b.n_rows) AS rows_cum, SUM(b.n_first) AS distinct_cum
+        |  FROM g a JOIN g b ON b.wave <= a.wave
+        |  GROUP BY a.wave, a.n_rows, a.n_first)
+        |SELECT wave, CAST(rows_cum AS BIGINT) AS rows_cum,
+        |  CAST(distinct_cum AS BIGINT) AS distinct_cum,
+        |  CAST(rows_cum - distinct_cum AS BIGINT) AS dups_cum,
+        |  CAST(ROUND(CAST(rows_cum - distinct_cum AS DOUBLE)
+        |    / CAST(rows_cum AS DOUBLE), 6) AS DOUBLE) AS dup_rate,
+        |  CAST(ROUND(CAST(n_rows - n_first AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS DOUBLE) AS marginal_rate
+        |FROM c ORDER BY wave""".stripMargin,
+
+    "sample_poisson_boot" ->
+      """WITH reps AS (
+        |  SELECT n_nationkey AS rep FROM nation WHERE n_nationkey < 8),
+        |o AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,8)), 2) * 100
+        |    AS BIGINT) AS y
+        |  FROM orders),
+        |drawn AS (
+        |  SELECT o_orderpriority, rep, y,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 980998 THEN 3
+        |         WHEN u < 996327 THEN 4 WHEN u < 999392 THEN 5
+        |         WHEN u < 999903 THEN 6 WHEN u < 999976 THEN 7
+        |         ELSE 8 END AS k
+        |  FROM (SELECT o_orderpriority, rep, y,
+        |      md5_48(CAST(o_orderkey AS STRING) || '|'
+        |        || CAST(rep AS STRING)) % 1000000 AS u
+        |    FROM o CROSS JOIN reps) h),
+        |m AS (SELECT o_orderpriority, rep, SUM(k) AS n_drawn,
+        |    SUM(k * y) AS ky
+        |  FROM drawn GROUP BY o_orderpriority, rep)
+        |SELECT o_orderpriority, CAST(rep AS BIGINT) AS rep,
+        |  CAST(n_drawn AS BIGINT) AS n_drawn,
+        |  CAST(CASE WHEN n_drawn > 0 THEN
+        |    ROUND(CAST(ky AS DOUBLE) / CAST(n_drawn AS DOUBLE) / 100.0, 6)
+        |    END AS DOUBLE) AS boot_mean
+        |FROM m ORDER BY o_orderpriority, rep""".stripMargin,
+
+    "sim_rrf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cosr AS (
+         |  SELECT probe_id, cand_id, rnk AS cos_rnk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.embedding")}, 6)
+         |          DESC, c.vec_id) AS rnk
+         |    FROM e p JOIN e c
+         |      ON p.vec_id < 10 AND c.vec_id <> p.vec_id) rc
+         |  WHERE rnk <= 10),
+         |mipr AS (
+         |  SELECT probe_id, cand_id, rnk AS dot_rnk FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(float_dot(p.embedding, c.embedding), 6)
+         |          DESC, c.vec_id) AS rnk
+         |    FROM e p JOIN e c
+         |      ON p.vec_id < 10 AND c.vec_id <> p.vec_id) rm
+         |  WHERE rnk <= 10),
+         |fused AS (
+         |  SELECT COALESCE(c.probe_id, m.probe_id) AS probe_id,
+         |    COALESCE(c.cand_id, m.cand_id) AS cand_id,
+         |    c.cos_rnk, m.dot_rnk,
+         |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + c.cos_rnk), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + m.dot_rnk), 0), 8)
+         |      AS rrf
+         |  FROM cosr c FULL OUTER JOIN mipr m
+         |    ON c.probe_id = m.probe_id AND c.cand_id = m.cand_id),
+         |ranked AS (
+         |  SELECT probe_id, cand_id, rrf, cos_rnk, dot_rnk,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY rrf DESC, cand_id) AS rnk
+         |  FROM fused)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, rrf,
+         |  CAST(cos_rnk AS BIGINT) AS cos_rnk,
+         |  CAST(dot_rnk AS BIGINT) AS dot_rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "sim_recall_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM e
+         |  WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cell FROM (
+         |    SELECT a.vec_id, a.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(${cosFd("a.embedding", "c.cent")}, 6)
+         |          DESC, c.cent_id) AS arnk
+         |    FROM e a CROSS JOIN cents c) ac WHERE arnk = 1),
+         |pc AS (
+         |  SELECT probe_id, pe, cell, prnk FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe,
+         |      c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.cent")}, 6)
+         |          DESC, c.cent_id) AS prnk
+         |    FROM e p CROSS JOIN cents c WHERE p.vec_id < 10) pr
+         |  WHERE prnk <= 3),
+         |scored AS (
+         |  SELECT pc.probe_id, a.cand_id,
+         |    round(${cosFd("pc.pe", "a.ce")}, 6) AS cos, pc.prnk
+         |  FROM pc JOIN assign a ON pc.cell = a.cell
+         |  WHERE a.cand_id <> pc.probe_id),
+         |nps AS (SELECT n_nationkey AS nprobe FROM nation
+         |  WHERE n_nationkey BETWEEN 1 AND 3),
+         |approx AS (
+         |  SELECT nprobe, probe_id, cand_id FROM (
+         |    SELECT n.nprobe, s.probe_id, s.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.nprobe, s.probe_id
+         |        ORDER BY s.cos DESC, s.cand_id) AS rnk
+         |    FROM scored s JOIN nps n ON s.prnk <= n.nprobe) ap
+         |  WHERE rnk <= 5),
+         |gt AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(${cosFd("p.embedding", "c.embedding")}, 6)
+         |          DESC, c.vec_id) AS rnk
+         |    FROM e p JOIN e c
+         |      ON p.vec_id < 10 AND c.vec_id <> p.vec_id) gr
+         |  WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT nprobe, COUNT(*) AS n_hits
+         |  FROM approx a JOIN gt g
+         |    ON a.probe_id = g.probe_id AND a.cand_id = g.cand_id
+         |  GROUP BY nprobe),
+         |npr AS (SELECT COUNT(DISTINCT vec_id) AS n_probes FROM e
+         |  WHERE vec_id < 10)
+         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe, n_probes,
+         |  CAST(ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         |    / (n_probes * 5.0), 6) AS DOUBLE) AS recall
+         |FROM nps n LEFT JOIN hits h ON n.nprobe = h.nprobe CROSS JOIN npr
+         |ORDER BY nprobe""".stripMargin,
 
     "dedup_contaminate" ->
       s"""WITH $corpusSql,

@@ -103,8 +103,14 @@ object Frontier3 {
     val adc = probes.join(broadcast(cents), Seq("dim"))
       .groupBy(col("probe_id"), col("sub"), col("cid"))
       .agg(sum((col("pd") - col("cv")) * (col("pd") - col("cv"))).as("pd2"))
-    // the IVF point: the cell equi-join prunes BEFORE any code is read
-    val probedCands = assign.join(probeCells, Seq("cell"))
+    // the IVF point: the cell equi-join prunes BEFORE any code is read.
+    // probeCells is provably <= probes*nprobe = 30 rows, but it sits
+    // behind a window so Catalyst can't SEE the bound — at sf3 the
+    // estimate crossed the 10 MB autoBroadcast threshold and the corpus-
+    // scale assign side sort-merged (the r13 sweep residual). The hint is
+    // size-STABLE: the bound comes from the query's own top-k contract,
+    // not from data statistics, so it holds at every SF.
+    val probedCands = assign.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
     val approx = probedCands.join(codes, Seq("vec_id"))
       .join(broadcast(adc), Seq("probe_id", "sub", "cid"))
@@ -114,7 +120,9 @@ object Frontier3 {
       .orderBy(col("adc_d2"), col("vec_id"))
     val cand = approx.withColumn("crk", row_number().over(wCand))
       .filter(col("crk") <= 12).drop("crk")
-    val exact = cand
+    // cand is <= 12*|probes| rows by the crk filter — same size-stable
+    // broadcast argument as probeCells (post-window, stats-invisible)
+    val exact = broadcast(cand)
       .join(micro.select(col("vec_id"), col("dim"), col("qd")), Seq("vec_id"))
       .join(broadcast(probes.select(col("probe_id"), col("dim"), col("pd"))),
         Seq("probe_id", "dim"))

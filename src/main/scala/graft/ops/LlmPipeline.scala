@@ -558,7 +558,12 @@ object LlmPipeline {
       .orderBy(col("adc_d2"), col("vec_id"))
     val cand = approx.withColumn("crk", row_number().over(wCand))
       .filter(col("crk") <= 12).drop("crk")
-    val exact = cand
+    // cand is <= 12*|probes| rows by the crk filter, but it sits behind a
+    // window so Catalyst can't see the bound — at sf3 the estimate crossed
+    // the autoBroadcast threshold and this join sort-merged the WHOLE
+    // corpus-dim stream (the r13 sweep residual). The hint is size-stable:
+    // the bound is the query's own top-k contract, valid at every SF.
+    val exact = broadcast(cand)
       .join(micro.select(col("vec_id"), col("dim"), col("qd")), Seq("vec_id"))
       .join(broadcast(probes), Seq("probe_id", "dim"))
       .groupBy(col("probe_id"), col("vec_id"), col("adc_d2"))

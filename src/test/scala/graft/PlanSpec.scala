@@ -1203,12 +1203,29 @@ class PlanSpec extends SparkSpecBase {
     val p = planString(graft.ops.Frontier3.simIvfPq(spark, sf0001))
     assert(!p.contains("CartesianProduct"),
       "a model-table join degenerated to a product")
-    // coarse centroids, PQ codebook, ADC table and probe replicas are all
-    // bounded models — each must broadcast, never sort-merge against the
-    // corpus-scale code/micro streams
+    // coarse centroids, PQ codebook, ADC table, probe replicas AND the
+    // post-window bounded tables (probeCells <= 30, cand <= 120 rows) are
+    // all bounded models — each must broadcast, never sort-merge against
+    // the corpus-scale code/micro streams. The >= 6 floor covers the two
+    // size-stable hints added after the r13 sf3 sweep saw the post-window
+    // estimates cross the autoBroadcast threshold and flip to SMJ.
+    val nB = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nB >= 6,
+      s"coarse/codebook/ADC/probe/probeCells/cand must broadcast, got $nB")
+    assert(p.contains("HashAggregate"), "distance sums not hash aggregates")
+  }
+
+  test("sim_topk_pq: bounded candidate re-rank broadcasts at every SF") {
+    val p = planString(graft.ops.LlmPipeline.simTopkPq(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "a model-table join degenerated to a product")
+    // cents/ADC/probes are model-sized, and cand (<= 12 per probe, post-
+    // window so stats-invisible) carries a size-stable hint — all four
+    // must be BroadcastHashJoin; the corpus-dim stream must never be
+    // sort-merged against a table the query itself bounds.
     val nB = "BroadcastHashJoin".r.findAllIn(p).size
     assert(nB >= 4,
-      s"coarse/codebook/ADC/probe models must broadcast, got $nB broadcasts")
+      s"cents/ADC/probes/cand models must broadcast, got $nB broadcasts")
     assert(p.contains("HashAggregate"), "distance sums not hash aggregates")
   }
 

@@ -39,6 +39,151 @@ class Round13OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_ttest_paired: matches a local Scala replay of the paired moments") {
+    val rows = graft.ops.Frontier4.aggTtestPaired(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // local replay: fold orders driver-side with the same exact-cent rule
+    val per = T.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        BigDecimal(x.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+      .groupBy(_._1).view.mapValues { os =>
+        val (ev, od) = os.partition(_._2 % 2 == 0)
+        (ev.map(_._3).sum, od.map(_._3).sum, ev.nonEmpty, od.nonEmpty)
+      }.toMap
+    val ds = per.values.collect { case (a, b, true, true) => a - b }.toSeq
+    val n = ds.length.toDouble
+    val mean = ds.sum.toDouble / n
+    val vr = (ds.map(d => BigDecimal(d) * BigDecimal(d)).sum.toDouble
+      - ds.sum.toDouble * ds.sum.toDouble / n) / (n - 1.0)
+    assert(r.getLong(0) == ds.length, s"n_pairs ${r.getLong(0)} != ${ds.length}")
+    assert(math.abs(r.getDouble(1) - mean / 100.0) < 1e-4, "mean_diff replay")
+    assert(math.abs(r.getDouble(2) - mean / math.sqrt(vr / n)) < 1e-4,
+      s"t ${r.getDouble(2)} != replay ${mean / math.sqrt(vr / n)}")
+    assert(r.getLong(3) == ds.length - 1)
+  }
+
+  test("graph_reciprocity: bounded ratio and partition-invariant") {
+    val rows = graft.ops.Frontier4.graphReciprocity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_recip exceeds n_edges")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the handoff edge set is a pure function of the data, never of the
+    // partitioning: 1-partition replay equals the 32-partition run
+    val one = graft.ops.Frontier4.graphReciprocity(spark, sf0001)
+      .coalesce(1).collect()
+    assert(rows.toSeq == one.toSeq, "reciprocity is partition-dependent")
+  }
+
+  test("agg_chapman: inclusion-exclusion identity and estimator sanity") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val r = graft.ops.Frontier4.aggChapman(spark, d).collect()(0)
+      // every token lives in at least one half, so the exact population
+      // obeys |A ∪ B| = n_a + n_b − overlap — a hard identity of the fold
+      assert(r.getLong(3) == r.getLong(0) + r.getLong(1) - r.getLong(2),
+        s"$d: v_true violates inclusion-exclusion")
+      // Chapman is >= max(n_a, n_b) - ~1 by construction and should land
+      // within a loose factor of truth on well-mixed halves
+      assert(r.getDouble(4) >= math.max(r.getLong(0), r.getLong(1)) - 1.0)
+      assert(r.getDouble(5) > 0.5 && r.getDouble(5) < 2.0,
+        s"$d: est_over_true ${r.getDouble(5)} wildly off on mixed halves")
+    }
+  }
+
+  test("text_heaps: monotone growth, vocab <= tokens, sub-linear fit") {
+    val rows = graft.ops.Frontier4.textHeaps(spark, sf0001).collect()
+    assert(rows.length == 16, s"expected 16 bands, got ${rows.length}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1), "toks_cum not increasing")
+      assert(b.getLong(2) >= a.getLong(2), "vocab_cum decreasing")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val beta = rows(0).getDouble(3)
+    assert(rows.forall(_.getDouble(3) == beta), "beta not constant")
+    assert(beta > 0.0 && beta < 1.0,
+      s"Heaps beta $beta outside (0,1) — vocab growth not sub-linear")
+  }
+
+  test("dedup_saturation: planted-copy floor and cumulative consistency") {
+    val rows = graft.ops.Frontier4.dedupSaturation(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1) && b.getLong(2) >= a.getLong(2))
+      assert(b.getLong(3) >= a.getLong(3), "dups_cum decreasing")
+    }
+    val docs = T.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nPlanted = docs.filter(col("doc_id") % 5 === 0).count()
+    val last = rows(3)
+    assert(last.getLong(1) == nDocs + nPlanted, "final rows_cum wrong")
+    // every planted copy duplicates an existing text, so total dups can
+    // only exceed the planted count (intrinsic dups add to it)
+    assert(last.getLong(3) >= nPlanted,
+      s"dups_cum ${last.getLong(3)} below planted floor $nPlanted")
+  }
+
+  test("sample_poisson_boot: draw mass ~ Poisson(1) and replicate means bracket the truth") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.ops.Frontier4.samplePoissonBoot(spark, d).collect()
+    assert(rows.length == 40, s"5 priorities x 8 reps expected, got ${rows.length}")
+    val sizes = T.orders(spark, d).groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = sizes(r.getString(0)).toDouble
+      // Poisson(1): n_drawn concentrates at n (sd = sqrt(n)); 6 sigma
+      assert(math.abs(r.getLong(2) - n) < 6 * math.sqrt(n) + 1,
+        s"${r.getString(0)} rep ${r.getLong(1)}: n_drawn ${r.getLong(2)} vs n $n")
+      assert(!r.isNullAt(3) && r.getDouble(3) > 0.0)
+    }
+    // replicate means vary ACROSS replicates (the whole point of the
+    // bootstrap axis) but stay within a tight band of the group mean
+    val byPri = rows.groupBy(_.getString(0))
+    byPri.foreach { case (_, rs) =>
+      val means = rs.map(_.getDouble(3)).toSeq
+      assert(means.distinct.size > 1, "replicates identical — hash axis dead")
+      assert((means.max - means.min) / means.head < 0.2, "replicate spread implausible")
+    }
+  }
+
+  test("sim_rrf: fused score is self-consistent with the source ranks") {
+    val rows = graft.ops.Frontier4.simRrf(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val fromCos = if (r.isNullAt(4)) 0.0 else 1.0 / (60.0 + r.getLong(4))
+      val fromDot = if (r.isNullAt(5)) 0.0 else 1.0 / (60.0 + r.getLong(5))
+      val expect = BigDecimal(fromCos + fromDot)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf ${r.getDouble(3)} != recomputed $expect")
+      assert(!(r.isNullAt(4) && r.isNullAt(5)), "fused row from neither ranker")
+    }
+    // within a probe, fused rank order follows rrf desc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(3) >= b.getDouble(3), "rrf not descending in rank")
+      }
+    }
+  }
+
+  test("sim_recall_curve: recall is monotone non-decreasing in nprobe") {
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
+      val rows = graft.ops.Frontier4.simRecallCurve(spark, d).collect()
+      assert(rows.length == 3, s"$d: one row per nprobe in 1..3")
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getDouble(2) >= a.getDouble(2),
+          s"$d: recall fell when nprobe grew: $a -> $b")
+      }
+    }
+  }
+
   test("agg_kruskal / agg_welch / agg_anova: degenerate-data guards inactive on real data (ADVICE r12)") {
     Seq(sf0001, "/root/testdata/sf0.01").foreach { d =>
       // h_adj guards to NULL only when ct=0 (every value in a priority
