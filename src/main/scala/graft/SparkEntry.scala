@@ -174,7 +174,8 @@ object SparkEntry {
   ) ++ Multimodal.queries ++ Sources.queries ++ Advanced.queries ++
     Composite.queries ++ Insights.queries ++ Curation.queries ++
     Selection.queries ++ Horizon.queries ++ Frontier.queries ++
-    Frontier2.queries ++ Frontier3.queries ++ Frontier4.queries
+    Frontier2.queries ++ Frontier3.queries ++ Frontier4.queries ++
+    Frontier5.queries
 
   /** SQL-text front door ([[SqlCatalog]]): runnable `spark.sql` text per
     * SQL-expressible declared query, against catalog temp views of the
@@ -208,5 +209,5 @@ object SparkEntry {
       Advanced.oracles ++ Composite.oracles ++ Insights.oracles ++
       Curation.oracles ++ Stats.oracles ++ Selection.oracles ++
       Horizon.oracles ++ Frontier.oracles ++ Frontier2.oracles ++
-      Frontier3.oracles ++ Frontier4.oracles
+      Frontier3.oracles ++ Frontier4.oracles ++ Frontier5.oracles
 }

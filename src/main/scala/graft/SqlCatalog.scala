@@ -126,7 +126,10 @@ object SqlCatalog {
     "graph_louvain_multi", "agg_anova", "agg_kruskal", "agg_levene",
     "agg_ljung_box", "agg_welch",
     // round-13 keys whose oracle SQL is already ANSI
-    "agg_ttest_paired", "graph_reciprocity")
+    "agg_ttest_paired", "graph_reciprocity",
+    // round-13b keys whose oracle SQL is already ANSI
+    "agg_kendall", "agg_friedman", "agg_mcnemar", "agg_jackknife",
+    "events_sprt", "graph_wcc")
 
   private def oracleOf(k: String): String =
     (RelationalOracles.sql ++ graft.ops.Advanced.oracles ++
@@ -135,7 +138,8 @@ object SqlCatalog {
       graft.ops.Curation.oracles ++ graft.ops.Stats.oracles ++
       graft.ops.Selection.oracles ++ graft.ops.Horizon.oracles ++
       graft.ops.Frontier.oracles ++ graft.ops.Frontier2.oracles ++
-      graft.ops.Frontier3.oracles ++ graft.ops.Frontier4.oracles)(k)
+      graft.ops.Frontier3.oracles ++ graft.ops.Frontier4.oracles ++
+      graft.ops.Frontier5.oracles)(k)
 
   // ------------------------------------------------- Spark-dialect helpers
 
@@ -3220,6 +3224,68 @@ object SqlCatalog {
         |      / (CAST(o AS DOUBLE) + 1.0) - 1.0)
         |    / CAST(v_true AS DOUBLE), 6) AS DOUBLE) AS est_over_true
         |FROM m""".stripMargin,
+
+    // round-13b: Spark twins for the two tokenizer keys (DuckDB oracle
+    // uses string_split/len/list-comprehension forms)
+    "agg_cohens_kappa" ->
+      """WITH rated AS (
+        |  SELECT CASE WHEN n_chars < 250 THEN 0
+        |      WHEN n_chars < 360 THEN 1 ELSE 2 END AS r1,
+        |    CASE WHEN size(split(text, ' ')) < 46 THEN 0
+        |      WHEN size(split(text, ' ')) < 66 THEN 1 ELSE 2 END AS r2
+        |  FROM documents),
+        |conf AS (SELECT r1, r2, COUNT(*) AS n FROM rated GROUP BY r1, r2),
+        |row_m AS (SELECT r1, SUM(n) AS row_n FROM conf GROUP BY r1),
+        |col_m AS (SELECT r2, SUM(n) AS col_n FROM conf GROUP BY r2),
+        |tot AS (SELECT SUM(n) AS nn,
+        |  SUM(CASE WHEN r1 = r2 THEN n ELSE 0 END) AS diag FROM conf),
+        |pe_t AS (
+        |  SELECT SUM(row_n * col_n) AS pe_num
+        |  FROM row_m JOIN col_m ON row_m.r1 = col_m.r2),
+        |scal AS (
+        |  SELECT
+        |    ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+        |    ROUND(CAST(pe_num AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+        |    CASE WHEN CAST(pe_num AS DOUBLE)
+        |        < CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) THEN
+        |      ROUND((CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)
+        |          - CAST(pe_num AS DOUBLE)
+        |            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |        / (1.0 - CAST(pe_num AS DOUBLE)
+        |            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6)
+        |    END AS kappa
+        |  FROM tot CROSS JOIN pe_t)
+        |SELECT CAST(conf.r1 AS INT) AS r1, CAST(conf.r2 AS INT) AS r2,
+        |  CAST(conf.n AS BIGINT) AS n,
+        |  CAST(scal.po AS DOUBLE) AS po, CAST(scal.pe AS DOUBLE) AS pe,
+        |  CAST(scal.kappa AS DOUBLE) AS kappa
+        |FROM conf CROSS JOIN scal
+        |ORDER BY r1, r2""".stripMargin,
+
+    "text_self_bleu" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, split(text, ' ') AS l
+        |  FROM documents WHERE size(split(text, ' ')) >= 3),
+        |tri_all AS (
+        |  SELECT doc_id, lang,
+        |    explode(transform(sequence(0, size(l) - 3),
+        |      i -> concat_ws(' ', l[i], l[i + 1], l[i + 2]))) AS tok
+        |  FROM docs),
+        |tri AS (SELECT DISTINCT doc_id, lang, tok FROM tri_all),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tri GROUP BY tok),
+        |per_doc AS (
+        |  SELECT tri.doc_id, tri.lang, COUNT(*) AS n_tri,
+        |    SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM tri JOIN df ON tri.tok = df.tok
+        |  GROUP BY tri.doc_id, tri.lang)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tri) AS BIGINT) AS tri_total,
+        |  CAST(SUM(n_shared) AS BIGINT) AS tri_shared,
+        |  CAST(ROUND(CAST(SUM(n_shared) AS DOUBLE)
+        |    / CAST(SUM(n_tri) AS DOUBLE), 6) AS DOUBLE) AS self_bleu3
+        |FROM per_doc GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "text_heaps" ->
       """WITH mx AS (SELECT MAX(doc_id) + 1 AS mxp1 FROM documents),

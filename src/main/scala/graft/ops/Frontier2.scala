@@ -670,7 +670,10 @@ object Frontier2 {
     * the TYPE grid (|V|² at worst) — the doubling joins are model-sized.
     * On a node-scale graph each doubling is an equi-join shuffled on the
     * midpoint key, |reach| ≤ |V|·|V| — the declared CC cost class. */
-  val graphScc: Q = (s, d) => {
+  /** The event-type DOMINANCE digraph shared by `graph_scc` (directed
+    * closure) and `graph_wcc` (Frontier5 — undirected closure): edge a→b
+    * iff strictly more a→b transitions than b→a (ties drop). */
+  def dominanceEdges(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cnt = T.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -678,12 +681,16 @@ object Frontier2 {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("a"), col("event_type").as("b"))
       .agg(count(lit(1)).as("n"))
-    val edges = cnt.as("x")
+    cnt.as("x")
       .join(cnt.as("y"), col("x.a") === col("y.b") && col("x.b") === col("y.a"),
         "left")
       .filter(col("x.a") =!= col("x.b") &&
         col("x.n") > coalesce(col("y.n"), lit(0L)))
       .select(col("x.a").as("src"), col("x.b").as("dst"))
+  }
+
+  val graphScc: Q = (s, d) => {
+    val edges = dominanceEdges(s, d)
     val nodes = T.events(s, d).select(col("event_type").as("v")).distinct()
     val r0 = edges.unionByName(
       nodes.select(col("v").as("src"), col("v").as("dst"))).distinct()
